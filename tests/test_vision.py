@@ -1,0 +1,238 @@
+"""Vision-layer tests against literal per-pixel NumPy oracles (oracles.py)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vaudio import vision
+from vaudio.config import AuralizerConfig
+
+import oracles
+
+
+CFG = AuralizerConfig()
+SMALL = dataclasses.replace(CFG)  # defaults; frames stay small in tests
+
+
+def random_frame(rng, h=32, w=48):
+    return rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+
+
+class TestRgbToHsi:
+    def test_against_oracle(self, rng):
+        rgb = rng.uniform(0, 1, (64, 3)).astype(np.float32)
+        got = np.asarray(vision.rgb_to_hsi(rgb))
+        expect = oracles.rgb_to_hsi_np(rgb)
+        np.testing.assert_allclose(got, expect, atol=2e-5)
+
+    def test_grey_pixel(self):
+        out = np.asarray(vision.rgb_to_hsi(np.array([0.5, 0.5, 0.5],
+                                                    np.float32)))
+        np.testing.assert_allclose(out, [0.0, 0.0, 0.5], atol=1e-6)
+
+    def test_black_pixel(self):
+        out = np.asarray(vision.rgb_to_hsi(np.zeros(3, np.float32)))
+        np.testing.assert_allclose(out, [0.0, 0.0, 0.0], atol=1e-7)
+
+    def test_primaries(self):
+        # Pure red: hue 0; pure green: 1/3; pure blue: 2/3.
+        red = np.asarray(vision.rgb_to_hsi(np.array([1, 0, 0], np.float32)))
+        green = np.asarray(vision.rgb_to_hsi(np.array([0, 1, 0], np.float32)))
+        blue = np.asarray(vision.rgb_to_hsi(np.array([0, 0, 1], np.float32)))
+        assert np.isclose(red[0], 0.0, atol=1e-6)
+        assert np.isclose(green[0], 1 / 3, atol=1e-5)
+        assert np.isclose(blue[0], 2 / 3, atol=1e-5)
+        for px in (red, green, blue):
+            assert np.isclose(px[1], 1.0, atol=1e-6)   # full saturation
+            assert np.isclose(px[2], 1 / 3, atol=1e-6)  # intensity
+
+
+class TestMipDownsample:
+    def test_matches_box_filter(self, rng):
+        frame = random_frame(rng, 32, 48)
+        got = np.asarray(vision.mip_downsample(frame, 3))
+        expect = oracles.mip_np(frame, 3)
+        assert got.shape == (4, 6, 3)
+        np.testing.assert_allclose(got, expect, atol=1e-6)
+
+    def test_constant_preserved(self):
+        frame = np.full((16, 16, 3), 0.25, np.float32)
+        out = np.asarray(vision.mip_downsample(frame, 2))
+        np.testing.assert_allclose(out, 0.25, atol=1e-7)
+
+    def test_rejects_indivisible(self):
+        with pytest.raises(ValueError):
+            vision.mip_downsample(np.zeros((30, 32, 3), np.float32), 3)
+
+    def test_quantize_flag(self, rng):
+        frame = (rng.integers(0, 256, (16, 16, 3)) / 255.0).astype(np.float32)
+        q = np.asarray(vision.mip_downsample(frame, 2, quantize=True))
+        # All values must land on the 8-bit grid.
+        np.testing.assert_allclose(q * 255, np.round(q * 255), atol=1e-4)
+
+
+class TestRotation:
+    def test_rotate_cw_layout(self):
+        x = np.arange(12).reshape(3, 4).astype(np.float32)
+        r = np.asarray(vision.rotate_cw(x))
+        assert r.shape == (4, 3)
+        h = x.shape[0]
+        for i in range(4):
+            for j in range(3):
+                assert r[i, j] == x[h - 1 - j, i]
+
+
+class TestFeatureStencil:
+    def test_against_oracle(self, rng):
+        mip = rng.uniform(0, 1, (6, 8, 3)).astype(np.float32)
+        hsi = vision.rgb_to_hsi(mip)
+        got = np.asarray(vision.rotate_cw(vision.feature_stencil(hsi)))
+        expect = oracles.convolve_features_np(mip)
+        assert got.shape == expect.shape == (8, 6, 3, 4)
+        np.testing.assert_allclose(got, expect, atol=1e-4)
+
+    def test_zero_sum_masks_kill_constants(self):
+        hsi = np.full((5, 7, 3), 0.3, np.float32)
+        out = np.asarray(vision.feature_stencil(hsi))
+        np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+    def test_mask_values(self):
+        from vaudio.vision.features import MODE_KERNELS
+        assert MODE_KERNELS.shape == (4, 3, 3)
+        np.testing.assert_allclose(MODE_KERNELS.sum(axis=(1, 2)), 0.0)
+        # Center weights: breathing 4, others 0
+        np.testing.assert_allclose(MODE_KERNELS[:, 1, 1], [4, 0, 0, 0])
+
+
+class TestHueHistogram:
+    @pytest.mark.parametrize("method", ["matmul", "scatter"])
+    def test_against_oracle(self, rng, method):
+        mip = rng.uniform(0, 1, (16, 24, 3)).astype(np.float32)
+        hsi_rot = vision.rotate_cw(vision.rgb_to_hsi(mip))
+        got = np.asarray(vision.hue_histogram(hsi_rot, CFG, method=method))
+        expect = oracles.hue_histogram_np(mip)
+        assert got.shape == (16, 360)
+        # f32 hue quantization at bin edges can shift a count by one bin;
+        # require exact totals and near-exact per-bin agreement.
+        assert got.sum() == expect.sum()
+        assert np.abs(got - expect).sum() <= 4
+
+    def test_gating(self):
+        # Dark pixels (I <= 0.1) and grey pixels (S == 0) must not count.
+        mip = np.zeros((8, 8, 3), np.float32)
+        mip[:4] = 0.05   # dark
+        mip[4:] = 0.5    # grey: S == 0
+        hsi_rot = vision.rotate_cw(vision.rgb_to_hsi(mip))
+        hist = np.asarray(vision.hue_histogram(hsi_rot, CFG))
+        assert hist.sum() == 0
+
+    def test_solid_color_single_bin(self):
+        mip = np.zeros((8, 8, 3), np.float32)
+        mip[...] = [0.8, 0.3, 0.2]   # a saturated reddish color
+        hsi_rot = vision.rotate_cw(vision.rgb_to_hsi(mip))
+        hist = np.asarray(vision.hue_histogram(hsi_rot, CFG))
+        assert hist.sum() == 64
+        # Every cell sees the same single bin (cells of 2x2=4 px each... the
+        # 8x8 rotated image tiles into 16 cells of 4 pixels).
+        assert (hist > 0).sum() == 16
+        np.testing.assert_array_equal(hist.max(axis=1), 4)
+
+
+class TestUpdateHues:
+    def test_against_oracle(self, rng):
+        hist = rng.integers(0, 60, (16, 360)).astype(np.float32)
+        prev = rng.integers(0, 360, 16).astype(np.int32)
+        got = np.asarray(vision.update_hues(jnp.asarray(hist),
+                                            jnp.asarray(prev),
+                                            jnp.float32(0.9), CFG))
+        expect = oracles.update_hues_np(hist, prev, 0.9)
+        np.testing.assert_array_equal(got, expect)
+
+    def test_gate_keeps_previous(self):
+        hist = np.full((16, 360), 5.0, np.float32)   # max 5 <= 20
+        prev = np.arange(16, dtype=np.int32)
+        got = np.asarray(vision.update_hues(jnp.asarray(hist),
+                                            jnp.asarray(prev),
+                                            jnp.float32(0.5), CFG))
+        np.testing.assert_array_equal(got, prev)
+
+    def test_ema_truncation(self):
+        hist = np.zeros((16, 360), np.float32)
+        hist[:, 100] = 50.0
+        prev = np.full(16, 9, np.int32)
+        got = np.asarray(vision.update_hues(jnp.asarray(hist),
+                                            jnp.asarray(prev),
+                                            jnp.float32(0.9), CFG))
+        # 9*0.9 + 100*0.1 = 18.1 -> trunc 18
+        np.testing.assert_array_equal(got, 18)
+
+
+class TestCellGradStats:
+    def test_against_oracle_linear(self, rng):
+        feat = rng.normal(size=(24, 18, 4)).astype(np.float32)
+        got = np.asarray(vision.cell_gradient_stats(feat, CFG))
+        expect = oracles.cell_grad_stats_np(feat)
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+
+    def test_remainder_goes_to_last_cell(self, rng):
+        # 17x5 = 85 pixels; 85//16 = 5, last cell gets 85-75=10 pixels.
+        feat = rng.normal(size=(17, 5, 4)).astype(np.float32)
+        got = np.asarray(vision.cell_gradient_stats(feat, CFG))
+        expect = oracles.cell_grad_stats_np(feat)
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+
+    def test_spatial_mode(self, rng):
+        cfg = dataclasses.replace(CFG, linear_cell_grads=False)
+        feat = rng.normal(size=(16, 16, 4)).astype(np.float32)
+        got = np.asarray(vision.cell_gradient_stats(feat, cfg))
+        # Oracle: direct block reduction over the 4x4 tiling.
+        blocks = feat.reshape(4, 4, 4, 4, 4)  # (cr, by, cc, bx, mode)
+        for cr in range(4):
+            for cc in range(4):
+                sl = feat[cr * 4:(cr + 1) * 4, cc * 4:(cc + 1) * 4]
+                sl = sl.reshape(-1, 4)
+                cell = cr * 4 + cc
+                np.testing.assert_allclose(
+                    got[cell],
+                    [np.sqrt(np.mean(sl[:, 0] ** 2)),
+                     np.mean(np.abs(sl[:, 1])),
+                     np.mean(np.abs(sl[:, 2])),
+                     np.max(np.abs(sl[:, 3]))],
+                    rtol=1e-4, atol=1e-5)
+
+
+class TestExtractFeatures:
+    def test_end_to_end_shapes(self, rng):
+        frame = random_frame(rng, 64, 64)
+        hues, grads, debug = vision.extract_features(
+            jnp.asarray(frame), jnp.zeros(16, jnp.int32), jnp.float32(0.0),
+            CFG, compute_debug_maps=True)
+        assert hues.shape == (16,) and hues.dtype == jnp.int32
+        assert grads.shape == (16, 4)
+        assert debug["histogram"].shape == (16, 360)
+        assert debug["intensity_map"].shape == (8, 8, 4)
+
+    def test_small_frame_fails_count_gate(self):
+        # 64x64 -> 8x8 mip -> 4 px/cell, below the >20 count gate, so hues
+        # must keep their previous value (VisionEngine.swift:263).
+        frame = np.zeros((64, 64, 3), np.float32)
+        frame[..., 0] = 1.0
+        hues, _, _ = vision.extract_features(
+            jnp.asarray(frame), jnp.full(16, 200, jnp.int32),
+            jnp.float32(0.0), CFG)
+        np.testing.assert_array_equal(np.asarray(hues), 200)
+
+    def test_solid_red_frame_hue_zero(self):
+        # 256x256 -> 32x32 mip -> 64 px/cell, clears the gate.
+        frame = np.zeros((256, 256, 3), np.float32)
+        frame[..., 0] = 1.0
+        hues, grads, _ = vision.extract_features(
+            jnp.asarray(frame), jnp.full(16, 200, jnp.int32),
+            jnp.float32(0.0), CFG)
+        # mixing=0 -> hue snaps straight to the argmax bin (red = bin 0)
+        np.testing.assert_array_equal(np.asarray(hues), 0)
+        # Uniform frame -> all gradient modes zero
+        np.testing.assert_allclose(np.asarray(grads), 0.0, atol=1e-6)

@@ -1,0 +1,179 @@
+"""Typed configuration for the Vaudio TPU framework.
+
+The reference app hardcodes its operating constants across several files
+(reference: video-auralizer/SoundEngine.swift:46-48 `sampleRate/videoFs/NFFT`;
+video-auralizer/VisionEngine.swift:24 mip level; VisionEngine.swift:194-195
+cell grid / hue bins) and exposes a set of live-tunable published parameters
+(SoundEngine.swift:66-75).  Here everything is lifted into two dataclasses:
+
+* :class:`AuralizerConfig` — static compile-time configuration.  Changing any
+  of these re-traces/re-compiles the jitted step.
+* :class:`LiveParams` — the runtime-tunable parameter set (the equivalent of
+  the reference's ``@Published`` controls).  These are traced as dynamic
+  arguments so they can change every frame without recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+# Inharmonic Bessel-mode frequency ratios (~ ratios of zeros of Bessel J),
+# reference: video-auralizer/SoundEngine.swift:105-126 (Swift copy) and
+# Metal Functions/SpectrumCompute.metal:60-80 (MSL copy).  The synthesis
+# kernel iterates only the first 18 (SpectrumCompute.metal:172) while the
+# phase-accumulation path advances all 19 (SoundEngine.swift:277-283).
+BESSEL_RATIOS: Tuple[float, ...] = (
+    1.59334, 2.13555, 2.29542, 2.65307, 2.9173,
+    3.15546, 3.50015, 3.64745, 4.05893, 4.13174,
+    4.60104, 4.61005, 5.08357, 5.13077, 5.55313,
+    5.65084, 6.01936, 6.16314, 6.48274,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class AuralizerConfig:
+    """Static configuration (shapes + compile-time constants).
+
+    Defaults reproduce the reference app exactly.
+    """
+
+    # --- audio format (SoundEngine.swift:46-48) ---
+    sample_rate: float = 44100.0
+    video_fps: float = 30.0
+    nfft: int = 4096
+
+    # --- vision (VisionEngine.swift:24,194-195) ---
+    mip_level: int = 3
+    grid_size: int = 4          # 4x4 = 16 cells
+    num_hue_bins: int = 360
+    # Histogram gates (convolveFeatures.metal:154, VisionEngine.swift:263)
+    saturation_gate: float = 0.0
+    intensity_gate: float = 0.1
+    hist_count_gate: int = 20
+
+    # --- synthesis (SpectrumCompute.metal:82-214) ---
+    num_harmonics: int = 13
+    num_bessel_synth: int = 18      # kernel iterates 18 of the 19 ratios
+    f0_base: float = 220.0          # f0 = 220 * 2^(3*hue/360)
+    f0_octaves: float = 3.0
+    max_partial_freq: float = 20000.0
+    narrowband_below: float = 200.0  # bandWidth=5 below 200 Hz else 1
+    narrow_bandwidth: float = 5.0
+    wide_bandwidth: float = 1.0
+
+    # --- streaming runtime (SoundEngine.swift:88,171-175,448) ---
+    ring_buffer_frames: int = 16
+    warmup_frames: int = 3
+
+    # --- fidelity / quirk switches ---
+    # The reference writes phase accumulators with stride 32 (13 harmonics +
+    # 19 bessel slots, SoundEngine.swift:269,279) but the GPU kernel *reads*
+    # them with stride 22 and no +13 bessel offset
+    # (SpectrumCompute.metal:135,179).  quirk_compat=True reproduces that
+    # mismatch bit-for-bit; False uses the clean (intended) layout.
+    quirk_compat: bool = True
+    # Metal's generateMipmaps quantizes every mip level to 8-bit bgra8Unorm
+    # (VisionEngine.swift:137-147).  True emulates that quantization between
+    # pooling rounds; False keeps full f32 precision through the pyramid.
+    quantize_mips: bool = False
+    # Reference aggregates gradients over contiguous 1/16 slices of the
+    # rotated linear pixel array, NOT the 4x4 spatial grid the histogram
+    # uses (VisionEngine.swift:278-283; SURVEY §2.2).  True reproduces that
+    # asymmetry; False uses the spatial 4x4 tiling.
+    linear_cell_grads: bool = True
+    # Use the fused Pallas synthesis kernel instead of the jnp reference
+    # implementation for the spectrum builder.
+    use_pallas: bool = False
+
+    # ------------------------------------------------------------------
+    # Derived quantities (SoundEngine.swift:129-144)
+    # ------------------------------------------------------------------
+    @property
+    def num_cells(self) -> int:
+        return self.grid_size * self.grid_size
+
+    @property
+    def n(self) -> int:
+        """Effective DFT length used for bin width: NFFT - 2 = 4094."""
+        return self.nfft - 2
+
+    @property
+    def num_bins(self) -> int:
+        """F — number of synthesized half-spectrum bins (2047)."""
+        return max(2, self.n // 2)
+
+    @property
+    def hop_size(self) -> int:
+        """Overlap-add hop (SoundEngine.swift:96)."""
+        return self.nfft // 2
+
+    @property
+    def bin_width(self) -> float:
+        """fs / N ≈ 10.772 Hz (SoundEngine.swift:143)."""
+        return self.sample_rate / float(self.n)
+
+    @property
+    def num_bessel(self) -> int:
+        return len(BESSEL_RATIOS)
+
+    @property
+    def phase_stride(self) -> int:
+        """Stride of the phase-accumulation write layout: 13+19 = 32."""
+        return self.num_harmonics + self.num_bessel
+
+    @property
+    def phase_read_stride(self) -> int:
+        """Stride the synthesis kernel reads with.
+
+        22 (= 13+9) in quirk-compat mode (SpectrumCompute.metal:135,179),
+        otherwise the clean write stride.
+        """
+        return 22 if self.quirk_compat else self.phase_stride
+
+    @property
+    def num_phase_slots(self) -> int:
+        return self.num_cells * self.phase_stride
+
+    def bin_frequencies(self) -> np.ndarray:
+        """The reference's `original_f` bin-frequency grid.
+
+        linspace(fs/F, fs/2 + fs/F, F)  (SoundEngine.swift:141).  Note the
+        top bins slightly exceed Nyquist — reproduced on purpose.
+        """
+        F = self.num_bins
+        start = self.sample_rate / F
+        end = self.sample_rate / 2 + self.sample_rate / F
+        return np.linspace(start, end, F, dtype=np.float32)
+
+    def bessel_ratios(self) -> np.ndarray:
+        return np.asarray(BESSEL_RATIOS, dtype=np.float32)
+
+
+@dataclasses.dataclass
+class LiveParams:
+    """Runtime-tunable parameters — the `@Published` set of the reference
+    (SoundEngine.swift:66-75) plus the vision-side smoothing coefficient
+    (VisionEngine.swift:36).  All values are traced dynamically: updating
+    them never triggers recompilation.
+    """
+
+    attack: float = 1.0
+    release: float = 1.0
+    spectrum_mixing: float = 0.9
+    hp_cutoff: float = 200.0
+    lp_cutoff: float = 18000.0
+    hp_order: float = 0.0
+    lp_order: float = 0.0
+
+    def as_arrays(self):
+        """Flatten to a dict of float32 numpy scalars for feeding a jit."""
+        return {
+            f.name: np.float32(getattr(self, f.name))
+            for f in dataclasses.fields(self)
+        }
+
+
+DEFAULT_CONFIG = AuralizerConfig()

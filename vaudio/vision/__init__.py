@@ -1,0 +1,37 @@
+"""Vision engine — frame feature extraction (the L2 layer of SURVEY.md §1).
+
+TPU-native re-expression of video-auralizer/VisionEngine.swift and the two
+live Metal kernels in Metal Functions/convolveFeatures.metal:
+
+* mip-pyramid downsampling (Metal ``generateMipmaps``) -> repeated 2x2
+  mean pooling;
+* ``convolveFeatures`` -> fused HSI conversion + four 3x3 zero-sum mode
+  stencils with clamp-to-edge borders;
+* ``calculateHueHistogram`` -> an atomics-free one-hot/matmul histogram
+  (TPUs have no scatter atomics; the MXU formulation is the idiomatic
+  equivalent of the Metal atomic scatter-add);
+* the CPU reductions of ``processVideoFrame`` (per-cell hue argmax + EMA,
+  per-cell gradient statistics) -> batched reductions.
+"""
+
+from vaudio.vision.features import (
+    cell_gradient_stats,
+    extract_features,
+    feature_stencil,
+    hue_histogram,
+    mip_downsample,
+    rgb_to_hsi,
+    rotate_cw,
+    update_hues,
+)
+
+__all__ = [
+    "cell_gradient_stats",
+    "extract_features",
+    "feature_stencil",
+    "hue_histogram",
+    "mip_downsample",
+    "rgb_to_hsi",
+    "rotate_cw",
+    "update_hues",
+]

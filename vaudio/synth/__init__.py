@@ -1,0 +1,25 @@
+"""Spectral synthesis — the L3 layer of SURVEY.md §1.
+
+TPU-native re-expression of the reference's additive harmonic+Bessel
+synthesizer: the ``computeSpectrum`` Metal kernel
+(Metal Functions/SpectrumCompute.metal:82-214) and the CPU-side phase
+accumulation (SoundEngine.swift:257-286).
+
+The per-bin/per-cell/per-partial triple loop becomes a dense two-stage
+computation: a (bins x partials) windowed-sinc peak matrix evaluated on the
+VPU, contracted with per-partial complex weights on the MXU.
+"""
+
+from vaudio.synth.spectrum import (
+    SynthConstants,
+    build_spectrum,
+    partial_weights,
+    phase_accumulate,
+)
+
+__all__ = [
+    "SynthConstants",
+    "build_spectrum",
+    "partial_weights",
+    "phase_accumulate",
+]

@@ -1,0 +1,265 @@
+"""Additive harmonic + Bessel spectrum synthesis.
+
+Structure of the computation (vs. the reference kernel,
+SpectrumCompute.metal:82-214, which runs one GPU thread per frequency bin
+with a serial 16-cell x 31-partial inner loop):
+
+1. Per-frame scalar stage (16 cells x 31 partials — tiny): fundamental
+   snapping, roll-off, gains, phases, per-cell normalization.  Produces one
+   complex weight per partial.
+2. Peak-stamping stage: W[bin, partial] = hann_sinc_peak(scaled bin
+   distance), then ``spectrum = W @ weights`` — an MXU contraction.  The
+   1.0M windowed-sinc evaluations per frame are batched on the VPU instead
+   of looped per-thread.
+
+All index-only quantities (hash phases, static per-bin phase rotation,
+phase-accumulator gather indices) are precomputed on the host in float64 and
+baked into the jit as constants — they never change between frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vaudio.config import AuralizerConfig
+from vaudio.dsp import find_closest_index, hann_sinc_peak, hue_to_f0
+
+_TWO_PI = np.float64(2.0 * np.pi)
+
+
+def _hash01(x: np.ndarray) -> np.ndarray:
+    s = np.sin(x) * 43758.5453
+    return s - np.floor(s)
+
+
+@dataclasses.dataclass(frozen=True)
+class SynthConstants:
+    """Host-precomputed constants baked into the synthesis jit.
+
+    These reproduce, as compile-time constants, the quantities the Metal
+    kernel derives per-thread from indices alone:
+
+    * ``static_cos/sin`` — the per-bin random phase rotation
+      ``fract(sin(fIdx*12.9898)*43758.5453)*2pi`` (SpectrumCompute.metal:97).
+    * ``seed_phase`` — the per-(cell, partial) deterministic hash phases
+      (SpectrumCompute.metal:134-136,178-180; harmonics seed with h=1..13,
+      Bessel modes with b=0..17 — both use the same 13.13 multiplier).
+    * ``read_idx`` — gather indices into the flat phase-accumulator buffer,
+      with the reference's stride-22 read quirk when cfg.quirk_compat
+      (SpectrumCompute.metal:135,179; see AuralizerConfig.quirk_compat).
+    """
+
+    freqs: np.ndarray          # f32[F] — the original_f bin grid
+    static_cos: np.ndarray     # f32[F]
+    static_sin: np.ndarray     # f32[F]
+    seed_phase: np.ndarray     # f32[16, P] hash phases (harm ++ bessel)
+    read_idx: np.ndarray       # i32[16, P] phase-accum gather indices
+    bessel_synth: np.ndarray   # f32[num_bessel_synth]
+    harmonic_numbers: np.ndarray  # f32[13]
+
+    @classmethod
+    def create(cls, cfg: AuralizerConfig) -> "SynthConstants":
+        F = cfg.num_bins
+        nc = cfg.num_cells
+        nh = cfg.num_harmonics
+        nb = cfg.num_bessel_synth
+
+        freqs = cfg.bin_frequencies()
+
+        f_idx = np.arange(F, dtype=np.float64)
+        static_phase = _hash01(f_idx * 12.9898) * _TWO_PI
+        static_cos = np.cos(static_phase).astype(np.float32)
+        static_sin = np.sin(static_phase).astype(np.float32)
+
+        cells = np.arange(nc, dtype=np.float64)[:, None]
+        h = np.arange(1, nh + 1, dtype=np.float64)[None, :]
+        b = np.arange(nb, dtype=np.float64)[None, :]
+        seed_h = _hash01(cells * 1.618 + h * 13.13) * _TWO_PI
+        seed_b = _hash01(cells * 1.618 + b * 13.13) * _TWO_PI
+        seed_phase = np.concatenate([seed_h, seed_b], axis=1)
+
+        rs = cfg.phase_read_stride
+        cell_base = np.arange(nc, dtype=np.int64)[:, None] * rs
+        idx_h = cell_base + np.arange(nh)[None, :]
+        bessel_off = 0 if cfg.quirk_compat else nh
+        idx_b = cell_base + bessel_off + np.arange(nb)[None, :]
+        read_idx = np.concatenate([idx_h, idx_b], axis=1)
+        assert read_idx.max() < cfg.num_phase_slots
+
+        return cls(
+            freqs=freqs,
+            static_cos=static_cos,
+            static_sin=static_sin,
+            seed_phase=seed_phase.astype(np.float32),
+            read_idx=read_idx.astype(np.int32),
+            bessel_synth=cfg.bessel_ratios()[:nb],
+            harmonic_numbers=np.arange(1, nh + 1, dtype=np.float32),
+        )
+
+    @property
+    def num_partials(self) -> int:
+        return self.seed_phase.shape[1]
+
+
+# ---------------------------------------------------------------------------
+# Phase accumulation (SoundEngine.swift:257-286)
+# ---------------------------------------------------------------------------
+
+def phase_accumulate(phases, hues, cfg: AuralizerConfig,
+                     consts: SynthConstants):
+    """Advance every cell's partial phases by one video frame.
+
+    Reproduces applyPhaseAccumulation: for each of the 16 cells, the
+    fundamental is re-derived from the (new) hue, snapped to the bin grid,
+    and each partial's phase advances by 2*pi*f*hop/fs, wrapped mod 2*pi.
+    This runs for *all* cells every frame, including gated-out ones
+    (SoundEngine.swift:258 loops unconditionally).
+
+    The write layout is the clean stride-32 one — 13 harmonic slots then 19
+    Bessel slots per cell (SoundEngine.swift:269,279).  The *read*-side
+    quirk lives in SynthConstants.read_idx.
+
+    Args:
+      phases: f32[16, 32] accumulator (cells x (13 harm + 19 bessel)).
+      hues:   i32[16].
+    Returns: new f32[16, 32].
+    """
+    freqs = jnp.asarray(consts.freqs)
+    f0_raw = hue_to_f0(hues.astype(jnp.float32), cfg.f0_base, cfg.f0_octaves)
+    f0 = freqs[find_closest_index(freqs, f0_raw)]           # (16,)
+
+    ratios = jnp.concatenate([
+        jnp.asarray(consts.harmonic_numbers),                # 1..13
+        jnp.asarray(cfg.bessel_ratios()),                    # all 19
+    ])                                                       # (32,)
+    pfreq = f0[:, None] * ratios[None, :]                    # (16, 32)
+    adv = np.float32(2.0 * np.pi * cfg.hop_size / cfg.sample_rate) * pfreq
+    return jnp.mod(phases + adv, np.float32(2.0 * np.pi)).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Spectrum builder
+# ---------------------------------------------------------------------------
+
+def partial_weights(hues, grads, phases, cfg: AuralizerConfig,
+                    consts: SynthConstants):
+    """Stage 1: per-partial frequencies and complex weights.
+
+    Returns (pfreq f32[16,P], w_re f32[16,P], w_im f32[16,P],
+    inv_bw f32[16]) where P = 13+18 partials and the weights already include
+    gain, per-cell normalization, frequency compensation and validity.
+    """
+    nh = cfg.num_harmonics
+    freqs = jnp.asarray(consts.freqs)
+
+    hues_f = hues.astype(jnp.float32)
+    valid = (hues >= 0) & (hues <= 360)                      # metal :102-103
+
+    f0_raw = hue_to_f0(hues_f, cfg.f0_base, cfg.f0_octaves)
+    f0 = freqs[find_closest_index(freqs, f0_raw)]            # (16,)
+    bw = jnp.where(f0 < np.float32(cfg.narrowband_below),
+                   np.float32(cfg.narrow_bandwidth),
+                   np.float32(cfg.wide_bandwidth))           # (16,)
+
+    breathing = grads[:, 0]
+    vtilt = grads[:, 1]
+    htilt = grads[:, 2]
+    saddle = grads[:, 3]
+
+    # Roll-off: mix(4.0, 0.5, clamp(5*breathing, 0, 1)); nan-safe -> 2.0
+    t = jnp.clip(breathing * 5.0, 0.0, 1.0)
+    roll = 4.0 + (0.5 - 4.0) * t
+    roll = jnp.where(jnp.isfinite(roll), roll, 2.0)          # (16,)
+
+    hnum = jnp.asarray(consts.harmonic_numbers)              # (13,)
+    bratio = jnp.asarray(consts.bessel_synth)                # (18,)
+    ratios = jnp.concatenate([hnum, bratio])                 # (P,)
+    pfreq = f0[:, None] * ratios[None, :]                    # (16, P)
+    audible = pfreq <= np.float32(cfg.max_partial_freq)
+
+    # Base gains: h^-roll for harmonics, clamp(saddle,0,2)*r^-roll for bessel
+    base_h = hnum[None, :] ** (-roll[:, None])               # (16, 13)
+    base_b = jnp.clip(saddle, 0.0, 2.0)[:, None] * \
+        (bratio[None, :] ** (-roll[:, None]))                # (16, 18)
+    base = jnp.concatenate([base_h, base_b], axis=1) * audible
+
+    # Total cell gain uses the PRE-tilt harmonic gain (metal :142 adds
+    # before the even/odd weighting at :160-161).
+    total_gain = jnp.sum(base, axis=1)                       # (16,)
+
+    # Even/odd tilt weighting for harmonics h > 1.
+    h_int = hnum.astype(jnp.int32)
+    tilt = jnp.where(h_int[None, :] % 2 == 0, vtilt[:, None],
+                     htilt[:, None])
+    tilt = jnp.where(h_int[None, :] == 1, 1.0, tilt)         # (16, 13)
+    gain = jnp.concatenate([base[:, :nh] * tilt, base[:, nh:]], axis=1)
+
+    # Phases: baked hash seed + accumulated velocity (with read quirk).
+    vel = phases.reshape(-1)[jnp.asarray(consts.read_idx)]   # (16, P)
+    phase = jnp.asarray(consts.seed_phase) + vel
+
+    # Per-cell normalization (metal :192-195) and validity gating.
+    comp = jnp.sqrt(f0 / np.float32(cfg.f0_base))
+    norm = (1.0 / jnp.maximum(total_gain, 0.001)) \
+        * np.float32(1.0 / cfg.num_cells) * comp \
+        * valid.astype(jnp.float32)                          # (16,)
+
+    w = gain * norm[:, None]                                 # (16, P)
+    w_re = w * jnp.cos(phase)
+    w_im = w * jnp.sin(phase)
+    return pfreq, w_re, w_im, 1.0 / bw
+
+
+def build_spectrum(hues, grads, phases, prev_spectrum, spectrum_mixing,
+                   cfg: AuralizerConfig, consts: SynthConstants,
+                   use_pallas: Optional[bool] = None):
+    """Full spectrum synthesis for one frame.
+
+    Equivalent of one ``computeSpectrum`` dispatch
+    (SpectrumCompute.metal:82-214): stamps every audible partial of every
+    valid cell onto the F-bin grid with the Hann-transform peak shape,
+    applies the static per-bin phase rotation, and EMA-blends with the
+    previous frame's spectrum.
+
+    Args:
+      hues: i32[16]; grads: f32[16,4]; phases: f32[16,32];
+      prev_spectrum: f32[F,2]; spectrum_mixing: f32 scalar.
+    Returns: f32[F, 2] new spectrum (also the next frame's ``prev``).
+    """
+    if use_pallas is None:
+        use_pallas = cfg.use_pallas
+
+    pfreq, w_re, w_im, inv_bw = partial_weights(hues, grads, phases, cfg,
+                                                consts)
+    nc, P = pfreq.shape
+    flat_pf = pfreq.reshape(nc * P)
+    flat_w = jnp.stack([w_re.reshape(nc * P), w_im.reshape(nc * P)], axis=1)
+    flat_inv_bw = jnp.broadcast_to(inv_bw[:, None], (nc, P)).reshape(nc * P)
+
+    if use_pallas:
+        from vaudio.ops.spectrum_kernel import spectrum_pallas
+        cur = spectrum_pallas(flat_pf, flat_w, flat_inv_bw, cfg, consts)
+    else:
+        freqs = jnp.asarray(consts.freqs)                    # (F,)
+        hann_mult = np.float32(1.0 / cfg.bin_width)
+        d = (freqs[:, None] - flat_pf[None, :]) * (hann_mult * flat_inv_bw)
+        W = hann_sinc_peak(d)                                # (F, 496)
+        cur = jax.lax.dot_general(
+            W, flat_w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (F, 2)
+
+    # Static per-bin phase rotation (complex multiply, metal :198).
+    c = jnp.asarray(consts.static_cos)
+    s = jnp.asarray(consts.static_sin)
+    rot = jnp.stack([cur[:, 0] * c - cur[:, 1] * s,
+                     cur[:, 0] * s + cur[:, 1] * c], axis=1)
+
+    # Temporal smoothing: mix(prev, cur, 1 - mixing)  (metal :211-213).
+    m = spectrum_mixing
+    return (prev_spectrum * m + rot * (1.0 - m)).astype(jnp.float32)

@@ -1,0 +1,176 @@
+"""Runtime-step and golden end-to-end tests (SURVEY.md §4 strategy).
+
+The golden test drives the pipeline with deterministic solid-color frames —
+the reference's TutorialView fake-backend pattern — and asserts the audio
+spectrum peaks at the snapped 220*2^(3h/360) comb.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vaudio.config import AuralizerConfig, LiveParams
+from vaudio.io import hsb_frames, solid_color_frames
+from vaudio.runtime import StepCarry, init_carry, make_step, run_offline
+from vaudio.synth import SynthConstants
+
+import oracles
+
+
+CFG = AuralizerConfig()
+PARAMS = LiveParams().as_arrays()
+
+
+def instant_params():
+    """No smoothing: hue/spectrum EMAs snap instantly."""
+    return LiveParams(spectrum_mixing=0.0).as_arrays()
+
+
+class TestFrameStep:
+    def test_shapes_and_state_update(self, rng):
+        step = make_step(CFG, debug=True, jit=False)
+        carry = init_carry(CFG)
+        frame = jnp.asarray(
+            rng.uniform(0, 1, (256, 256, 3)).astype(np.float32))
+        carry2, out = step(carry, frame, PARAMS)
+        assert out["pcm"].shape == (2048,)
+        assert out["spectrum"].shape == (2047, 2)
+        assert carry2.hues.shape == (16,)
+        assert np.all(np.isfinite(np.asarray(out["pcm"])))
+        # Phases must have advanced.
+        assert not np.allclose(np.asarray(carry2.phases), 0.0)
+
+    def test_jit_matches_eager(self, rng):
+        frame = jnp.asarray(
+            rng.uniform(0, 1, (128, 128, 3)).astype(np.float32))
+        eager = make_step(CFG, jit=False)
+        jitted = make_step(CFG, jit=True)
+        _, out_e = eager(init_carry(CFG), frame, PARAMS)
+        _, out_j = jitted(init_carry(CFG), frame, PARAMS)
+        np.testing.assert_allclose(np.asarray(out_e["pcm"]),
+                                   np.asarray(out_j["pcm"]), atol=2e-4)
+
+    def test_scan_matches_sequential_steps(self, rng):
+        frames = rng.uniform(0, 1, (4, 128, 128, 3)).astype(np.float32)
+        # Sequential
+        step = make_step(CFG, jit=False)
+        carry = init_carry(CFG)
+        pcm_seq = []
+        for f in frames:
+            carry, out = step(carry, jnp.asarray(f), PARAMS)
+            pcm_seq.append(np.asarray(out["pcm"]))
+        pcm_seq = np.concatenate(pcm_seq)
+        # Scan
+        audio, final, _ = run_offline(frames, CFG, PARAMS)
+        np.testing.assert_allclose(np.asarray(audio), pcm_seq, atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(final.hues),
+                                      np.asarray(carry.hues))
+
+    def test_black_video_is_silent(self):
+        frames = np.zeros((3, 64, 64, 3), np.float32)
+        audio, _, _ = run_offline(frames, CFG, PARAMS)
+        # All-black frames: histogram gated out, hues stay 0 -> cells still
+        # synthesize at hue 0 BUT grads are all zero -> harmonics beyond h=1
+        # are zero-tilted; signal exists but must be finite and bounded.
+        a = np.asarray(audio)
+        assert np.all(np.isfinite(a))
+        assert np.abs(a).max() <= 2.0
+
+
+class TestGoldenSolidColor:
+    """Known hue -> known fundamental comb (BASELINE config 1 analogue)."""
+
+    def sonify_solid(self, rgb, n_frames=8, size=256):
+        frames = solid_color_frames(rgb, width=size, height=size,
+                                    num_frames=n_frames)
+        audio, carry, dbg = run_offline(frames, CFG, instant_params(),
+                                        debug=True)
+        return np.asarray(audio), carry, dbg
+
+    def expected_f0(self, hue_bin):
+        consts = SynthConstants.create(CFG)
+        f0_raw = 220.0 * 2.0 ** (hue_bin / 360.0 * 3.0)
+        return consts.freqs[
+            oracles.find_closest_index_np(consts.freqs, f0_raw)]
+
+    def dominant_freqs(self, audio, top=8):
+        # Analyze the steady-state tail.
+        tail = audio[-4096:]
+        spec = np.abs(np.fft.rfft(tail * np.hanning(len(tail))))
+        freqs = np.fft.rfftfreq(len(tail), 1 / 44100.0)
+        peaks = np.argsort(spec)[::-1][:top]
+        return freqs[peaks], spec
+
+    def test_red_frame_fundamental(self):
+        audio, carry, dbg = self.sonify_solid([1.0, 0.05, 0.05])
+        hues = np.asarray(carry.hues)
+        # Red -> hue bin ~0 (tiny g/b offsets keep S>0 without moving hue
+        # more than a bin or two)
+        assert np.all(hues <= 3)
+        f0 = self.expected_f0(int(hues[0]))
+        dom, _ = self.dominant_freqs(audio)
+        # Strongest component within a bin of the fundamental
+        assert np.min(np.abs(dom - f0)) < 2 * CFG.bin_width
+
+    def test_green_frame_higher_f0(self):
+        audio_r, carry_r, _ = self.sonify_solid([1.0, 0.05, 0.05])
+        audio_g, carry_g, _ = self.sonify_solid([0.05, 1.0, 0.05])
+        hue_g = int(np.asarray(carry_g.hues)[0])
+        # Green hue ~ bin 120 -> f0 ~ 220*2^(1) = 440
+        assert 110 <= hue_g <= 130
+        f0_g = self.expected_f0(hue_g)
+        dom, _ = self.dominant_freqs(audio_g)
+        assert np.min(np.abs(dom - f0_g)) < 2 * CFG.bin_width
+
+    def test_hsb_tutorial_source(self):
+        # The tutorial screen's HSB slider path: hue slider at 0.5
+        frames = hsb_frames(0.5, 1.0, 1.0, width=256, height=256,
+                            num_frames=6)
+        audio, carry, _ = run_offline(frames, CFG, instant_params())
+        hues = np.asarray(carry.hues)
+        assert np.all((hues >= 175) & (hues <= 185))  # cyan ~ bin 180
+        assert np.all(np.isfinite(np.asarray(audio)))
+
+    def test_uniform_frame_all_cells_agree(self):
+        _, carry, dbg = self.sonify_solid([0.2, 0.3, 0.9])
+        hues = np.asarray(carry.hues)
+        assert np.all(hues == hues[0])
+        grads = np.asarray(dbg["grads"][-1])
+        np.testing.assert_allclose(grads, 0.0, atol=1e-5)
+
+
+class TestStreamContinuity:
+    def test_no_frame_boundary_clicks(self):
+        # Constant input -> after warmup, adjacent hops must join without
+        # large discontinuities (the OLA + phase-accumulation contract).
+        frames = solid_color_frames([1.0, 0.1, 0.1], width=256, height=256,
+                                    num_frames=12)
+        audio, _, _ = run_offline(frames, CFG, instant_params())
+        a = np.asarray(audio)[4 * 2048:]  # skip warmup
+        # Max sample-to-sample jump across hop boundaries should be of the
+        # same order as within-hop jumps.
+        jumps = np.abs(np.diff(a))
+        boundary_jumps = jumps[2047::2048]
+        assert boundary_jumps.max() <= 10 * np.percentile(jumps, 99.5)
+
+    def test_running_max_converges(self):
+        frames = solid_color_frames([1.0, 0.1, 0.1], width=256, height=256,
+                                    num_frames=10)
+        params = LiveParams(attack=0.5, release=0.1).as_arrays()
+        _, carry, _ = run_offline(frames, CFG, params)
+        assert float(carry.running_max) > 0
+
+
+class TestQuirkModes:
+    def test_clean_vs_quirk_differ(self, rng):
+        frames = rng.uniform(0, 1, (3, 128, 128, 3)).astype(np.float32)
+        a_quirk, _, _ = run_offline(frames, CFG, PARAMS)
+        clean = dataclasses.replace(CFG, quirk_compat=False)
+        a_clean, _, _ = run_offline(frames, clean, PARAMS)
+        # Different phase-buffer read layouts must audibly differ.
+        assert not np.allclose(np.asarray(a_quirk), np.asarray(a_clean),
+                               atol=1e-4)

@@ -1,0 +1,41 @@
+"""Host-side I/O: frame sources and PCM sinks (ref L6 + AVFoundation edges).
+
+Sources mirror the reference's inputs:
+
+* :func:`solid_color_frames` — the synthetic solid-color generator
+  (Utilities/CreateColorBuffer.swift:16-65 + Tutorial/TutorialStart.swift),
+  the reference's embryonic "fake backend" used for known-hue -> known-f0
+  testing.
+* :func:`hsb_frames` — HSB-parameterized variant matching the tutorial
+  screen's sliders.
+* :class:`ArraySource` / :class:`VideoFileSource` — decoded tensors and
+  (ffmpeg-gated) video files standing in for the AVCaptureSession path.
+* :func:`bgra_to_rgb` — the camera pixel-format conversion
+  (kCVPixelFormatType_32BGRA, VisionEngine.swift:62-64).
+
+Sinks:
+
+* :func:`write_wav` — stdlib WAV writer (float32 -> PCM16).
+* The real-time pull sink lives in vaudio.runtime.stream (ring buffer).
+"""
+
+from vaudio.io.sources import (
+    ArraySource,
+    VideoFileSource,
+    bgra_to_rgb,
+    hsb_frames,
+    hsb_to_rgb,
+    solid_color_frames,
+)
+from vaudio.io.sinks import read_wav, write_wav
+
+__all__ = [
+    "ArraySource",
+    "VideoFileSource",
+    "bgra_to_rgb",
+    "hsb_frames",
+    "hsb_to_rgb",
+    "solid_color_frames",
+    "read_wav",
+    "write_wav",
+]

@@ -1,0 +1,147 @@
+"""Frame sources.
+
+A source is any object with ``.frames()`` yielding f32[H, W, 3] RGB arrays
+in [0,1] and a ``.shape`` property — the host-side stand-in for the
+reference's AVCaptureSession + CVPixelBuffer path (VisionEngine.swift:55-75,
+91-128).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+def hsb_to_rgb(h: float, s: float, b: float) -> np.ndarray:
+    """HSB -> RGB, the UIColor(hue:saturation:brightness:) model used by the
+    tutorial's synthetic frames (Tutorial/TutorialStart.swift:109-124)."""
+    h = (h % 1.0) * 6.0
+    i = int(h) % 6
+    f = h - int(h)
+    p = b * (1.0 - s)
+    q = b * (1.0 - s * f)
+    t = b * (1.0 - s * (1.0 - f))
+    rgb = [(b, t, p), (q, b, p), (p, b, t), (p, q, b), (t, p, b),
+           (b, p, q)][i]
+    return np.asarray(rgb, dtype=np.float32)
+
+
+def solid_color_frames(rgb, width: int = 640, height: int = 480,
+                       num_frames: int = 1) -> np.ndarray:
+    """Constant-color frames — createColorBuffer equivalent
+    (Utilities/CreateColorBuffer.swift:16-65, which fills a BGRA
+    CVPixelBuffer with one color; we produce the RGB tensor directly).
+
+    Returns f32[num_frames, height, width, 3].
+    """
+    rgb = np.asarray(rgb, dtype=np.float32).reshape(3)
+    out = np.empty((num_frames, height, width, 3), np.float32)
+    out[...] = rgb
+    return out
+
+
+def hsb_frames(hue: float, saturation: float, brightness: float,
+               width: int = 640, height: int = 480,
+               num_frames: int = 1) -> np.ndarray:
+    """Tutorial-style synthetic frames parameterized in HSB
+    (Tutorial/TutorialStart.swift:46,109-124: 640x480 solid color at the
+    slider-selected hue/saturation/brightness)."""
+    return solid_color_frames(hsb_to_rgb(hue, saturation, brightness),
+                              width, height, num_frames)
+
+
+def bgra_to_rgb(frame_bgra_u8: np.ndarray) -> np.ndarray:
+    """Camera-format conversion: BGRA uint8 -> RGB float32 in [0,1]
+    (the reference forces kCVPixelFormatType_32BGRA,
+    VisionEngine.swift:62-64, and reads .rgb in the kernels)."""
+    f = frame_bgra_u8.astype(np.float32) / 255.0
+    return f[..., [2, 1, 0]]
+
+
+class ArraySource:
+    """Wrap a decoded video tensor f32[T, H, W, 3] (or uint8) as a source."""
+
+    def __init__(self, frames: np.ndarray, fps: float = 30.0):
+        frames = np.asarray(frames)
+        if frames.ndim != 4 or frames.shape[-1] != 3:
+            raise ValueError(f"expected [T,H,W,3], got {frames.shape}")
+        if frames.dtype == np.uint8:
+            frames = frames.astype(np.float32) / 255.0
+        self._frames = frames.astype(np.float32)
+        self.fps = fps
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self._frames.shape[1], self._frames.shape[2]
+
+    @property
+    def num_frames(self) -> int:
+        return self._frames.shape[0]
+
+    def tensor(self) -> np.ndarray:
+        return self._frames
+
+    def frames(self) -> Iterator[np.ndarray]:
+        yield from self._frames
+
+    @classmethod
+    def load(cls, path: str, fps: float = 30.0) -> "ArraySource":
+        """Load frames from .npy/.npz (key 'frames')."""
+        if path.endswith(".npz"):
+            return cls(np.load(path)["frames"], fps)
+        return cls(np.load(path), fps)
+
+
+class VideoFileSource:
+    """Decode a video file via an ffmpeg subprocess into RGB frames.
+
+    Gated on ffmpeg availability (this image has no video codecs baked in);
+    raises a clear error otherwise.  Decodes to rawvideo rgb24 on a pipe —
+    the host-side equivalent of the AVCaptureSession frame feed.
+    """
+
+    def __init__(self, path: str, width: Optional[int] = None,
+                 height: Optional[int] = None, fps: float = 30.0):
+        if shutil.which("ffmpeg") is None:
+            raise RuntimeError(
+                "ffmpeg not found: VideoFileSource requires an ffmpeg "
+                "binary on PATH. Use ArraySource (.npy/.npz tensors) or the "
+                "synthetic generators instead.")
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        self.path = path
+        self.fps = fps
+        if width is None or height is None:
+            width, height = self._probe_dims()
+        self._w, self._h = int(width), int(height)
+
+    def _probe_dims(self) -> Tuple[int, int]:
+        probe = shutil.which("ffprobe")
+        if probe is None:
+            raise RuntimeError("ffprobe not found; pass width/height")
+        out = subprocess.check_output([
+            probe, "-v", "error", "-select_streams", "v:0",
+            "-show_entries", "stream=width,height", "-of", "csv=p=0",
+            self.path]).decode().strip().split(",")
+        return int(out[0]), int(out[1])
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self._h, self._w
+
+    def frames(self) -> Iterator[np.ndarray]:
+        cmd = ["ffmpeg", "-v", "error", "-i", self.path,
+               "-f", "rawvideo", "-pix_fmt", "rgb24",
+               "-r", str(self.fps), "pipe:1"]
+        frame_bytes = self._w * self._h * 3
+        with subprocess.Popen(cmd, stdout=subprocess.PIPE) as proc:
+            while True:
+                buf = proc.stdout.read(frame_bytes)
+                if len(buf) < frame_bytes:
+                    break
+                yield np.frombuffer(buf, np.uint8).reshape(
+                    self._h, self._w, 3).astype(np.float32) / 255.0

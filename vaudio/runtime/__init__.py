@@ -1,0 +1,33 @@
+"""Runtime — the per-frame device step and its execution modes.
+
+The reference's hot path is three GPU command buffers with CPU completion
+handlers in between (SURVEY.md §3.3).  Here the *entire* frame->audio
+pipeline — mip pyramid, HSI features, histogram, hue/gradient reductions,
+phase accumulation, spectral synthesis, inverse FFT, AGC and overlap-add —
+is one jitted XLA program:  ``step(carry, frame, params) -> (carry, out)``.
+
+Execution modes:
+
+* :func:`make_step` — compile the single-frame step (streaming building
+  block, also the `__graft_entry__` surface).
+* :func:`run_offline` — ``lax.scan`` over a decoded video tensor, the
+  whole-clip batch path.
+* :class:`vaudio.runtime.stream.StreamingAuralizer` — the live host loop
+  with the reference's ring-buffer/warm-up/drop semantics.
+"""
+
+from vaudio.runtime.step import (
+    StepCarry,
+    frame_step,
+    init_carry,
+    make_step,
+    run_offline,
+)
+
+__all__ = [
+    "StepCarry",
+    "frame_step",
+    "init_carry",
+    "make_step",
+    "run_offline",
+]

@@ -1,0 +1,160 @@
+"""The single fused frame->audio device step and the offline scan runner.
+
+Reference behavior being re-expressed (SURVEY.md §3.3): one camera frame
+enters, one 2048-sample audio hop leaves, and five pieces of recurrent DSP
+state are carried between frames — the 16 smoothed hues, the 16x32 phase
+accumulators, the previous complex spectrum, the overlap-add tail and the
+AGC running max (SoundEngine.swift:63-103,137).  The reference threads this
+state through GPU completion handlers and locks; here it is an explicit
+functional carry, so the whole pipeline jits into one XLA program and scans
+over frames with zero host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vaudio.config import AuralizerConfig, LiveParams
+from vaudio.dsp import agc_normalize, hann_window_norm, irfft_from_half, \
+    overlap_add
+from vaudio.synth import SynthConstants, build_spectrum, phase_accumulate
+from vaudio.vision import extract_features
+
+
+class StepCarry(NamedTuple):
+    """The recurrent DSP state (one audio stream)."""
+
+    hues: jax.Array          # i32[16]   — EMA-smoothed dominant hues
+    phases: jax.Array        # f32[16,32] — partial phase accumulators
+    prev_spectrum: jax.Array  # f32[F,2]  — last frame's complex spectrum
+    ola_tail: jax.Array      # f32[nfft] — previous windowed frame
+    running_max: jax.Array   # f32[]     — AGC envelope
+
+
+def init_carry(cfg: AuralizerConfig) -> StepCarry:
+    """Initial state, matching the reference's cold start: hues all 0
+    (VisionEngine.swift:33), phases/spectrum/tail zero, running max 1.0
+    (SoundEngine.swift:73)."""
+    return StepCarry(
+        hues=jnp.zeros((cfg.num_cells,), jnp.int32),
+        phases=jnp.zeros((cfg.num_cells, cfg.phase_stride), jnp.float32),
+        prev_spectrum=jnp.zeros((cfg.num_bins, 2), jnp.float32),
+        ola_tail=jnp.zeros((cfg.nfft,), jnp.float32),
+        running_max=jnp.float32(1.0),
+    )
+
+
+def default_params(cfg: AuralizerConfig) -> Dict[str, np.float32]:
+    return LiveParams().as_arrays()
+
+
+def frame_step(carry: StepCarry, frame, params: Dict[str, Any],
+               cfg: AuralizerConfig, consts: SynthConstants, window,
+               debug: bool = False) -> Tuple[StepCarry, Dict[str, Any]]:
+    """One video frame in, one audio hop out.  Pure; jit/scan/vmap-safe.
+
+    Pipeline (all device-resident):
+      1. vision: mip pyramid -> HSI -> histogram/argmax/EMA + grad stats
+         (VisionEngine.swift:184-316)
+      2. phase accumulation (SoundEngine.swift:257-286)
+      3. spectrum synthesis + temporal smoothing
+         (SpectrumCompute.metal:82-214)
+      4. irfft -> AGC -> overlap-add (SoundEngine.swift:403-428)
+
+    Args:
+      frame: f32[H, W, 3] RGB in [0,1].
+      params: dict of f32 scalars (LiveParams.as_arrays()).
+    Returns:
+      (new_carry, out) with out["pcm"]: f32[hop] audio samples; when
+      ``debug`` also hues/grads/spectrum (the reference's published
+      debug state: cellMaxHues, cellAvgGrads, previousSpectrum).
+    """
+    mixing = jnp.asarray(params["spectrum_mixing"], jnp.float32)
+
+    # 1. Vision
+    hues, grads, _vdbg = extract_features(frame, carry.hues, mixing, cfg)
+
+    # 2. Phase accumulation (uses the *new* hues, as the delegate hands the
+    #    updated values straight to renderAudioFrame).
+    phases = phase_accumulate(carry.phases, hues, cfg, consts)
+
+    # 3. Spectrum
+    spectrum = build_spectrum(hues, grads, phases, carry.prev_spectrum,
+                              mixing, cfg, consts)
+
+    # 4. Audio frame
+    signal = irfft_from_half(spectrum[:, 0], spectrum[:, 1])
+    normalized, running_max = agc_normalize(
+        signal, carry.running_max,
+        jnp.asarray(params["attack"], jnp.float32),
+        jnp.asarray(params["release"], jnp.float32))
+    pcm, ola_tail = overlap_add(normalized, carry.ola_tail, window)
+
+    new_carry = StepCarry(hues=hues, phases=phases, prev_spectrum=spectrum,
+                          ola_tail=ola_tail, running_max=running_max)
+    out: Dict[str, Any] = {"pcm": pcm}
+    if debug:
+        out.update(hues=hues, grads=grads, spectrum=spectrum)
+    return new_carry, out
+
+
+def make_step(cfg: AuralizerConfig, debug: bool = False,
+              jit: bool = True):
+    """Build the (optionally jitted) single-frame step closure.
+
+    Returns ``step(carry, frame, params) -> (carry, out)`` with all config
+    constants baked.  The carry is donated under jit so state updates reuse
+    device buffers (no per-frame reallocation).
+    """
+    consts = SynthConstants.create(cfg)
+    window = jnp.asarray(hann_window_norm(cfg.nfft))
+
+    def step(carry, frame, params):
+        return frame_step(carry, frame, params, cfg, consts, window,
+                          debug=debug)
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def run_offline(frames, cfg: AuralizerConfig,
+                params: Dict[str, Any] | None = None,
+                carry: StepCarry | None = None, debug: bool = False):
+    """Sonify a whole decoded clip with one ``lax.scan``.
+
+    The offline analogue of the 30 Hz streaming loop: every frame emits a
+    full ``hop_size`` of samples (the real-time sink's drop-on-full
+    behavior is a property of the *sink*, not the synthesis — see
+    vaudio.runtime.stream for the live-contract version).
+
+    Args:
+      frames: f32[T, H, W, 3] RGB video tensor in [0,1].
+    Returns:
+      (audio f32[T*hop], final_carry, debug_dict) — debug_dict has stacked
+      per-frame hues/grads/spectra when ``debug``.
+    """
+    if params is None:
+        params = default_params(cfg)
+    if carry is None:
+        carry = init_carry(cfg)
+    consts = SynthConstants.create(cfg)
+    window = jnp.asarray(hann_window_norm(cfg.nfft))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scan_fn(carry, frames, params):
+        def body(c, frame):
+            return frame_step(c, frame, params, cfg, consts, window,
+                              debug=debug)
+        return jax.lax.scan(body, carry, frames)
+
+    final_carry, outs = scan_fn(carry, jnp.asarray(frames), params)
+    audio = outs["pcm"].reshape(-1)
+    dbg = {k: v for k, v in outs.items() if k != "pcm"}
+    return audio, final_carry, dbg

@@ -1,0 +1,211 @@
+"""Streaming runtime: the live host loop around the jitted frame step.
+
+Re-expresses the reference's concurrency structure (SURVEY.md §1: capture
+queue -> GPU completions -> audio render thread) as one producer thread
+feeding a ring buffer that a consumer pulls from:
+
+* producer  = frame source -> jitted device step -> ring write
+  (the VisionEngine.captureOutput -> renderAudioFrame chain);
+* consumer  = :meth:`StreamingAuralizer.pull` — the AVAudioSourceNode
+  callback equivalent (zero-fill/warm-up semantics live in the ring
+  buffer, vaudio.runtime.ringbuffer);
+* the frame->audio latency probe matches the reference's
+  (SoundEngine.swift:430-434: wall clock from frame capture to ring write).
+
+Device-step pipelining: JAX dispatch is asynchronous, so the loop dispatches
+frame k+1 before blocking on frame k's PCM — the host->device copy and
+compute of the next frame overlap the readback of the current one (the
+TPU-native version of the reference's triple command-buffer overlap).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Callable, Dict, Iterable, Iterator, Optional
+
+import numpy as np
+
+import jax
+
+from vaudio.config import AuralizerConfig, LiveParams
+from vaudio.runtime.ringbuffer import make_ring_buffer
+from vaudio.runtime.step import StepCarry, init_carry, make_step
+
+
+class StreamMetrics:
+    """Rolling metrics — the observable equivalent of the reference's
+    ``processingLatency`` probe and ``availableFrames`` print
+    (SoundEngine.swift:430-445)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._latencies_ms: list[float] = []
+        self.frames_processed = 0
+        self.start_time: Optional[float] = None
+        self.end_time: Optional[float] = None
+
+    def record(self, latency_ms: float):
+        with self._lock:
+            self.frames_processed += 1
+            self._latencies_ms.append(latency_ms)
+            if len(self._latencies_ms) > 1024:
+                del self._latencies_ms[:512]
+
+    @property
+    def processing_latency_ms(self) -> float:
+        """Most recent frame->ring-buffer latency."""
+        with self._lock:
+            return self._latencies_ms[-1] if self._latencies_ms else 0.0
+
+    def latency_percentile(self, q: float) -> float:
+        with self._lock:
+            if not self._latencies_ms:
+                return 0.0
+            return float(np.percentile(self._latencies_ms, q))
+
+    @property
+    def achieved_fps(self) -> float:
+        with self._lock:
+            if self.start_time is None or self.frames_processed == 0:
+                return 0.0
+            end = self.end_time or time.monotonic()
+            dt = end - self.start_time
+            return self.frames_processed / dt if dt > 0 else 0.0
+
+
+class StreamingAuralizer:
+    """Live video -> audio streaming engine.
+
+    Args:
+      cfg: static configuration.
+      params: live parameter object; may be mutated between frames from any
+        thread (the ``@Published`` equivalent — values are re-read every
+        frame without recompilation).
+      realtime: pace the producer at cfg.video_fps (True) or run as fast as
+        the device allows (False — benchmark/throughput mode).
+      prefer_native: use the C++ ring buffer when buildable.
+    """
+
+    def __init__(self, cfg: AuralizerConfig = AuralizerConfig(),
+                 params: Optional[LiveParams] = None,
+                 realtime: bool = False,
+                 prefer_native: bool = True,
+                 debug: bool = False):
+        self.cfg = cfg
+        self.params = params if params is not None else LiveParams()
+        self.realtime = realtime
+        self.debug = debug
+        self._step = make_step(cfg, debug=debug)
+        self._carry: StepCarry = init_carry(cfg)
+        self.ring = make_ring_buffer(cfg.ring_buffer_frames, cfg.hop_size,
+                                     cfg.warmup_frames,
+                                     prefer_native=prefer_native)
+        self.metrics = StreamMetrics()
+        self._thread: Optional[threading.Thread] = None
+        self._stop_event = threading.Event()
+        self._running = False
+        # Last debug snapshot (hues/grads/spectrum) — the ConvolutionDebugView
+        # data feed equivalent.
+        self.debug_state: Dict[str, np.ndarray] = {}
+
+    # -- lifecycle (VideoToAudio.toggleProcessing equivalents) -------------
+
+    @property
+    def is_running(self) -> bool:
+        return self._running
+
+    def start(self, source: Iterable[np.ndarray]) -> None:
+        """Start processing frames from ``source`` on a producer thread."""
+        if self._running:
+            return
+        self._stop_event.clear()
+        self._running = True
+        self.metrics.start_time = time.monotonic()
+        self._thread = threading.Thread(
+            target=self._producer_loop, args=(iter(source),), daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        """Stop processing and clear buffered audio (SoundEngine.stop():
+        buffers reset, but DSP carries — phases, previous spectrum — are
+        retained, matching SoundEngine.swift:459-474)."""
+        self._stop_event.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10.0)
+            self._thread = None
+        self._running = False
+        self.metrics.end_time = time.monotonic()
+        self.ring.reset()
+        # Reference quirk kept: the OLA tail *is* cleared on stop
+        # (SoundEngine.swift:470) while phases/previousSpectrum are not.
+        self._carry = self._carry._replace(
+            ola_tail=jax.numpy.zeros_like(self._carry.ola_tail))
+
+    def toggle(self, source: Optional[Iterable[np.ndarray]] = None) -> None:
+        if self._running:
+            self.stop()
+        elif source is not None:
+            self.start(source)
+
+    def run_until_exhausted(self, source: Iterable[np.ndarray],
+                            timeout: float = 60.0) -> None:
+        """Synchronously process an entire finite source."""
+        self.start(source)
+        t0 = time.monotonic()
+        while self._thread is not None and self._thread.is_alive():
+            if time.monotonic() - t0 > timeout:
+                break
+            time.sleep(0.001)
+        self._running = False
+        self.metrics.end_time = time.monotonic()
+
+    # -- audio consumer (AVAudioSourceNode pull equivalent) ----------------
+
+    def pull(self, n: int) -> np.ndarray:
+        """Pull ``n`` PCM samples (zero-filled per the real-time contract)."""
+        return self.ring.pull(n)
+
+    def audio_stream(self, quantum: int = 512) -> Iterator[np.ndarray]:
+        """Iterator of audio quanta while the stream runs — mirrors the
+        ~86 Hz 512-sample CoreAudio pull cadence (SURVEY.md §3.4)."""
+        while self._running or self.ring.available > 0:
+            yield self.pull(quantum)
+
+    # -- producer ----------------------------------------------------------
+
+    def _producer_loop(self, frames: Iterator[np.ndarray]) -> None:
+        frame_period = 1.0 / self.cfg.video_fps
+        params_arrays = self.params.as_arrays()
+        pending = None        # (dispatch_outputs, capture_time)
+        next_deadline = time.monotonic()
+
+        def flush(pending):
+            carry_out, out, t_capture = pending
+            pcm = np.asarray(out["pcm"])      # blocks until ready
+            self.ring.write(pcm)
+            self.metrics.record((time.monotonic() - t_capture) * 1000.0)
+            if self.debug:
+                self.debug_state = {
+                    k: np.asarray(v) for k, v in out.items() if k != "pcm"}
+
+        for frame in frames:
+            if self._stop_event.is_set():
+                break
+            if self.realtime:
+                now = time.monotonic()
+                if now < next_deadline:
+                    time.sleep(next_deadline - now)
+                next_deadline = max(next_deadline + frame_period,
+                                    time.monotonic())
+            t_capture = time.monotonic()
+            params_arrays = self.params.as_arrays()
+            frame_dev = jax.device_put(np.asarray(frame, np.float32))
+            self._carry, out = self._step(self._carry, frame_dev,
+                                          params_arrays)
+            if pending is not None:
+                flush(pending)
+            pending = (self._carry, out, t_capture)
+        if pending is not None and not self._stop_event.is_set():
+            flush(pending)
+        self._running = False

@@ -20,9 +20,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 # The container's sitecustomize may already have imported jax and registered
-# a TPU plugin before this conftest runs, in which case the env var above is
-# ignored — force the platform through the config system as well.
+# a TPU plugin before this conftest runs, in which case env vars set above
+# are ignored — force platform and virtual device count through the config
+# system (both take effect as long as no backend has been initialized yet).
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+if os.environ["JAX_PLATFORMS"] == "cpu":
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,155 @@
+"""Public API — the equivalent of the reference's orchestrator + published
+surface (video-auralizer/VideoToAudio.swift:9-127 and the ``@Published``
+state of both engines).
+
+Mapping to the Swift surface:
+
+=====================================  ====================================
+reference                              vaudio
+=====================================  ====================================
+``VideoToAudio(source:)``              :class:`Auralizer` (init)
+``toggleProcessing()``                 :meth:`Auralizer.toggle`
+``visionEngine`` / ``soundEngine``     fused into one device step
+AVAudioSourceNode pull callback        :meth:`Auralizer.pull` /
+                                       :meth:`Auralizer.audio_stream`
+``@Published`` params (attack, ...)    :attr:`Auralizer.params` (live)
+``processingLatency``                  :attr:`Auralizer.metrics`
+ConvolutionDebugView data feeds        :attr:`Auralizer.debug`
+TutorialView synthetic input           :func:`vaudio.io.hsb_frames`
+=====================================  ====================================
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, Iterator, Optional, Union
+
+import numpy as np
+
+from vaudio.config import AuralizerConfig, LiveParams
+from vaudio.io import ArraySource, write_wav
+from vaudio.runtime import run_offline
+from vaudio.runtime.stream import StreamingAuralizer
+
+SourceLike = Union[ArraySource, np.ndarray, Iterable[np.ndarray], None]
+
+
+class Auralizer:
+    """Video -> audio sonification engine (the framework's front door).
+
+    Offline::
+
+        aur = Auralizer()
+        audio = aur.sonify(frames)           # f32[T*hop] PCM
+        aur.sonify_to_wav(frames, "out.wav")
+
+    Streaming::
+
+        aur = Auralizer(source=my_frames, realtime=True)
+        aur.start()
+        pcm = aur.pull(512)                  # audio-callback style
+        aur.stop()
+    """
+
+    def __init__(self, source: SourceLike = None,
+                 config: AuralizerConfig = AuralizerConfig(),
+                 params: Optional[LiveParams] = None,
+                 realtime: bool = False,
+                 debug: bool = True,
+                 prefer_native: bool = True):
+        self.config = config
+        self.params = params if params is not None else LiveParams()
+        self._source = source
+        self._stream = StreamingAuralizer(
+            config, params=self.params, realtime=realtime,
+            prefer_native=prefer_native, debug=debug)
+
+    # ------------------------------------------------------------------
+    # Offline
+    # ------------------------------------------------------------------
+
+    def sonify(self, frames: Union[np.ndarray, ArraySource],
+               debug: bool = False):
+        """Sonify a whole decoded clip (lax.scan path).  Returns PCM
+        f32[T*hop]; with ``debug`` returns (pcm, debug_dict)."""
+        if isinstance(frames, ArraySource):
+            frames = frames.tensor()
+        audio, _carry, dbg = run_offline(np.asarray(frames), self.config,
+                                         self.params.as_arrays(),
+                                         debug=debug)
+        audio = np.asarray(audio)
+        return (audio, {k: np.asarray(v) for k, v in dbg.items()}) \
+            if debug else audio
+
+    def sonify_to_wav(self, frames, path: str) -> np.ndarray:
+        audio = self.sonify(frames)
+        write_wav(path, audio, self.config.sample_rate)
+        return audio
+
+    # ------------------------------------------------------------------
+    # Streaming (toggleProcessing equivalents)
+    # ------------------------------------------------------------------
+
+    def _frame_iter(self, source: SourceLike) -> Iterable[np.ndarray]:
+        if source is None:
+            raise ValueError("no frame source provided")
+        if isinstance(source, ArraySource):
+            return source.frames()
+        if isinstance(source, np.ndarray):
+            return ArraySource(source).frames()
+        return source
+
+    def start(self, source: SourceLike = None) -> None:
+        self._stream.start(self._frame_iter(source or self._source))
+
+    def stop(self) -> None:
+        self._stream.stop()
+
+    def toggle(self, source: SourceLike = None) -> None:
+        if self.is_running:
+            self.stop()
+        else:
+            self.start(source)
+
+    def run_until_exhausted(self, source: SourceLike = None,
+                            timeout: float = 120.0) -> None:
+        self._stream.run_until_exhausted(
+            self._frame_iter(source or self._source), timeout=timeout)
+
+    @property
+    def is_running(self) -> bool:
+        return self._stream.is_running
+
+    def pull(self, n: int) -> np.ndarray:
+        """Pull PCM — the AVAudioSourceNode render-callback equivalent."""
+        return self._stream.pull(n)
+
+    def audio_stream(self, quantum: int = 512) -> Iterator[np.ndarray]:
+        return self._stream.audio_stream(quantum)
+
+    # ------------------------------------------------------------------
+    # Observability
+    # ------------------------------------------------------------------
+
+    @property
+    def metrics(self) -> Dict[str, Any]:
+        """Latency / throughput / buffer metrics (the processingLatency +
+        availableFrames surface, SoundEngine.swift:430-445,477-484)."""
+        m = self._stream.metrics
+        ring = self._stream.ring
+        return {
+            "processing_latency_ms": m.processing_latency_ms,
+            "latency_p50_ms": m.latency_percentile(50),
+            "latency_p99_ms": m.latency_percentile(99),
+            "achieved_fps": m.achieved_fps,
+            "frames_processed": m.frames_processed,
+            "buffer_fill": ring.available,
+            "dropped_frames": getattr(ring, "dropped_frames", 0),
+            "underrun_samples": getattr(ring, "underrun_samples", 0),
+        }
+
+    @property
+    def debug(self) -> Dict[str, np.ndarray]:
+        """Latest per-frame debug state: hues (cellMaxHues), grads
+        (cellAvgGrads), spectrum (previousSpectrum) — the data feeds behind
+        the reference's ConvolutionDebugView / SpectrumView."""
+        return dict(self._stream.debug_state)

@@ -1,0 +1,134 @@
+"""Command-line interface.
+
+Usage examples::
+
+    python -m vaudio sonify clip.npy -o out.wav
+    python -m vaudio synthetic --hue 0.33 --frames 90 -o green.wav
+    python -m vaudio info
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+
+def _add_config_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--sample-rate", type=float, default=44100.0)
+    p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--mip-level", type=int, default=3)
+    p.add_argument("--no-quirks", action="store_true",
+                   help="use the clean phase layout instead of "
+                        "reference-compatible quirk mode")
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused Pallas synthesis kernel")
+    p.add_argument("--spectrum-mixing", type=float, default=0.9)
+    p.add_argument("--attack", type=float, default=1.0)
+    p.add_argument("--release", type=float, default=1.0)
+
+
+def _build_config(args):
+    from vaudio.config import AuralizerConfig, LiveParams
+    cfg = AuralizerConfig(sample_rate=args.sample_rate, video_fps=args.fps,
+                          mip_level=args.mip_level,
+                          quirk_compat=not args.no_quirks,
+                          use_pallas=args.pallas)
+    params = LiveParams(attack=args.attack, release=args.release,
+                        spectrum_mixing=args.spectrum_mixing)
+    return cfg, params
+
+
+def cmd_sonify(args) -> int:
+    from vaudio.api import Auralizer
+    from vaudio.io import ArraySource, VideoFileSource
+    cfg, params = _build_config(args)
+    if args.input.endswith((".npy", ".npz")):
+        src = ArraySource.load(args.input, fps=args.fps)
+        frames = src.tensor()
+    else:
+        vf = VideoFileSource(args.input, fps=args.fps)
+        frames = np.stack(list(vf.frames()))
+    aur = Auralizer(config=cfg, params=params)
+    audio = aur.sonify_to_wav(frames, args.output)
+    dur = len(audio) / cfg.sample_rate
+    print(f"wrote {args.output}: {dur:.2f}s at {cfg.sample_rate:.0f} Hz "
+          f"from {len(frames)} frames")
+    return 0
+
+
+def cmd_synthetic(args) -> int:
+    from vaudio.api import Auralizer
+    from vaudio.io import hsb_frames
+    cfg, params = _build_config(args)
+    frames = hsb_frames(args.hue, args.saturation, args.brightness,
+                        width=args.width, height=args.height,
+                        num_frames=args.frames)
+    aur = Auralizer(config=cfg, params=params)
+    audio = aur.sonify_to_wav(frames, args.output)
+    print(f"wrote {args.output}: {len(audio) / cfg.sample_rate:.2f}s "
+          f"(hue={args.hue})")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+    from vaudio.config import AuralizerConfig
+    cfg = AuralizerConfig()
+    info = {
+        "version": __import__("vaudio").__version__,
+        "jax_backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "config_defaults": {f.name: getattr(cfg, f.name)
+                            for f in dataclasses.fields(cfg)},
+        "derived": {"num_bins": cfg.num_bins, "hop_size": cfg.hop_size,
+                    "bin_width": cfg.bin_width},
+    }
+    print(json.dumps(info, indent=2, default=str))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+    return subprocess.call([sys.executable, "bench.py"])
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="vaudio",
+                                 description="TPU-native video sonifier")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("sonify", help="sonify a video tensor/file to WAV")
+    p.add_argument("input", help=".npy/.npz frame tensor or video file")
+    p.add_argument("-o", "--output", default="out.wav")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_sonify)
+
+    p = sub.add_parser("synthetic",
+                       help="sonify synthetic solid-color frames "
+                            "(tutorial-screen equivalent)")
+    p.add_argument("--hue", type=float, default=0.0)
+    p.add_argument("--saturation", type=float, default=1.0)
+    p.add_argument("--brightness", type=float, default=1.0)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--frames", type=int, default=90)
+    p.add_argument("-o", "--output", default="synthetic.wav")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_synthetic)
+
+    p = sub.add_parser("info", help="print environment + config info")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("bench", help="run the benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,34 @@
+"""Multi-stream / multi-chip parallelism.
+
+The reference is single-process/single-GPU; its only scale axis is
+"more concurrent streams" (SURVEY.md §5, BASELINE config 5: 8x concurrent
+1080p streams on a v5e-8 mesh).  This module provides the SPMD layers:
+
+* :func:`make_batched_step` — ``vmap`` across streams within one chip;
+* :func:`make_parallel_step` — ``shard_map`` over a 2-D
+  ``('stream', 'cell')`` mesh: data parallelism across streams riding ICI,
+  plus tensor parallelism inside the synthesis (the 16 synthesis cells are
+  sharded over ``'cell'`` and their spectra combined with a ``psum``);
+* :func:`run_offline_parallel` — scan the sharded step over a batched clip.
+
+No cross-stream communication exists in the workload, so the ``'stream'``
+axis needs no collectives — exactly the embarrassingly-parallel layout the
+survey prescribes; the ``'cell'`` axis demonstrates the model-parallel
+decomposition of the synthesis contraction.
+"""
+
+from vaudio.parallel.sharding import (
+    init_carry_batch,
+    make_batched_step,
+    make_parallel_step,
+    make_stream_mesh,
+    run_offline_parallel,
+)
+
+__all__ = [
+    "init_carry_batch",
+    "make_batched_step",
+    "make_parallel_step",
+    "make_stream_mesh",
+    "run_offline_parallel",
+]

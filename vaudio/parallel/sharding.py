@@ -1,0 +1,203 @@
+"""SPMD execution of the auralizer over device meshes.
+
+Design (the scaling-book recipe): pick a mesh, annotate shardings, let XLA
+insert collectives.
+
+* ``'stream'`` axis — pure data parallelism.  Streams never communicate
+  (SURVEY.md §5: the pipeline is embarrassingly parallel per stream), so
+  the only traffic on this axis is the initial shard placement.
+* ``'cell'`` axis — tensor parallelism inside the synthesis: each device
+  computes the spectrum contribution of ``16/n`` synthesis cells and the
+  full spectrum is reduced with a ``psum`` riding ICI.  The vision pass and
+  post-psum DSP are replicated on this axis (they are ~1% of the FLOPs).
+
+Note the quirk-compat phase layout makes per-cell phase reads *non-local*
+(stride-22 reads cross the stride-32 cell boundaries —
+SpectrumCompute.metal:135 vs SoundEngine.swift:269), so the 512-float phase
+accumulator is replicated on the 'cell' axis and only the gather indices
+are sharded.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vaudio.config import AuralizerConfig
+from vaudio.dsp import agc_normalize, hann_sinc_peak, hann_window_norm, \
+    irfft_from_half, overlap_add
+from vaudio.runtime.step import StepCarry, frame_step, init_carry
+from vaudio.synth import SynthConstants, partial_weights, phase_accumulate
+from vaudio.synth.spectrum import build_spectrum
+from vaudio.vision import extract_features
+
+
+def make_stream_mesh(n_stream: Optional[int] = None,
+                     n_cell: int = 1,
+                     devices=None) -> Mesh:
+    """Build a ('stream', 'cell') mesh over the available devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_stream is None:
+        n_stream = devices.size // n_cell
+    devices = devices.reshape(n_stream, n_cell)
+    return Mesh(devices, ("stream", "cell"))
+
+
+def init_carry_batch(cfg: AuralizerConfig, n_streams: int) -> StepCarry:
+    """Batched carry: every leaf gains a leading stream axis."""
+    one = init_carry(cfg)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape), one)
+
+
+def make_batched_step(cfg: AuralizerConfig, debug: bool = False,
+                      jit: bool = True):
+    """vmap-across-streams step: (carry[S,...], frames[S,H,W,3], params) ->
+    (carry, out).  The single-chip batch path (BASELINE config 5 building
+    block)."""
+    consts = SynthConstants.create(cfg)
+    window = jnp.asarray(hann_window_norm(cfg.nfft))
+
+    def one(carry, frame, params):
+        return frame_step(carry, frame, params, cfg, consts, window,
+                          debug=debug)
+
+    step = jax.vmap(one, in_axes=(0, 0, None))
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel synthesis step
+# ---------------------------------------------------------------------------
+
+def _tp_frame_step(carry: StepCarry, frame, params, cfg: AuralizerConfig,
+                   consts: SynthConstants, window, n_cell_shards: int,
+                   debug: bool):
+    """Single-stream frame step with the synthesis contraction sharded over
+    the 'cell' mesh axis.  Runs inside shard_map."""
+    mixing = jnp.asarray(params["spectrum_mixing"], jnp.float32)
+
+    # Vision + phase accumulation: replicated over 'cell'.
+    hues, grads, _ = extract_features(frame, carry.hues, mixing, cfg)
+    phases = phase_accumulate(carry.phases, hues, cfg, consts)
+
+    local_cells = cfg.num_cells // n_cell_shards
+    ci = jax.lax.axis_index("cell")
+    start = ci * local_cells
+
+    pfreq, w_re, w_im, inv_bw = partial_weights(
+        hues, grads, phases, cfg, consts,
+        cell_slice=(start, local_cells))
+    nc, npart = pfreq.shape
+    flat_pf = pfreq.reshape(nc * npart)
+    flat_w = jnp.stack([w_re.reshape(-1), w_im.reshape(-1)], axis=1)
+    flat_ibw = jnp.broadcast_to(inv_bw[:, None], (nc, npart)).reshape(-1)
+
+    freqs = jnp.asarray(consts.freqs)
+    hann_mult = np.float32(1.0 / cfg.bin_width)
+    d = (freqs[:, None] - flat_pf[None, :]) * (hann_mult * flat_ibw)
+    W = hann_sinc_peak(d)
+    local = jax.lax.dot_general(
+        W, flat_w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (F, 2) partial
+
+    cur = jax.lax.psum(local, "cell")                     # THE collective
+
+    c = jnp.asarray(consts.static_cos)
+    s = jnp.asarray(consts.static_sin)
+    rot = jnp.stack([cur[:, 0] * c - cur[:, 1] * s,
+                     cur[:, 0] * s + cur[:, 1] * c], axis=1)
+    spectrum = (carry.prev_spectrum * mixing
+                + rot * (1.0 - mixing)).astype(jnp.float32)
+
+    signal = irfft_from_half(spectrum[:, 0], spectrum[:, 1])
+    normalized, running_max = agc_normalize(
+        signal, carry.running_max,
+        jnp.asarray(params["attack"], jnp.float32),
+        jnp.asarray(params["release"], jnp.float32))
+    pcm, ola_tail = overlap_add(normalized, carry.ola_tail, window)
+
+    new_carry = StepCarry(hues=hues, phases=phases, prev_spectrum=spectrum,
+                          ola_tail=ola_tail, running_max=running_max)
+    out = {"pcm": pcm}
+    if debug:
+        out.update(hues=hues, grads=grads, spectrum=spectrum)
+    return new_carry, out
+
+
+def make_parallel_step(cfg: AuralizerConfig, mesh: Mesh,
+                       debug: bool = False, jit: bool = True):
+    """Mesh-sharded multi-stream step.
+
+    Layout: carries/frames sharded over 'stream', replicated over 'cell';
+    synthesis cells sharded over 'cell' with a psum reduction.
+
+    Returns ``step(carry[S,...], frames[S,H,W,3], params)``; S must be a
+    multiple of mesh.shape['stream'].
+    """
+    n_cell = mesh.shape["cell"]
+    if cfg.num_cells % n_cell:
+        raise ValueError(
+            f"num_cells {cfg.num_cells} not divisible by cell-axis size "
+            f"{n_cell}")
+    consts = SynthConstants.create(cfg)
+    window = jnp.asarray(hann_window_norm(cfg.nfft))
+
+    def one(carry, frame, params):
+        return _tp_frame_step(carry, frame, params, cfg, consts, window,
+                              n_cell, debug)
+
+    vstep = jax.vmap(one, in_axes=(0, 0, None))
+
+    sharded = jax.shard_map(
+        vstep, mesh=mesh,
+        in_specs=(P("stream"), P("stream"), P()),
+        out_specs=(P("stream"), P("stream")),
+        check_vma=False,
+    )
+    if jit:
+        sharded = jax.jit(sharded, donate_argnums=(0,))
+    return sharded
+
+
+def run_offline_parallel(frames, cfg: AuralizerConfig, mesh: Mesh,
+                         params=None, debug: bool = False):
+    """Sonify a batch of clips over the mesh.
+
+    Args:
+      frames: f32[S, T, H, W, 3] — S streams of T frames.
+    Returns:
+      (audio f32[S, T*hop], final carry)
+    """
+    from vaudio.runtime.step import default_params
+    if params is None:
+        params = default_params(cfg)
+    frames = jnp.asarray(frames)
+    n_streams = frames.shape[0]
+    carry = init_carry_batch(cfg, n_streams)
+    step = make_parallel_step(cfg, mesh, debug=debug, jit=False)
+
+    stream_sharding = NamedSharding(mesh, P("stream"))
+    frames = jax.device_put(
+        frames, NamedSharding(mesh, P("stream", None, None, None, None)))
+    carry = jax.device_put(
+        carry, jax.tree.map(lambda _: stream_sharding, carry))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scan_fn(carry, frames, params):
+        def body(c, fr):   # fr: (S, H, W, 3)
+            return step(c, fr, params)
+        return jax.lax.scan(body, carry, jnp.swapaxes(frames, 0, 1))
+
+    final, outs = scan_fn(carry, frames, params)
+    pcm = outs["pcm"]                       # (T, S, hop)
+    audio = jnp.swapaxes(pcm, 0, 1).reshape(n_streams, -1)
+    return audio, final

@@ -148,15 +148,30 @@ def phase_accumulate(phases, hues, cfg: AuralizerConfig,
 # ---------------------------------------------------------------------------
 
 def partial_weights(hues, grads, phases, cfg: AuralizerConfig,
-                    consts: SynthConstants):
+                    consts: SynthConstants, cell_slice=None):
     """Stage 1: per-partial frequencies and complex weights.
 
-    Returns (pfreq f32[16,P], w_re f32[16,P], w_im f32[16,P],
-    inv_bw f32[16]) where P = 13+18 partials and the weights already include
-    gain, per-cell normalization, frequency compensation and validity.
+    Returns (pfreq f32[C,P], w_re f32[C,P], w_im f32[C,P], inv_bw f32[C])
+    where P = 13+18 partials and the weights already include gain, per-cell
+    normalization, frequency compensation and validity.
+
+    ``cell_slice=(start, count)`` restricts the computation to ``count``
+    cells beginning at (possibly traced) ``start`` — the tensor-parallel
+    path, where each device of the 'cell' mesh axis owns a cell range.  The
+    full ``phases`` buffer is still required: quirk-compat reads are
+    non-local across cells (stride-22 vs stride-32 layout).
     """
     nh = cfg.num_harmonics
     freqs = jnp.asarray(consts.freqs)
+
+    seed_phase = jnp.asarray(consts.seed_phase)
+    read_idx = jnp.asarray(consts.read_idx)
+    if cell_slice is not None:
+        start, count = cell_slice
+        hues = jax.lax.dynamic_slice_in_dim(hues, start, count)
+        grads = jax.lax.dynamic_slice_in_dim(grads, start, count)
+        seed_phase = jax.lax.dynamic_slice_in_dim(seed_phase, start, count)
+        read_idx = jax.lax.dynamic_slice_in_dim(read_idx, start, count)
 
     hues_f = hues.astype(jnp.float32)
     valid = (hues >= 0) & (hues <= 360)                      # metal :102-103
@@ -201,8 +216,8 @@ def partial_weights(hues, grads, phases, cfg: AuralizerConfig,
     gain = jnp.concatenate([base[:, :nh] * tilt, base[:, nh:]], axis=1)
 
     # Phases: baked hash seed + accumulated velocity (with read quirk).
-    vel = phases.reshape(-1)[jnp.asarray(consts.read_idx)]   # (16, P)
-    phase = jnp.asarray(consts.seed_phase) + vel
+    vel = phases.reshape(-1)[read_idx]                       # (C, P)
+    phase = seed_phase + vel
 
     # Per-cell normalization (metal :192-195) and validity gating.
     comp = jnp.sqrt(f0 / np.float32(cfg.f0_base))

@@ -1,0 +1,80 @@
+"""Pallas-kernel equivalence tests (interpret mode on CPU, per SURVEY §4)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vaudio.config import AuralizerConfig, LiveParams
+from vaudio.dsp import hann_sinc_peak
+from vaudio.ops import hann_peak_weighted_sum
+from vaudio.ops.spectrum_kernel import _hann_peak_from_d
+from vaudio.synth import SynthConstants, build_spectrum
+
+
+CFG = AuralizerConfig()
+
+
+class TestFastPeakFormula:
+    def test_matches_three_sinc_form(self, rng):
+        d = np.concatenate([
+            rng.uniform(-50, 50, 2048),
+            np.array([0.0, 1.0, -1.0, 2.0, -2.0, 0.5, 1e-7, 1 + 1e-7]),
+        ]).astype(np.float32)
+        fast = np.asarray(_hann_peak_from_d(jnp.asarray(d)))
+        ref = np.asarray(hann_sinc_peak(d))
+        np.testing.assert_allclose(fast, ref, atol=3e-6)
+
+    def test_exact_special_points(self):
+        d = jnp.asarray([0.0, 1.0, -1.0], jnp.float32)
+        np.testing.assert_allclose(np.asarray(_hann_peak_from_d(d)),
+                                   [0.5, -0.25, -0.25], atol=1e-7)
+
+
+class TestKernelEquivalence:
+    def test_weighted_sum_matches_jnp(self, rng):
+        F = CFG.num_bins
+        NP = 496
+        freqs = CFG.bin_frequencies()
+        pf = rng.uniform(20, 20000, NP).astype(np.float32)
+        scale = (1.0 / CFG.bin_width * rng.choice(
+            [1.0, 0.2], NP)).astype(np.float32)
+        w = rng.normal(0, 0.1, (NP, 2)).astype(np.float32)
+
+        got = np.asarray(hann_peak_weighted_sum(
+            jnp.asarray(freqs), jnp.asarray(pf), jnp.asarray(scale),
+            jnp.asarray(w), num_bins=F, interpret=True))
+
+        d = (freqs[:, None] - pf[None, :]) * scale[None, :]
+        W = np.asarray(hann_sinc_peak(jnp.asarray(d)))
+        expect = W @ w
+        np.testing.assert_allclose(got, expect, atol=5e-4)
+
+    def test_full_spectrum_pallas_vs_jnp(self, rng):
+        consts = SynthConstants.create(CFG)
+        hues = rng.integers(0, 361, 16).astype(np.int32)
+        grads = np.abs(rng.normal(0, 0.3, (16, 4))).astype(np.float32)
+        phases = rng.uniform(0, 2 * np.pi, (16, 32)).astype(np.float32)
+        prev = rng.normal(0, 0.01, (CFG.num_bins, 2)).astype(np.float32)
+
+        out_jnp = np.asarray(build_spectrum(
+            jnp.asarray(hues), jnp.asarray(grads), jnp.asarray(phases),
+            jnp.asarray(prev), jnp.float32(0.5), CFG, consts,
+            use_pallas=False))
+        out_pl = np.asarray(build_spectrum(
+            jnp.asarray(hues), jnp.asarray(grads), jnp.asarray(phases),
+            jnp.asarray(prev), jnp.float32(0.5), CFG, consts,
+            use_pallas=True))
+        np.testing.assert_allclose(out_pl, out_jnp, atol=5e-4)
+
+    def test_end_to_end_pallas_config(self, rng):
+        # The use_pallas=True config must run through the full step.
+        from vaudio.runtime import run_offline
+        cfg = dataclasses.replace(CFG, use_pallas=True)
+        frames = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+        audio_pl, _, _ = run_offline(frames, cfg, LiveParams().as_arrays())
+        audio_ref, _, _ = run_offline(frames, CFG, LiveParams().as_arrays())
+        np.testing.assert_allclose(np.asarray(audio_pl),
+                                   np.asarray(audio_ref), atol=1e-3)

@@ -1,0 +1,11 @@
+"""Fused Pallas TPU kernels for the hot compute paths.
+
+These are the TPU-native equivalents of the reference's Metal compute
+shaders (SURVEY.md §2.6-2.8) — not stand-ins: the synthesis kernel fuses
+peak evaluation + weighting + reduction in VMEM, never materializing the
+(bins x partials) peak matrix to HBM.
+"""
+
+from vaudio.ops.spectrum_kernel import hann_peak_weighted_sum, spectrum_pallas
+
+__all__ = ["hann_peak_weighted_sum", "spectrum_pallas"]

@@ -1,0 +1,154 @@
+"""Fused Pallas spectrum-synthesis kernel.
+
+TPU-native equivalent of ``computeSpectrum``
+(Metal Functions/SpectrumCompute.metal:82-214).  The Metal kernel runs one
+thread per frequency bin with a serial 31-partial x 16-cell loop; here the
+whole (bins x partials) peak evaluation + complex weighting + reduction is
+one VMEM-resident Pallas program:
+
+* partials live on the sublane axis (496 -> padded 512), bins on the lane
+  axis (2047 -> padded 2048), tiled along bins;
+* the Hann-window spectral peak W(d) = 0.5 sinc(d) - 0.25 (sinc(d-1) +
+  sinc(d+1)) is evaluated with ONE sin per element instead of three, via
+  sin(pi(d +- 1)) = -sin(pi d):
+
+      W(d) = sin(pi d) * [ 0.5/(pi d) + 0.25/(pi(d-1)) + 0.25/(pi(d+1)) ]
+
+  with exact limits patched at d in {0, +-1} — a 3x cut in transcendental
+  work (the kernel's FLOP bottleneck);
+* the weighted reduction over partials happens in-register; only the F x 2
+  result is written back.
+
+Per-frame scalar work (fundamental snapping, gains, phases — 16x31 values)
+stays in the XLA graph (vaudio.synth.partial_weights); this kernel does the
+1M-element heavy stage.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vaudio.config import AuralizerConfig
+
+_PI = np.float32(np.pi)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _hann_peak_from_d(d):
+    """One-sin Hann-transform peak evaluation (see module docstring).
+
+    sin(pi*d) is computed with argument reduction —
+    sin(pi*d) = (-1)^round(d) * sin(pi*(d - round(d))) — because the naive
+    form cancels catastrophically near integer d (exactly where the peak's
+    rational factor blows up); the reduced subtraction is exact in f32 and
+    the sin argument lands in [-pi/2, pi/2] where it is fully accurate.
+    """
+    n = jnp.round(d)
+    frac = d - n                                   # exact for |d| < 2^23
+    s = jnp.sin(_PI * frac)
+    s = jnp.where(jnp.mod(n, 2.0) == 0.0, s, -s)   # * (-1)^n
+    r = (0.5 / (_PI * d)
+         + 0.25 / (_PI * (d - 1.0))
+         + 0.25 / (_PI * (d + 1.0)))
+    w = s * r
+    w = jnp.where(d == 0.0, jnp.float32(0.5), w)
+    w = jnp.where(jnp.abs(d) == 1.0, jnp.float32(-0.25), w)
+    return w
+
+
+def _spectrum_kernel(freqs_ref, pf_ref, scale_ref, w_ref, out_ref):
+    """One bin-tile: out[2, TILE_B] += partials' weighted peaks."""
+    f = freqs_ref[0, :]                       # (TILE_B,)
+    pf = pf_ref[0, :]                         # (NP,)
+    scale = scale_ref[0, :]                   # (NP,)
+    d = (f[None, :] - pf[:, None]) * scale[:, None]   # (NP, TILE_B)
+    w = _hann_peak_from_d(d)
+    w_re = w_ref[0, :]                        # (NP,)
+    w_im = w_ref[1, :]
+    out_ref[0, :] = jnp.sum(w * w_re[:, None], axis=0)
+    out_ref[1, :] = jnp.sum(w * w_im[:, None], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins", "tile_b",
+                                             "interpret"))
+def hann_peak_weighted_sum(freqs, pfreq, scale, weights, num_bins: int,
+                           tile_b: int = 512, interpret: bool = False):
+    """spectrum[f, :] = sum_p W((freqs[f]-pfreq[p])*scale[p]) * weights[p,:]
+
+    Args:
+      freqs:   f32[F] bin frequencies.
+      pfreq:   f32[NP] partial frequencies.
+      scale:   f32[NP] per-partial distance scale (hann_mult / bandwidth).
+      weights: f32[NP, 2] complex weights as (re, im).
+    Returns: f32[F, 2].
+    """
+    F = num_bins
+    np_raw = pfreq.shape[0]
+    NP = _round_up(np_raw, 8)
+    FP = _round_up(F, tile_b)
+
+    freqs_p = jnp.zeros((1, FP), jnp.float32).at[0, :F].set(freqs)
+    pf_p = jnp.zeros((1, NP), jnp.float32).at[0, :np_raw].set(pfreq)
+    # Padded partials: scale 0 makes d == 0 -> W = 0.5, but weight 0 kills
+    # the contribution.
+    scale_p = jnp.zeros((1, NP), jnp.float32).at[0, :np_raw].set(scale)
+    w_p = jnp.zeros((2, NP), jnp.float32).at[:, :np_raw].set(weights.T)
+
+    grid = (FP // tile_b,)
+    out = pl.pallas_call(
+        _spectrum_kernel,
+        out_shape=jax.ShapeDtypeStruct((2, FP), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, NP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, tile_b), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * NP * FP,
+            bytes_accessed=4 * (FP + 3 * NP + 2 * FP),
+            transcendentals=NP * FP,
+        ),
+        interpret=interpret,
+    )(freqs_p, pf_p, scale_p, w_p)
+    return out[:, :F].T                       # (F, 2)
+
+
+def spectrum_pallas(flat_pf, flat_w, flat_inv_bw, cfg: AuralizerConfig,
+                    consts, interpret: Optional[bool] = None):
+    """Drop-in replacement for the jnp peak-stamping contraction in
+    vaudio.synth.build_spectrum (pre-rotation, pre-smoothing stage).
+
+    Args:
+      flat_pf: f32[NP] partial frequencies;
+      flat_w: f32[NP, 2] complex weights;
+      flat_inv_bw: f32[NP] 1/bandwidth per partial.
+    Returns: f32[F, 2].
+    """
+    if interpret is None:
+        # Compile on real TPU backends (including the 'axon' tunnel
+        # platform); interpret elsewhere (CPU tests).
+        interpret = jax.default_backend() in ("cpu",)
+    hann_mult = np.float32(1.0 / cfg.bin_width)
+    scale = flat_inv_bw * hann_mult
+    return hann_peak_weighted_sum(
+        jnp.asarray(consts.freqs), flat_pf, scale, flat_w,
+        num_bins=cfg.num_bins, interpret=interpret)

@@ -5,8 +5,11 @@ Times each pipeline stage in isolation (jitted, steady-state) to locate the
 frame-step bottleneck.  Run on TPU: ``python benchmarks/micro.py``.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

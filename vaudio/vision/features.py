@@ -4,6 +4,13 @@ The reference splits this work across a GPU mip/blit pass, two Metal compute
 kernels and two hot CPU loops with three host<->device bounces
 (VisionEngine.swift:91-316).  Here the whole thing is one fused XLA graph:
 device-resident from frame tensor to the 16 hues + 16 gradient vectors.
+
+TPU layout strategy: channel-PLANES, not interleaved.  An (H, W, 3) array
+puts 3 elements on the 128-lane minor axis (~2% VPU utilization); all hot
+math here runs on (H, W) planes with W on the lanes.  The kernels' rotated
+output indexing (convolveFeatures.metal:53-59) is folded into *index
+arithmetic* — cell assignment and slice bounds — instead of materializing
+rotated copies; explicit rotation only happens for debug map export.
 """
 
 from __future__ import annotations
@@ -24,22 +31,16 @@ _TWO_PI = np.float32(2.0 * np.pi)
 # Color space
 # ---------------------------------------------------------------------------
 
-def rgb_to_hsi(rgb):
-    """RGB -> HSI exactly as the Metal helper (convolveFeatures.metal:14-38).
+def rgb_to_hsi_planes(r, g, b):
+    """RGB planes -> (H, S, I) planes; the Metal helper's exact math
+    (convolveFeatures.metal:14-38).
 
     I = mean(r,g,b); S = 1 - min/I (0 where I<=0);
     H = acos-formula angle normalized to [0,1], 0 where the denominator
     vanishes (grey pixels).  The acos argument is clamped to [-1,1] — Metal
-    leaves it UB outside that range; clamping is the only well-defined
-    reading and matches the mathematically exact value.
-
-    Args: rgb: f32[..., 3] in [0, 1].
-    Returns: f32[..., 3] with channels (H, S, I).
+    leaves it UB outside; clamping matches the mathematically exact value.
     """
-    rgb = jnp.asarray(rgb, dtype=jnp.float32)
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-
-    i = (r + g + b) / 3.0
+    i = (r + g + b) * np.float32(1.0 / 3.0)
     min_val = jnp.minimum(r, jnp.minimum(g, b))
     s = jnp.where(i > 0.0, 1.0 - min_val / jnp.where(i > 0.0, i, 1.0), 0.0)
 
@@ -49,7 +50,16 @@ def rgb_to_hsi(rgb):
     theta = jnp.arccos(jnp.clip(num / safe_den, -1.0, 1.0))
     h = jnp.where(b <= g, theta, _TWO_PI - theta) / _TWO_PI
     h = jnp.where(den != 0.0, h, 0.0)
+    return h, s, i
 
+
+def rgb_to_hsi(rgb):
+    """Channels-last convenience wrapper over :func:`rgb_to_hsi_planes`.
+
+    Args: rgb: f32[..., 3] in [0, 1].  Returns f32[..., 3] (H, S, I).
+    """
+    rgb = jnp.asarray(rgb, dtype=jnp.float32)
+    h, s, i = rgb_to_hsi_planes(rgb[..., 0], rgb[..., 1], rgb[..., 2])
     return jnp.stack([h, s, i], axis=-1)
 
 
@@ -57,32 +67,38 @@ def rgb_to_hsi(rgb):
 # Mip pyramid
 # ---------------------------------------------------------------------------
 
-def mip_downsample(frame, level: int, quantize: bool = False):
-    """Downsample by 2**level per axis via repeated 2x2 mean pooling.
+def _mip_plane(x, level: int, quantize: bool):
+    for _ in range(level):
+        hh, ww = x.shape[0] // 2, x.shape[1] // 2
+        x = x.reshape(hh, 2, ww, 2).mean(axis=(1, 3))
+        if quantize:
+            x = jnp.round(x * 255.0) / 255.0
+    return x
 
-    Equivalent of the blit ``generateMipmaps`` + sampling at ``level``
-    (VisionEngine.swift:152-173,189-192; the kernels sample texel centers of
-    the mip level, so linear filtering reduces to exact mip texels).
 
-    ``quantize=True`` additionally rounds each level to 8-bit steps, which is
-    what a bgra8Unorm mip chain does on Metal (parity knob; default off for
-    full f32 precision).
+def mip_downsample_planes(planes, level: int, quantize: bool = False):
+    """(C, H, W) planes -> (C, H>>l, W>>l) via repeated 2x2 mean pooling.
 
-    Args: frame: f32[H, W, C] with H, W divisible by 2**level.
+    Equivalent of blit ``generateMipmaps`` + mip-level sampling
+    (VisionEngine.swift:152-173,189-192).  ``quantize=True`` rounds each
+    level to 8-bit steps like a bgra8Unorm mip chain.
     """
-    frame = jnp.asarray(frame, dtype=jnp.float32)
-    h, w = frame.shape[0], frame.shape[1]
+    planes = jnp.asarray(planes, dtype=jnp.float32)
+    c, h, w = planes.shape
     if h % (1 << level) or w % (1 << level):
         raise ValueError(
             f"frame dims ({h},{w}) must be divisible by 2^{level}; pad or "
             f"crop the source (reference uses width>>level truncation)")
-    x = frame
-    for _ in range(level):
-        hh, ww = x.shape[0] // 2, x.shape[1] // 2
-        x = x.reshape(hh, 2, ww, 2, -1).mean(axis=(1, 3))
-        if quantize:
-            x = jnp.round(x * 255.0) / 255.0
-    return x.reshape(h >> level, w >> level, frame.shape[-1])
+    return jnp.stack([_mip_plane(planes[ci], level, quantize)
+                      for ci in range(c)])
+
+
+def mip_downsample(frame, level: int, quantize: bool = False):
+    """Channels-last wrapper: f32[H, W, C] -> f32[H>>l, W>>l, C]."""
+    frame = jnp.asarray(frame, dtype=jnp.float32)
+    planes = jnp.transpose(frame, (2, 0, 1))
+    out = mip_downsample_planes(planes, level, quantize)
+    return jnp.transpose(out, (1, 2, 0))
 
 
 # ---------------------------------------------------------------------------
@@ -93,6 +109,10 @@ def rotate_cw(x):
     """The kernels' rotated output indexing (convolveFeatures.metal:53-59):
     out[rotY, rotX] with rotX = (H-1) - y, rotY = x, i.e. a 90-degree
     clockwise rotation.  (H, W, ...) -> (W, H, ...).
+
+    Hot paths avoid this copy by rotating indices instead (see
+    :func:`hue_histogram` / :func:`cell_gradient_stats`); it is kept for
+    debug-map export and tests.
     """
     return jnp.rot90(x, k=-1, axes=(0, 1))
 
@@ -127,85 +147,101 @@ MODE_KERNELS = np.array(
 )  # (4 modes, 3, 3)
 
 
-def feature_stencil(hsi):
-    """Apply the four 3x3 mode masks to each HSI channel.
+def feature_stencil_plane(plane):
+    """Apply the four 3x3 mode masks to one (H, W) channel plane.
 
     Fused equivalent of the ``convolveFeatures`` kernel body
-    (convolveFeatures.metal:40-130) *before* its rotated write: returns in
-    image orientation; apply :func:`rotate_cw` for buffer-layout parity.
+    (convolveFeatures.metal:40-130) before its rotated write, for a single
+    channel.  Borders are clamp-to-edge (the Metal sampler).
 
-    Borders are clamp-to-edge, matching the Metal sampler.
-
-    Args: hsi: f32[H, W, 3].
-    Returns: f32[H, W, 3, 4] — (pixel, channel, mode).
+    Returns: f32[4, H, W] — one plane per mode.
     """
+    plane = jnp.asarray(plane, dtype=jnp.float32)
+    h, w = plane.shape
+    padded = jnp.pad(plane, ((1, 1), (1, 1)), mode="edge")
+    outs = []
+    for m in range(4):
+        acc = jnp.zeros((h, w), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                k = MODE_KERNELS[m, dy, dx]
+                if k == 0.0:
+                    continue
+                acc = acc + np.float32(k) * padded[dy:dy + h, dx:dx + w]
+        outs.append(acc)
+    return jnp.stack(outs)
+
+
+def feature_stencil(hsi):
+    """Channels-last wrapper: f32[H, W, 3] -> f32[H, W, 3, 4]."""
     hsi = jnp.asarray(hsi, dtype=jnp.float32)
-    h, w = hsi.shape[0], hsi.shape[1]
-    padded = jnp.pad(hsi, ((1, 1), (1, 1), (0, 0)), mode="edge")
-    out = jnp.zeros((h, w, 3, 4), dtype=jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            weights = MODE_KERNELS[:, dy, dx]  # (4,)
-            if not np.any(weights):
-                continue
-            tap = padded[dy:dy + h, dx:dx + w, :]  # (h, w, 3)
-            out = out + tap[..., None] * weights
-    return out
+    per_ch = [feature_stencil_plane(hsi[..., c]) for c in range(3)]
+    return jnp.stack([jnp.transpose(p, (1, 2, 0)) for p in per_ch], axis=2)
 
 
 # ---------------------------------------------------------------------------
 # Hue histogram (atomics-free)
 # ---------------------------------------------------------------------------
 
+def _cell_ids_unrotated(shape: Tuple[int, int], grid: int):
+    """Per-pixel cell index in IMAGE orientation, reproducing the kernel's
+    integer arithmetic on rotated coordinates
+    (convolveFeatures.metal:155-157): for pixel (y, x) the rotated coords
+    are (ry, rx) = (x, H-1-y), and
+    row = ry*grid // W, col = rx*grid // H, cell = row*grid + col."""
+    hm, wm = shape
+    y = jax.lax.broadcasted_iota(jnp.int32, (hm, wm), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (hm, wm), 1)
+    row = (x * grid) // wm
+    col = ((hm - 1 - y) * grid) // hm
+    return row * grid + col
+
+
 def _cell_ids(shape_rot: Tuple[int, int], grid: int):
-    """Per-pixel 4x4 cell index on the *rotated* image, matching
-    calculateHueHistogram's integer arithmetic
-    (convolveFeatures.metal:155-157): row = ry*4/W, col = rx*4/H where the
-    rotated image has shape (W, H)."""
+    """Cell ids on the *rotated* image (debug/spatial-mode path)."""
     wm, hm = shape_rot
     row = (jax.lax.broadcasted_iota(jnp.int32, (wm, hm), 0) * grid) // wm
     col = (jax.lax.broadcasted_iota(jnp.int32, (wm, hm), 1) * grid) // hm
     return row * grid + col
 
 
-def hue_histogram(hsi_rot, cfg: AuralizerConfig, method: str = "matmul"):
-    """Per-cell hue histogram over gated pixels.
+def hue_histogram_planes(h, s, i, cfg: AuralizerConfig,
+                         method: str = "matmul"):
+    """Per-cell hue histogram over gated pixels, from HSI planes in image
+    orientation (rotation folded into the cell-id arithmetic).
 
     Equivalent of ``calculateHueHistogram`` (convolveFeatures.metal:132-165)
     with the atomic scatter-add re-expressed without atomics:
 
-    * ``matmul`` (default): hist = cell_onehot^T @ bin_onehot — a single
-      (cells x pixels) @ (pixels x bins) MXU contraction.  This is the
-      idiomatic TPU histogram: the outer product of two one-hot encodings
-      summed over pixels IS the joint histogram.
+    * ``matmul`` (default): hist = cell_onehot^T @ bin_onehot — one
+      (cells x pixels) @ (pixels x bins) MXU contraction; the outer product
+      of two one-hot encodings summed over pixels IS the joint histogram.
+      One-hots are built in bfloat16 (exact for 0/1) with f32 accumulation.
     * ``scatter``: XLA scatter-add on a flat (cells*bins) table.
 
-    Pixels are gated on ``S > 0 and I > 0.1`` (convolveFeatures.metal:154).
-    Bin = floor(H * 359) of 360 bins (convolveFeatures.metal:159).
+    Pixels are gated on ``S > 0 and I > 0.1`` (convolveFeatures.metal:154);
+    bin = floor(H * 359) of 360 bins (convolveFeatures.metal:159).
 
-    Args: hsi_rot: f32[Wm, Hm, 3] — the *rotated* mip HSI image.
     Returns: f32[num_cells, num_hue_bins] counts.
     """
-    hsi_rot = jnp.asarray(hsi_rot, dtype=jnp.float32)
-    wm, hm = hsi_rot.shape[0], hsi_rot.shape[1]
     grid = cfg.grid_size
     bins = cfg.num_hue_bins
     cells = cfg.num_cells
+    hm, wm = h.shape
 
-    h = hsi_rot[..., 0]
-    s = hsi_rot[..., 1]
-    i = hsi_rot[..., 2]
     gate = (s > cfg.saturation_gate) & (i > cfg.intensity_gate)
     bin_idx = jnp.clip((h * np.float32(bins - 1)).astype(jnp.int32),
                        0, bins - 1)
-    cell_idx = _cell_ids((wm, hm), grid)
+    cell_idx = _cell_ids_unrotated((hm, wm), grid)
 
+    p = hm * wm
     if method == "matmul":
-        p = wm * hm
-        gate_f = gate.reshape(p).astype(jnp.float32)
+        gate_f = gate.reshape(p)
         cell_oh = jax.nn.one_hot(cell_idx.reshape(p), cells,
-                                 dtype=jnp.float32) * gate_f[:, None]
-        bin_oh = jax.nn.one_hot(bin_idx.reshape(p), bins, dtype=jnp.float32)
+                                 dtype=jnp.bfloat16)
+        cell_oh = cell_oh * gate_f.reshape(p, 1).astype(jnp.bfloat16)
+        bin_oh = jax.nn.one_hot(bin_idx.reshape(p), bins,
+                                dtype=jnp.bfloat16)
         return jax.lax.dot_general(
             cell_oh, bin_oh,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -217,6 +253,15 @@ def hue_histogram(hsi_rot, cfg: AuralizerConfig, method: str = "matmul"):
         hist = jnp.zeros((cells * bins,), jnp.float32).at[flat].add(upd)
         return hist.reshape(cells, bins)
     raise ValueError(f"unknown histogram method {method!r}")
+
+
+def hue_histogram(hsi_rot, cfg: AuralizerConfig, method: str = "matmul"):
+    """Rotated-layout wrapper (tests/parity): f32[Wm, Hm, 3] rotated HSI
+    image -> f32[cells, bins].  Un-rotates and delegates to the planes
+    implementation."""
+    hsi = jnp.rot90(jnp.asarray(hsi_rot, jnp.float32), k=1, axes=(0, 1))
+    return hue_histogram_planes(hsi[..., 0], hsi[..., 1], hsi[..., 2], cfg,
+                                method=method)
 
 
 def update_hues(hist, prev_hues, mixing, cfg: AuralizerConfig):
@@ -243,31 +288,41 @@ def update_hues(hist, prev_hues, mixing, cfg: AuralizerConfig):
 # Gradient statistics
 # ---------------------------------------------------------------------------
 
-def cell_gradient_stats(intensity_feat_rot, cfg: AuralizerConfig):
-    """Aggregate the intensity-channel mode maps into 16 per-cell vectors.
+def cell_gradient_stats_planes(modes, cfg: AuralizerConfig):
+    """Aggregate intensity-channel mode planes into 16 per-cell vectors.
 
     Reproduces VisionEngine.swift:273-295: stats are (RMS of breathing,
-    mean|vTilt|, mean|hTilt|, max|saddle|).
+    mean|vTilt|, mean|hTilt|, max|saddle|) over each cell's pixels.
 
-    Cell assignment depends on ``cfg.linear_cell_grads``:
+    Args: modes: f32[4, Hm, Wm] in IMAGE orientation.
 
-    * True (reference behavior, SURVEY §2.2 quirk): cells are contiguous
-      1/16 slices of the flattened rotated buffer — horizontal bands of the
-      rotated image, NOT the 4x4 grid; the last cell absorbs the remainder
-      (VisionEngine.swift:278-283).
-    * False (clean mode): the same 4x4 spatial tiling the histogram uses.
-
-    Args: intensity_feat_rot: f32[Wm, Hm, 4] (rotated orientation).
-    Returns: f32[num_cells, 4].
+    Cell assignment (cfg.linear_cell_grads=True, the reference quirk):
+    contiguous 1/16 slices of the flattened ROTATED buffer.  The rotated
+    flat index is x*Hm + (Hm-1-y), so slice boundaries are contiguous
+    ranges of x — when Wm % 16 == 0 each cell is exactly a Wm/16-column
+    band of the unrotated image and the stats reduce over column bands with
+    no rotation copy (reductions are pixel-order invariant).  Otherwise we
+    fall back to an explicit rotation.
     """
-    x = jnp.asarray(intensity_feat_rot, dtype=jnp.float32)
-    wm, hm = x.shape[0], x.shape[1]
-    p = wm * hm
+    _, hm, wm = modes.shape
     cells = cfg.num_cells
-    flat = x.reshape(p, 4)
 
     if cfg.linear_cell_grads:
+        p = hm * wm
         per = p // cells
+        if wm % cells == 0:
+            # Fast path: column bands, no rotation materialized.
+            cw = wm // cells
+            b = modes.reshape(4, hm, cells, cw)       # split columns
+            sq = jnp.sum(b[0] * b[0], axis=(0, 2))    # (cells,)
+            ay = jnp.sum(jnp.abs(b[1]), axis=(0, 2))
+            az = jnp.sum(jnp.abs(b[2]), axis=(0, 2))
+            aw = jnp.max(jnp.abs(b[3]), axis=(0, 2))
+            n = np.float32(hm * cw)
+            return jnp.stack([jnp.sqrt(sq / n), ay / n, az / n, aw], axis=1)
+        # Generic path: explicit rotated flattening with remainder-to-last.
+        flat = jnp.stack([jnp.rot90(modes[m], k=-1).reshape(p)
+                          for m in range(4)], axis=1)  # (p, 4)
         stats = []
         for c in range(cells):
             start = c * per
@@ -282,17 +337,26 @@ def cell_gradient_stats(intensity_feat_rot, cfg: AuralizerConfig):
             ]))
         return jnp.stack(stats)
 
-    # Clean mode: 4x4 spatial tiling via one-hot segment reductions.
-    cell_idx = _cell_ids((wm, hm), cfg.grid_size).reshape(p)
+    # Clean mode: the histogram's 4x4 spatial tiling (on rotated coords).
+    cell_idx = _cell_ids_unrotated((hm, wm), cfg.grid_size).reshape(-1)
     oh = jax.nn.one_hot(cell_idx, cells, dtype=jnp.float32)  # (p, cells)
-    counts = jnp.sum(oh, axis=0)  # (cells,)
-    sq = oh.T @ (flat[:, 0] * flat[:, 0])
-    ay = oh.T @ jnp.abs(flat[:, 1])
-    az = oh.T @ jnp.abs(flat[:, 2])
-    aw = jnp.max(jnp.where(oh.T > 0, jnp.abs(flat[:, 3])[None, :], 0.0),
+    counts = jnp.sum(oh, axis=0)
+    flat = modes.reshape(4, -1)                               # (4, p)
+    sq = (flat[0] * flat[0]) @ oh
+    ay = jnp.abs(flat[1]) @ oh
+    az = jnp.abs(flat[2]) @ oh
+    aw = jnp.max(jnp.where(oh.T > 0, jnp.abs(flat[3])[None, :], 0.0),
                  axis=1)
     return jnp.stack([jnp.sqrt(sq / counts), ay / counts, az / counts, aw],
                      axis=1)
+
+
+def cell_gradient_stats(intensity_feat_rot, cfg: AuralizerConfig):
+    """Rotated-layout wrapper (tests/parity): f32[Wm, Hm, 4] rotated mode
+    maps -> f32[cells, 4]."""
+    x = jnp.asarray(intensity_feat_rot, jnp.float32)
+    modes = jnp.rot90(x, k=1, axes=(0, 1))        # back to image orientation
+    return cell_gradient_stats_planes(jnp.transpose(modes, (2, 0, 1)), cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -310,26 +374,32 @@ def extract_features(frame, prev_hues, mixing, cfg: AuralizerConfig,
       frame: f32[H, W, 3] RGB in [0,1].
       prev_hues: i32[16] carried hue state.
       mixing: f32 scalar EMA coefficient (VisionEngine.spectrumMixing).
-      compute_debug_maps: also return the hue/saturation mode maps that the
-        reference exposes on its debug screen (DebuggingView heatmaps).
+      compute_debug_maps: also return the hue/saturation/intensity mode maps
+        the reference exposes on its debug screen (rotated layout, matching
+        the Metal buffers).
     """
-    mip = mip_downsample(frame, cfg.mip_level, cfg.quantize_mips)
-    hsi = rgb_to_hsi(mip)
-    hsi_rot = rotate_cw(hsi)
+    frame = jnp.asarray(frame, jnp.float32)
+    planes = jnp.transpose(frame, (2, 0, 1))              # (3, H, W)
+    mip = mip_downsample_planes(planes, cfg.mip_level, cfg.quantize_mips)
+    h, s, i = rgb_to_hsi_planes(mip[0], mip[1], mip[2])
 
-    hist = hue_histogram(hsi_rot, cfg)
+    hist = hue_histogram_planes(h, s, i, cfg)
     hues = update_hues(hist, prev_hues, mixing, cfg)
 
-    feats = feature_stencil(hsi)              # (h, w, 3, 4)
-    feats_rot = rotate_cw(feats)              # (w, h, 3, 4)
-    grads = cell_gradient_stats(feats_rot[..., 2, :], cfg)
+    imodes = feature_stencil_plane(i)                     # (4, hm, wm)
+    grads = cell_gradient_stats_planes(imodes, cfg)
 
     debug = {"histogram": hist}
     if compute_debug_maps:
+        hmodes = feature_stencil_plane(h)
+        smodes = feature_stencil_plane(s)
+        def rot_pack(m):   # (4, hm, wm) -> rotated (wm, hm, 4)
+            return jnp.stack([jnp.rot90(m[k], k=-1) for k in range(4)],
+                             axis=-1)
         debug.update(
-            hue_map=feats_rot[..., 0, :],
-            saturation_map=feats_rot[..., 1, :],
-            intensity_map=feats_rot[..., 2, :],
-            mip_hsi=hsi,
+            hue_map=rot_pack(hmodes),
+            saturation_map=rot_pack(smodes),
+            intensity_map=rot_pack(imodes),
+            mip_hsi=jnp.stack([h, s, i], axis=-1),
         )
     return hues, grads, debug

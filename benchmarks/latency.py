@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Frame->audio latency benchmark (north star: p50 < 33 ms on one chip).
+
+Measures the reference's probe semantics (SoundEngine.swift:430-434): wall
+clock from frame capture to PCM landing in the ring buffer, through the
+streaming host loop (H2D + device step + D2H readback included).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    from vaudio.api import Auralizer
+    from vaudio.config import AuralizerConfig
+    from vaudio.io import solid_color_frames
+
+    res = os.environ.get("VAUDIO_BENCH_RES", "1080x1920")
+    h, w = (int(x) for x in res.split("x"))
+    n = int(os.environ.get("VAUDIO_BENCH_FRAMES", "60"))
+
+    cfg = AuralizerConfig(sample_rate=48000.0)
+    aur = Auralizer(config=cfg, realtime=True, debug=False)
+
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(0, 1, (n, h, w, 3)).astype(np.float32)
+
+    # Warm the compile cache with one frame outside the timed run.
+    aur.run_until_exhausted(frames[:1], timeout=300)
+    aur.stop()
+
+    aur2 = Auralizer(config=cfg, realtime=True, debug=False)
+    aur2.run_until_exhausted(frames, timeout=300)
+    m = aur2.metrics
+    print(f"frames={m['frames_processed']} "
+          f"p50={m['latency_p50_ms']:.2f}ms p99={m['latency_p99_ms']:.2f}ms "
+          f"achieved_fps={m['achieved_fps']:.1f} "
+          f"dropped={m['dropped_frames']} target_p50=33ms")
+    aur2.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Public API + IO + CLI tests (the VideoToAudio-surface parity layer)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from vaudio.api import Auralizer
+from vaudio.config import AuralizerConfig, LiveParams
+from vaudio.io import (ArraySource, bgra_to_rgb, hsb_frames, hsb_to_rgb,
+                       read_wav, solid_color_frames, write_wav)
+from vaudio.utils import peak_shape_curve, spectrum_display, FrameTimer
+
+
+class TestIO:
+    def test_wav_roundtrip(self, tmp_path, rng):
+        audio = rng.uniform(-0.9, 0.9, 8192).astype(np.float32)
+        path = str(tmp_path / "t.wav")
+        write_wav(path, audio, 44100.0)
+        back, sr = read_wav(path)
+        assert sr == 44100.0
+        np.testing.assert_allclose(back, audio, atol=1e-4)
+
+    def test_wav_stereo(self, tmp_path, rng):
+        audio = rng.uniform(-0.5, 0.5, (1024, 2)).astype(np.float32)
+        path = str(tmp_path / "s.wav")
+        write_wav(path, audio, 48000.0, channels=2)
+        back, sr = read_wav(path)
+        assert back.shape == (1024, 2) and sr == 48000.0
+
+    def test_mono_to_stereo_upmix(self, tmp_path):
+        write_wav(str(tmp_path / "u.wav"), np.zeros(64, np.float32),
+                  channels=2)
+        back, _ = read_wav(str(tmp_path / "u.wav"))
+        assert back.shape == (64, 2)
+
+    def test_bgra_to_rgb(self):
+        bgra = np.zeros((2, 2, 4), np.uint8)
+        bgra[..., 0] = 255   # blue channel
+        rgb = bgra_to_rgb(bgra)
+        np.testing.assert_allclose(rgb[..., 2], 1.0)
+        np.testing.assert_allclose(rgb[..., 0], 0.0)
+
+    def test_hsb_to_rgb_primaries(self):
+        np.testing.assert_allclose(hsb_to_rgb(0.0, 1.0, 1.0), [1, 0, 0],
+                                   atol=1e-6)
+        np.testing.assert_allclose(hsb_to_rgb(1 / 3, 1.0, 1.0), [0, 1, 0],
+                                   atol=1e-6)
+        np.testing.assert_allclose(hsb_to_rgb(2 / 3, 1.0, 1.0), [0, 0, 1],
+                                   atol=1e-6)
+        # brightness/saturation behavior
+        np.testing.assert_allclose(hsb_to_rgb(0.5, 0.0, 0.7),
+                                   [0.7, 0.7, 0.7], atol=1e-6)
+
+    def test_array_source(self, tmp_path, rng):
+        frames = (rng.uniform(0, 255, (4, 16, 16, 3))).astype(np.uint8)
+        src = ArraySource(frames, fps=30.0)
+        assert src.shape == (16, 16) and src.num_frames == 4
+        lst = list(src.frames())
+        assert len(lst) == 4 and lst[0].dtype == np.float32
+        path = str(tmp_path / "f.npy")
+        np.save(path, frames)
+        src2 = ArraySource.load(path)
+        np.testing.assert_allclose(src2.tensor(), src.tensor())
+
+    def test_array_source_rejects_bad_shape(self):
+        with pytest.raises(ValueError):
+            ArraySource(np.zeros((4, 16, 16)))
+
+
+class TestAuralizerAPI:
+    def test_offline_sonify(self):
+        aur = Auralizer()
+        frames = solid_color_frames([1, 0.1, 0.1], 128, 128, 4)
+        audio = aur.sonify(frames)
+        assert audio.shape == (4 * 2048,)
+        assert np.all(np.isfinite(audio))
+
+    def test_sonify_with_debug(self):
+        aur = Auralizer()
+        frames = solid_color_frames([0.1, 1, 0.1], 128, 128, 2)
+        audio, dbg = aur.sonify(frames, debug=True)
+        assert dbg["hues"].shape == (2, 16)
+        assert dbg["spectrum"].shape == (2, 2047, 2)
+
+    def test_sonify_to_wav(self, tmp_path):
+        aur = Auralizer()
+        frames = solid_color_frames([1, 0.1, 0.1], 128, 128, 3)
+        path = str(tmp_path / "o.wav")
+        aur.sonify_to_wav(frames, path)
+        back, sr = read_wav(path)
+        assert len(back) == 3 * 2048 and sr == 44100.0
+
+    def test_streaming_lifecycle_and_metrics(self):
+        frames = solid_color_frames([1, 0.1, 0.1], 128, 128, 6)
+        aur = Auralizer(source=frames, debug=True)
+        assert not aur.is_running
+        aur.run_until_exhausted()
+        m = aur.metrics
+        assert m["frames_processed"] == 6
+        assert m["processing_latency_ms"] > 0
+        assert "hues" in aur.debug
+        pcm = aur.pull(1024)
+        assert pcm.shape == (1024,)
+        aur.stop()
+        assert aur.metrics["buffer_fill"] == 0
+
+    def test_toggle(self):
+        frames = solid_color_frames([1, 0.1, 0.1], 64, 64, 3)
+        aur = Auralizer(source=frames)
+        aur.toggle()          # start
+        aur.toggle()          # stop
+        assert not aur.is_running
+
+    def test_custom_config_sample_rate(self):
+        cfg = AuralizerConfig(sample_rate=48000.0)
+        aur = Auralizer(config=cfg)
+        frames = solid_color_frames([1, 0.1, 0.1], 64, 64, 2)
+        audio = aur.sonify(frames)
+        assert audio.shape == (2 * 2048,)
+
+
+class TestDisplayUtils:
+    def test_spectrum_display(self, rng):
+        cfg = AuralizerConfig()
+        spec = rng.normal(0, 0.1, (cfg.num_bins, 2)).astype(np.float32)
+        d = spectrum_display(spec, cfg)
+        assert np.all((d["log_x"] >= 0) & (d["log_x"] <= 1))
+        assert np.all((d["norm_y"] >= 0) & (d["norm_y"] <= 1))
+        assert d["db"].max() <= 5.0 + 1e-6
+
+    def test_peak_shape_curve(self):
+        d, w = peak_shape_curve(bandwidth=1.0)
+        assert np.isclose(w[len(w) // 2], 0.5, atol=1e-6)  # W(0) = 0.5
+        d2, w2 = peak_shape_curve(bandwidth=1.0, q=2.0)
+        assert np.all(np.abs(w2) <= np.abs(w) + 1e-7)
+
+    def test_frame_timer(self):
+        t = FrameTimer()
+        for _ in range(3):
+            with t.frame():
+                pass
+        s = t.summary()
+        assert s["count"] == 3 and s["p50_ms"] >= 0
+
+
+class TestCLI:
+    def _run(self, *args):
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
+        return subprocess.run(
+            [sys.executable, "-m", "vaudio", *args],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300)
+
+    def test_info(self):
+        r = self._run("info")
+        assert r.returncode == 0
+        info = json.loads(r.stdout)
+        assert info["derived"]["num_bins"] == 2047
+
+    def test_synthetic(self, tmp_path):
+        out = str(tmp_path / "c.wav")
+        r = self._run("synthetic", "--hue", "0.33", "--frames", "4",
+                      "--width", "128", "--height", "128", "-o", out)
+        assert r.returncode == 0, r.stderr
+        audio, sr = read_wav(out)
+        assert len(audio) == 4 * 2048
+
+    def test_sonify_npy(self, tmp_path):
+        frames = solid_color_frames([1, 0.1, 0.1], 64, 64, 3)
+        inp = str(tmp_path / "frames.npy")
+        np.save(inp, frames)
+        out = str(tmp_path / "o.wav")
+        r = self._run("sonify", inp, "-o", out)
+        assert r.returncode == 0, r.stderr
+        audio, _ = read_wav(out)
+        assert len(audio) == 3 * 2048

@@ -60,7 +60,11 @@ class TestIO:
         src = ArraySource(frames, fps=30.0)
         assert src.shape == (16, 16) and src.num_frames == 4
         lst = list(src.frames())
-        assert len(lst) == 4 and lst[0].dtype == np.float32
+        # uint8 is preserved (device-side normalization saves 4x ingest BW)
+        assert len(lst) == 4 and lst[0].dtype == np.uint8
+        as_f = ArraySource(frames, as_float=True)
+        np.testing.assert_allclose(as_f.tensor(),
+                                   frames.astype(np.float32) / 255.0)
         path = str(tmp_path / "f.npy")
         np.save(path, frames)
         src2 = ArraySource.load(path)

@@ -174,3 +174,13 @@ class TestQuirkModes:
         # Different phase-buffer read layouts must audibly differ.
         assert not np.allclose(np.asarray(a_quirk), np.asarray(a_clean),
                                atol=1e-4)
+
+
+class TestUint8Ingest:
+    def test_uint8_matches_float(self, rng):
+        u8 = rng.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+        f32 = u8.astype(np.float32) / 255.0
+        a_u8, _, _ = run_offline(u8, CFG, PARAMS)
+        a_f32, _, _ = run_offline(f32, CFG, PARAMS)
+        np.testing.assert_allclose(np.asarray(a_u8), np.asarray(a_f32),
+                                   atol=2e-4)

@@ -63,15 +63,23 @@ def bgra_to_rgb(frame_bgra_u8: np.ndarray) -> np.ndarray:
 
 
 class ArraySource:
-    """Wrap a decoded video tensor f32[T, H, W, 3] (or uint8) as a source."""
+    """Wrap a decoded video tensor [T, H, W, 3] as a source.
 
-    def __init__(self, frames: np.ndarray, fps: float = 30.0):
+    uint8 tensors are kept as uint8 by default — the device step normalizes
+    on-chip, so host->device ingest ships 1 byte per channel instead of 4
+    (pass ``as_float=True`` to convert up front instead).
+    """
+
+    def __init__(self, frames: np.ndarray, fps: float = 30.0,
+                 as_float: bool = False):
         frames = np.asarray(frames)
         if frames.ndim != 4 or frames.shape[-1] != 3:
             raise ValueError(f"expected [T,H,W,3], got {frames.shape}")
-        if frames.dtype == np.uint8:
+        if frames.dtype == np.uint8 and as_float:
             frames = frames.astype(np.float32) / 255.0
-        self._frames = frames.astype(np.float32)
+        if frames.dtype != np.uint8:
+            frames = frames.astype(np.float32)
+        self._frames = frames
         self.fps = fps
 
     @property

@@ -200,7 +200,10 @@ class StreamingAuralizer:
                                     time.monotonic())
             t_capture = time.monotonic()
             params_arrays = self.params.as_arrays()
-            frame_dev = jax.device_put(np.asarray(frame, np.float32))
+            frame_np = np.asarray(frame)
+            if frame_np.dtype != np.uint8:    # uint8 ships 4x fewer bytes
+                frame_np = frame_np.astype(np.float32, copy=False)
+            frame_dev = jax.device_put(frame_np)
             self._carry, out = self._step(self._carry, frame_dev,
                                           params_arrays)
             if pending is not None:

@@ -159,3 +159,37 @@ class TestStreamingAuralizer:
         t.join()
         audio = s.pull(2048)
         assert np.all(np.isfinite(audio))
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path, rng):
+        from vaudio.runtime.checkpoint import load_state, save_state
+        from vaudio.runtime import init_carry, make_step
+        from vaudio.config import AuralizerConfig, LiveParams
+        import jax.numpy as jnp
+        cfg = AuralizerConfig()
+        step = make_step(cfg, jit=False)
+        carry = init_carry(cfg)
+        frame = jnp.asarray(rng.uniform(0, 1, (64, 64, 3)).astype(np.float32))
+        params = LiveParams().as_arrays()
+        carry, _ = step(carry, frame, params)
+        path = str(tmp_path / "state.npz")
+        save_state(path, carry)
+        restored = load_state(path, cfg)
+        # Resuming from the checkpoint must produce identical audio.
+        _, out_a = step(carry, frame, params)
+        _, out_b = step(restored, frame, params)
+        np.testing.assert_array_equal(np.asarray(out_a["pcm"]),
+                                      np.asarray(out_b["pcm"]))
+
+    def test_shape_validation(self, tmp_path):
+        import dataclasses
+        from vaudio.runtime.checkpoint import load_state, save_state
+        from vaudio.runtime import init_carry
+        from vaudio.config import AuralizerConfig
+        cfg = AuralizerConfig()
+        path = str(tmp_path / "s.npz")
+        save_state(path, init_carry(cfg))
+        other = dataclasses.replace(cfg, nfft=2048)
+        with pytest.raises(ValueError):
+            load_state(path, other)

@@ -63,9 +63,17 @@ class TestMipDownsample:
         out = np.asarray(vision.mip_downsample(frame, 2))
         np.testing.assert_allclose(out, 0.25, atol=1e-7)
 
-    def test_rejects_indivisible(self):
+    def test_odd_dims_floor_halving(self):
+        # Metal mip chains floor-halve odd dims; output dims must be
+        # d >> level (270 -> 33 at level 3).
+        out = np.asarray(vision.mip_downsample(
+            np.full((270, 480, 3), 0.5, np.float32), 3))
+        assert out.shape == (33, 60, 3)
+        np.testing.assert_allclose(out, 0.5, atol=1e-6)
+
+    def test_rejects_too_small(self):
         with pytest.raises(ValueError):
-            vision.mip_downsample(np.zeros((30, 32, 3), np.float32), 3)
+            vision.mip_downsample(np.zeros((4, 32, 3), np.float32), 3)
 
     def test_quantize_flag(self, rng):
         frame = (rng.integers(0, 256, (16, 16, 3)) / 255.0).astype(np.float32)

@@ -105,6 +105,7 @@ class StreamingAuralizer:
         self._thread: Optional[threading.Thread] = None
         self._stop_event = threading.Event()
         self._running = False
+        self._error: Optional[BaseException] = None
         # Last debug snapshot (hues/grads/spectrum) — the ConvolutionDebugView
         # data feed equivalent.
         self.debug_state: Dict[str, np.ndarray] = {}
@@ -121,10 +122,25 @@ class StreamingAuralizer:
             return
         self._stop_event.clear()
         self._running = True
+        self._error = None
         self.metrics.start_time = time.monotonic()
         self._thread = threading.Thread(
-            target=self._producer_loop, args=(iter(source),), daemon=True)
+            target=self._producer_guard, args=(iter(source),), daemon=True)
         self._thread.start()
+
+    def _producer_guard(self, frames) -> None:
+        try:
+            self._producer_loop(frames)
+        except BaseException as e:  # surfaced by raise_if_failed()
+            self._error = e
+            self._running = False
+
+    def raise_if_failed(self) -> None:
+        """Re-raise any exception the producer thread died with.  Producer
+        failures must not be silent (the reference degrades with printed
+        guard-lets; we degrade loudly)."""
+        if self._error is not None:
+            raise RuntimeError("stream producer failed") from self._error
 
     def stop(self) -> None:
         """Stop processing and clear buffered audio (SoundEngine.stop():
@@ -159,6 +175,7 @@ class StreamingAuralizer:
             time.sleep(0.001)
         self._running = False
         self.metrics.end_time = time.monotonic()
+        self.raise_if_failed()
 
     # -- audio consumer (AVAudioSourceNode pull equivalent) ----------------
 

@@ -70,7 +70,11 @@ def rgb_to_hsi(rgb):
 def _mip_plane(x, level: int, quantize: bool):
     for _ in range(level):
         hh, ww = x.shape[0] // 2, x.shape[1] // 2
-        x = x.reshape(hh, 2, ww, 2).mean(axis=(1, 3))
+        # Odd dims: drop the last row/col before pooling.  Metal's mip chain
+        # floor-halves each level (so our dims match d>>level exactly); its
+        # weighted 3-tap filter at odd edges is approximated by the crop —
+        # a one-texel boundary difference, documented in docs/PARITY.md.
+        x = x[:hh * 2, :ww * 2].reshape(hh, 2, ww, 2).mean(axis=(1, 3))
         if quantize:
             x = jnp.round(x * 255.0) / 255.0
     return x
@@ -85,10 +89,8 @@ def mip_downsample_planes(planes, level: int, quantize: bool = False):
     """
     planes = jnp.asarray(planes, dtype=jnp.float32)
     c, h, w = planes.shape
-    if h % (1 << level) or w % (1 << level):
-        raise ValueError(
-            f"frame dims ({h},{w}) must be divisible by 2^{level}; pad or "
-            f"crop the source (reference uses width>>level truncation)")
+    if (h >> level) == 0 or (w >> level) == 0:
+        raise ValueError(f"frame dims ({h},{w}) too small for mip {level}")
     return jnp.stack([_mip_plane(planes[ci], level, quantize)
                       for ci in range(c)])
 

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""End-to-end parity harness: framework vs. literal reference math.
+
+Chains the scalar-loop oracles (tests/oracles.py — literal transcriptions
+of the reference's Metal kernels and Swift reductions) into a complete
+frame->audio reference pipeline, runs both on identical random video, and
+reports max deviations per stage and on the final PCM.
+
+Usage: JAX_PLATFORMS=cpu python benchmarks/parity.py [n_frames] [size]
+"""
+
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+
+import numpy as np
+
+
+def reference_pipeline(frames, cfg):
+    """The complete reference-path oracle (float64 literal math)."""
+    import oracles
+    from vaudio.dsp import hann_window_norm
+
+    freqs = cfg.bin_frequencies().astype(np.float64)
+    hues = np.zeros(16, np.int32)
+    phase_accum = np.zeros(16 * 32)
+    prev_spec = np.zeros(cfg.num_bins, np.complex128)
+    ola_tail = np.zeros(cfg.nfft)
+    running_max = 1.0
+    window = hann_window_norm(cfg.nfft).astype(np.float64)
+    mixing = 0.9
+
+    pcm_out, hues_hist, grads_hist, spec_hist = [], [], [], []
+    for frame in frames:
+        mip = oracles.mip_np(frame, cfg.mip_level)
+        hist = oracles.hue_histogram_np(mip)
+        hues = oracles.update_hues_np(hist, hues, mixing)
+        feats = oracles.convolve_features_np(mip)       # rotated (W,H,3,4)
+        grads = oracles.cell_grad_stats_np(feats[..., 2, :])
+
+        phase_accum = oracles.phase_accumulate_np(
+            phase_accum, hues, freqs, cfg.hop_size, cfg.sample_rate)
+        spec = oracles.compute_spectrum_np(
+            hues, grads, freqs, prev_spec, phase_accum, mixing,
+            cfg.bin_width)
+        prev_spec = spec
+
+        # mirror + ifft (HelperFunctions.swift:110-129,155-185)
+        full = np.zeros(cfg.nfft, np.complex128)
+        full[1:cfg.num_bins + 1] = spec
+        full[cfg.nfft - np.arange(1, cfg.num_bins + 1)] = np.conj(spec)
+        sig = np.fft.ifft(full).real
+
+        # AGC (SoundEngine.swift:412-426)
+        peak = np.abs(sig).max() + 1e-9
+        if peak > running_max:
+            running_max = peak          # attack = 1.0
+        else:
+            running_max = peak          # release = 1.0
+        scaled = peak / running_max
+        k = 2.0
+        g = 1 / (1 + np.exp(-k * (scaled - 0.5)))
+        g0 = 1 / (1 + np.exp(k * 0.5))
+        g1 = 1 / (1 + np.exp(-k * 0.5))
+        nf = np.clip((g - g0) / (g1 - g0), 0, 1)
+        sig = sig / (peak / nf)
+
+        # OLA (SoundEngine.swift:231-254)
+        gain = 1.0 / (np.abs(sig).max() + 1e-6)
+        windowed = sig * gain * window
+        pcm = ola_tail[cfg.hop_size:] + windowed[:cfg.hop_size]
+        ola_tail = windowed
+
+        pcm_out.append(pcm)
+        hues_hist.append(hues.copy())
+        grads_hist.append(grads.copy())
+        spec_hist.append(spec.copy())
+    return (np.concatenate(pcm_out), np.stack(hues_hist),
+            np.stack(grads_hist), np.stack(spec_hist))
+
+
+def main():
+    from vaudio.config import AuralizerConfig, LiveParams
+    from vaudio.runtime import run_offline
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+
+    cfg = AuralizerConfig()
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(0, 1, (n, size, size, 3)).astype(np.float32)
+
+    print(f"parity: {n} frames of {size}x{size} ...")
+    ref_pcm, ref_hues, ref_grads, ref_spec = reference_pipeline(
+        frames.astype(np.float64), cfg)
+
+    audio, carry, dbg = run_offline(frames, cfg, LiveParams().as_arrays(),
+                                    debug=True)
+    audio = np.asarray(audio)
+    spec = np.asarray(dbg["spectrum"])
+    spec_c = spec[..., 0] + 1j * spec[..., 1]
+
+    hue_match = np.array_equal(np.asarray(dbg["hues"]), ref_hues)
+    grad_err = np.abs(np.asarray(dbg["grads"]) - ref_grads).max()
+    spec_err = np.abs(spec_c - ref_spec).max()
+    pcm_err = np.abs(audio - ref_pcm).max()
+    print(f"hues identical:      {hue_match}")
+    print(f"grads max |err|:     {grad_err:.3e}")
+    print(f"spectrum max |err|:  {spec_err:.3e}")
+    print(f"pcm max |err|:       {pcm_err:.3e}  (pcm peak ~1.0)")
+    ok = hue_match and grad_err < 1e-4 and spec_err < 1e-3 and pcm_err < 5e-3
+    print("PARITY:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -82,7 +82,8 @@ class Auralizer:
 
     def sonify_to_wav(self, frames, path: str) -> np.ndarray:
         audio = self.sonify(frames)
-        write_wav(path, audio, self.config.sample_rate)
+        write_wav(path, audio, self.config.sample_rate,
+                  channels=self.config.channels)
         return audio
 
     # ------------------------------------------------------------------
@@ -99,7 +100,9 @@ class Auralizer:
         return source
 
     def start(self, source: SourceLike = None) -> None:
-        self._stream.start(self._frame_iter(source or self._source))
+        if source is None:
+            source = self._source
+        self._stream.start(self._frame_iter(source))
 
     def stop(self) -> None:
         self._stream.stop()
@@ -112,8 +115,10 @@ class Auralizer:
 
     def run_until_exhausted(self, source: SourceLike = None,
                             timeout: float = 120.0) -> None:
-        self._stream.run_until_exhausted(
-            self._frame_iter(source or self._source), timeout=timeout)
+        if source is None:
+            source = self._source
+        self._stream.run_until_exhausted(self._frame_iter(source),
+                                         timeout=timeout)
 
     @property
     def is_running(self) -> bool:

@@ -68,6 +68,12 @@ class AuralizerConfig:
     ring_buffer_frames: int = 16
     warmup_frames: int = 3
 
+    # --- output channels ---
+    # 1 = mono (reference parity; SoundEngine.swift:165 is mono 44.1 kHz).
+    # 2 = stereo extension: cells are equal-power panned by their 4x4 grid
+    #     column (left column hard left, right column hard right).
+    channels: int = 1
+
     # --- fidelity / quirk switches ---
     # The reference writes phase accumulators with stride 32 (13 harmonics +
     # 19 bessel slots, SoundEngine.swift:269,279) but the GPU kernel *reads*

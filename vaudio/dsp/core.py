@@ -210,17 +210,20 @@ def overlap_add(signal, ola_tail, window):
     first half is summed with the previous frame's second half.
 
     Args:
-      signal:   f32[nfft] frame from the inverse FFT (post-AGC).
-      ola_tail: f32[nfft] previous windowed frame.
+      signal:   f32[..., nfft] frame(s) from the inverse FFT (post-AGC).
+                A leading channel axis is supported (stereo extension); the
+                peak normalization is then global across channels so the
+                stereo image is preserved.
+      ola_tail: f32[..., nfft] previous windowed frame.
       window:   f32[nfft] normalized Hann window.
     Returns:
-      (out_hop f32[nfft//2], new_tail f32[nfft])
+      (out_hop f32[..., nfft//2], new_tail f32[..., nfft])
     """
     signal = jnp.asarray(signal, dtype=jnp.float32)
-    nfft = signal.shape[0]
+    nfft = signal.shape[-1]
     hop = nfft // 2
     frame_peak = jnp.max(jnp.abs(signal))
     gain = 1.0 / (frame_peak + np.float32(1e-6))
     windowed = signal * gain * window
-    out = ola_tail[hop:] + windowed[:hop]
+    out = ola_tail[..., hop:] + windowed[..., :hop]
     return out.astype(jnp.float32), windowed.astype(jnp.float32)

@@ -68,16 +68,16 @@ def _hann_peak_from_d(d):
 
 
 def _spectrum_kernel(freqs_ref, pf_ref, scale_ref, w_ref, out_ref):
-    """One bin-tile: out[2, TILE_B] += partials' weighted peaks."""
+    """One bin-tile: out[K, TILE_B] += partials' weighted peaks.
+
+    K = 2 for mono (re, im), 4 for stereo (L_re, L_im, R_re, R_im)."""
     f = freqs_ref[0, :]                       # (TILE_B,)
     pf = pf_ref[0, :]                         # (NP,)
     scale = scale_ref[0, :]                   # (NP,)
     d = (f[None, :] - pf[:, None]) * scale[:, None]   # (NP, TILE_B)
     w = _hann_peak_from_d(d)
-    w_re = w_ref[0, :]                        # (NP,)
-    w_im = w_ref[1, :]
-    out_ref[0, :] = jnp.sum(w * w_re[:, None], axis=0)
-    out_ref[1, :] = jnp.sum(w * w_im[:, None], axis=0)
+    for k in range(out_ref.shape[0]):
+        out_ref[k, :] = jnp.sum(w * w_ref[k, :][:, None], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("num_bins", "tile_b",
@@ -90,11 +90,12 @@ def hann_peak_weighted_sum(freqs, pfreq, scale, weights, num_bins: int,
       freqs:   f32[F] bin frequencies.
       pfreq:   f32[NP] partial frequencies.
       scale:   f32[NP] per-partial distance scale (hann_mult / bandwidth).
-      weights: f32[NP, 2] complex weights as (re, im).
-    Returns: f32[F, 2].
+      weights: f32[NP, K] complex weights, K = 2*channels columns.
+    Returns: f32[F, K].
     """
     F = num_bins
     np_raw = pfreq.shape[0]
+    K = weights.shape[1]
     NP = _round_up(np_raw, 8)
     FP = _round_up(F, tile_b)
 
@@ -103,12 +104,12 @@ def hann_peak_weighted_sum(freqs, pfreq, scale, weights, num_bins: int,
     # Padded partials: scale 0 makes d == 0 -> W = 0.5, but weight 0 kills
     # the contribution.
     scale_p = jnp.zeros((1, NP), jnp.float32).at[0, :np_raw].set(scale)
-    w_p = jnp.zeros((2, NP), jnp.float32).at[:, :np_raw].set(weights.T)
+    w_p = jnp.zeros((K, NP), jnp.float32).at[:, :np_raw].set(weights.T)
 
     grid = (FP // tile_b,)
     out = pl.pallas_call(
         _spectrum_kernel,
-        out_shape=jax.ShapeDtypeStruct((2, FP), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((K, FP), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile_b), lambda i: (0, i),
@@ -117,10 +118,10 @@ def hann_peak_weighted_sum(freqs, pfreq, scale, weights, num_bins: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NP), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, NP), lambda i: (0, 0),
+            pl.BlockSpec((K, NP), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, tile_b), lambda i: (0, i),
+        out_specs=pl.BlockSpec((K, tile_b), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=10 * NP * FP,

@@ -41,11 +41,15 @@ def init_carry(cfg: AuralizerConfig) -> StepCarry:
     """Initial state, matching the reference's cold start: hues all 0
     (VisionEngine.swift:33), phases/spectrum/tail zero, running max 1.0
     (SoundEngine.swift:73)."""
+    spec_shape = (cfg.num_bins, 2) if cfg.channels == 1 \
+        else (cfg.channels, cfg.num_bins, 2)
+    tail_shape = (cfg.nfft,) if cfg.channels == 1 \
+        else (cfg.channels, cfg.nfft)
     return StepCarry(
         hues=jnp.zeros((cfg.num_cells,), jnp.int32),
         phases=jnp.zeros((cfg.num_cells, cfg.phase_stride), jnp.float32),
-        prev_spectrum=jnp.zeros((cfg.num_bins, 2), jnp.float32),
-        ola_tail=jnp.zeros((cfg.nfft,), jnp.float32),
+        prev_spectrum=jnp.zeros(spec_shape, jnp.float32),
+        ola_tail=jnp.zeros(tail_shape, jnp.float32),
         running_max=jnp.float32(1.0),
     )
 
@@ -94,13 +98,20 @@ def frame_step(carry: StepCarry, frame, params: Dict[str, Any],
     spectrum = build_spectrum(hues, grads, phases, carry.prev_spectrum,
                               mixing, cfg, consts)
 
-    # 4. Audio frame
-    signal = irfft_from_half(spectrum[:, 0], spectrum[:, 1])
+    # 4. Audio frame (stereo: channel-batched irfft, shared AGC/OLA gain so
+    #    the stereo image is preserved)
+    if cfg.channels == 1:
+        signal = irfft_from_half(spectrum[:, 0], spectrum[:, 1])
+    else:
+        signal = jax.vmap(
+            lambda sp: irfft_from_half(sp[:, 0], sp[:, 1]))(spectrum)
     normalized, running_max = agc_normalize(
         signal, carry.running_max,
         jnp.asarray(params["attack"], jnp.float32),
         jnp.asarray(params["release"], jnp.float32))
     pcm, ola_tail = overlap_add(normalized, carry.ola_tail, window)
+    if cfg.channels != 1:
+        pcm = pcm.T                         # (hop, channels) interleaved
 
     new_carry = StepCarry(hues=hues, phases=phases, prev_spectrum=spectrum,
                           ola_tail=ola_tail, running_max=running_max)
@@ -161,6 +172,9 @@ def run_offline(frames, cfg: AuralizerConfig,
         return jax.lax.scan(body, carry, frames)
 
     final_carry, outs = scan_fn(carry, jnp.asarray(frames), params)
-    audio = outs["pcm"].reshape(-1)
+    if cfg.channels == 1:
+        audio = outs["pcm"].reshape(-1)
+    else:
+        audio = outs["pcm"].reshape(-1, cfg.channels)
     dbg = {k: v for k, v in outs.items() if k != "pcm"}
     return audio, final_carry, dbg

@@ -98,7 +98,9 @@ class StreamingAuralizer:
         self.debug = debug
         self._step = make_step(cfg, debug=debug)
         self._carry: StepCarry = init_carry(cfg)
-        self.ring = make_ring_buffer(cfg.ring_buffer_frames, cfg.hop_size,
+        # Stereo streams store interleaved samples (frame = hop * channels).
+        self.ring = make_ring_buffer(cfg.ring_buffer_frames,
+                                     cfg.hop_size * cfg.channels,
                                      cfg.warmup_frames,
                                      prefer_native=prefer_native)
         self.metrics = StreamMetrics()
@@ -200,7 +202,7 @@ class StreamingAuralizer:
         def flush(pending):
             carry_out, out, t_capture = pending
             pcm = np.asarray(out["pcm"])      # blocks until ready
-            self.ring.write(pcm)
+            self.ring.write(pcm.reshape(-1))  # stereo: interleaved
             self.metrics.record((time.monotonic() - t_capture) * 1000.0)
             if self.debug:
                 self.debug_state = {

@@ -231,6 +231,18 @@ def partial_weights(hues, grads, phases, cfg: AuralizerConfig,
     return pfreq, w_re, w_im, 1.0 / bw
 
 
+def cell_pan_gains(cfg: AuralizerConfig) -> np.ndarray:
+    """Equal-power stereo pan per cell, by 4x4 grid column (stereo
+    extension — the reference output is mono, SoundEngine.swift:165).
+
+    Returns f32[num_cells, 2] (gL, gR); column 0 hard left, column
+    grid-1 hard right.
+    """
+    cols = np.arange(cfg.num_cells) % cfg.grid_size
+    theta = cols / max(cfg.grid_size - 1, 1) * (np.pi / 2.0)
+    return np.stack([np.cos(theta), np.sin(theta)], axis=1).astype(np.float32)
+
+
 def build_spectrum(hues, grads, phases, prev_spectrum, spectrum_mixing,
                    cfg: AuralizerConfig, consts: SynthConstants,
                    use_pallas: Optional[bool] = None):
@@ -244,11 +256,17 @@ def build_spectrum(hues, grads, phases, prev_spectrum, spectrum_mixing,
 
     Args:
       hues: i32[16]; grads: f32[16,4]; phases: f32[16,32];
-      prev_spectrum: f32[F,2]; spectrum_mixing: f32 scalar.
-    Returns: f32[F, 2] new spectrum (also the next frame's ``prev``).
+      prev_spectrum: f32[F,2] (mono) or f32[2,F,2] (stereo);
+      spectrum_mixing: f32 scalar.
+    Returns: spectrum shaped like ``prev_spectrum`` (the next ``prev``).
+
+    With cfg.channels == 2 the per-partial complex weights are split into
+    L/R by the cell pan law before the SAME peak-matrix contraction — the
+    heavy (F x partials) stage is shared between channels.
     """
     if use_pallas is None:
         use_pallas = cfg.use_pallas
+    ch = cfg.channels
 
     pfreq, w_re, w_im, inv_bw = partial_weights(hues, grads, phases, cfg,
                                                 consts)
@@ -256,6 +274,13 @@ def build_spectrum(hues, grads, phases, prev_spectrum, spectrum_mixing,
     flat_pf = pfreq.reshape(nc * P)
     flat_w = jnp.stack([w_re.reshape(nc * P), w_im.reshape(nc * P)], axis=1)
     flat_inv_bw = jnp.broadcast_to(inv_bw[:, None], (nc, P)).reshape(nc * P)
+
+    if ch == 2:
+        pan = jnp.asarray(cell_pan_gains(cfg))               # (nc, 2)
+        pan_flat = jnp.repeat(pan, P, axis=0)                # (nc*P, 2)
+        # (NP, ch, 2) -> (NP, ch*2): [gL*re, gL*im, gR*re, gR*im]
+        flat_w = (pan_flat[:, :, None] * flat_w[:, None, :]).reshape(
+            nc * P, ch * 2)
 
     if use_pallas:
         from vaudio.ops.spectrum_kernel import spectrum_pallas
@@ -267,13 +292,16 @@ def build_spectrum(hues, grads, phases, prev_spectrum, spectrum_mixing,
         W = hann_sinc_peak(d)                                # (F, 496)
         cur = jax.lax.dot_general(
             W, flat_w, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (F, 2)
+            preferred_element_type=jnp.float32)              # (F, 2 or 4)
+
+    if ch == 2:
+        cur = jnp.transpose(cur.reshape(-1, ch, 2), (1, 0, 2))  # (2, F, 2)
 
     # Static per-bin phase rotation (complex multiply, metal :198).
     c = jnp.asarray(consts.static_cos)
     s = jnp.asarray(consts.static_sin)
-    rot = jnp.stack([cur[:, 0] * c - cur[:, 1] * s,
-                     cur[:, 0] * s + cur[:, 1] * c], axis=1)
+    rot = jnp.stack([cur[..., 0] * c - cur[..., 1] * s,
+                     cur[..., 0] * s + cur[..., 1] * c], axis=-1)
 
     # Temporal smoothing: mix(prev, cur, 1 - mixing)  (metal :211-213).
     m = spectrum_mixing

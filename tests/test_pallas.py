@@ -78,3 +78,56 @@ class TestKernelEquivalence:
         audio_ref, _, _ = run_offline(frames, CFG, LiveParams().as_arrays())
         np.testing.assert_allclose(np.asarray(audio_pl),
                                    np.asarray(audio_ref), atol=1e-3)
+
+
+class TestAudioKernel:
+    def test_agc_ola_matches_reference_path(self, rng):
+        from vaudio.dsp import agc_normalize, hann_window_norm, overlap_add
+        from vaudio.ops.audio_kernel import agc_overlap_add
+        nfft = 4096
+        w = jnp.asarray(hann_window_norm(nfft))
+        sig = jnp.asarray(rng.normal(size=nfft).astype(np.float32))
+        tail = jnp.asarray(rng.normal(size=nfft).astype(np.float32))
+        for rmax, att, rel in [(1.0, 1.0, 1.0), (0.3, 0.5, 0.2),
+                               (2.0, 0.0, 1.0)]:
+            norm, new_max = agc_normalize(sig, jnp.float32(rmax),
+                                          jnp.float32(att), jnp.float32(rel))
+            pcm_ref, tail_ref = overlap_add(norm, tail, w)
+            pcm, new_tail, nm = agc_overlap_add(
+                sig, tail, w, jnp.float32(rmax), jnp.float32(att),
+                jnp.float32(rel), interpret=True)
+            np.testing.assert_allclose(float(nm), float(new_max), rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(pcm), np.asarray(pcm_ref),
+                                       atol=1e-5)
+            np.testing.assert_allclose(np.asarray(new_tail),
+                                       np.asarray(tail_ref), atol=1e-5)
+
+    def test_agc_ola_stereo(self, rng):
+        from vaudio.dsp import agc_normalize, hann_window_norm, overlap_add
+        from vaudio.ops.audio_kernel import agc_overlap_add
+        nfft = 4096
+        w = jnp.asarray(hann_window_norm(nfft))
+        sig = jnp.asarray(rng.normal(size=(2, nfft)).astype(np.float32))
+        tail = jnp.asarray(rng.normal(size=(2, nfft)).astype(np.float32))
+        norm, new_max = agc_normalize(sig, jnp.float32(1.0),
+                                      jnp.float32(1.0), jnp.float32(1.0))
+        pcm_ref, tail_ref = overlap_add(norm, tail, w)
+        pcm, new_tail, nm = agc_overlap_add(
+            sig, tail, w, jnp.float32(1.0), jnp.float32(1.0),
+            jnp.float32(1.0), interpret=True)
+        assert pcm.shape == (2, 2048)
+        np.testing.assert_allclose(np.asarray(pcm), np.asarray(pcm_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_tail),
+                                   np.asarray(tail_ref), atol=1e-5)
+
+    def test_zero_signal(self):
+        from vaudio.dsp import hann_window_norm
+        from vaudio.ops.audio_kernel import agc_overlap_add
+        nfft = 4096
+        w = jnp.asarray(hann_window_norm(nfft))
+        z = jnp.zeros(nfft, jnp.float32)
+        pcm, tail, nm = agc_overlap_add(z, z, w, jnp.float32(1.0),
+                                        jnp.float32(1.0), jnp.float32(1.0),
+                                        interpret=True)
+        assert np.all(np.isfinite(np.asarray(pcm)))

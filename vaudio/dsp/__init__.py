@@ -10,6 +10,7 @@ from vaudio.dsp.core import (
     agc_normalize,
     find_closest_index,
     hann_sinc_peak,
+    hann_sinc_peak_fast,
     hann_window_norm,
     hash_phase,
     hue_to_f0,
@@ -26,6 +27,7 @@ __all__ = [
     "agc_normalize",
     "find_closest_index",
     "hann_sinc_peak",
+    "hann_sinc_peak_fast",
     "hann_window_norm",
     "hash_phase",
     "hue_to_f0",

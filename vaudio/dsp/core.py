@@ -78,6 +78,32 @@ def hann_sinc_peak(d):
     return 0.5 * sinc(d) - 0.25 * (sinc(d - 1.0) + sinc(d + 1.0))
 
 
+def hann_sinc_peak_fast(d):
+    """One-sin evaluation of :func:`hann_sinc_peak` (identical to ~1 ulp).
+
+    Uses sin(pi(d+-1)) = -sin(pi d) to collapse the three sincs into one
+    sine times a rational factor, with argument reduction
+    sin(pi d) = (-1)^round(d) sin(pi (d - round(d))) to avoid catastrophic
+    cancellation near integer d (exactly where the rational factor has
+    poles).  3x fewer transcendentals — the synthesis stage's FLOP
+    bottleneck (SpectrumCompute.metal:164-167 evaluates the naive form per
+    thread).
+    """
+    d = jnp.asarray(d, dtype=jnp.float32)
+    pi = np.float32(np.pi)
+    n = jnp.round(d)
+    frac = d - n                                   # exact for |d| < 2^23
+    s = jnp.sin(pi * frac)
+    s = jnp.where(jnp.mod(n, 2.0) == 0.0, s, -s)   # * (-1)^n
+    r = (0.5 / (pi * d)
+         + 0.25 / (pi * (d - 1.0))
+         + 0.25 / (pi * (d + 1.0)))
+    w = s * r
+    w = jnp.where(d == 0.0, jnp.float32(0.5), w)
+    w = jnp.where(jnp.abs(d) == 1.0, jnp.float32(-0.25), w)
+    return w
+
+
 def hash_phase(x):
     """The shader's deterministic hash phase:
     fract(sin(x) * 43758.5453) * 2*pi  (SpectrumCompute.metal:97,136,180).

@@ -45,26 +45,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _hann_peak_from_d(d):
-    """One-sin Hann-transform peak evaluation (see module docstring).
-
-    sin(pi*d) is computed with argument reduction —
-    sin(pi*d) = (-1)^round(d) * sin(pi*(d - round(d))) — because the naive
-    form cancels catastrophically near integer d (exactly where the peak's
-    rational factor blows up); the reduced subtraction is exact in f32 and
-    the sin argument lands in [-pi/2, pi/2] where it is fully accurate.
-    """
-    n = jnp.round(d)
-    frac = d - n                                   # exact for |d| < 2^23
-    s = jnp.sin(_PI * frac)
-    s = jnp.where(jnp.mod(n, 2.0) == 0.0, s, -s)   # * (-1)^n
-    r = (0.5 / (_PI * d)
-         + 0.25 / (_PI * (d - 1.0))
-         + 0.25 / (_PI * (d + 1.0)))
-    w = s * r
-    w = jnp.where(d == 0.0, jnp.float32(0.5), w)
-    w = jnp.where(jnp.abs(d) == 1.0, jnp.float32(-0.25), w)
-    return w
+from vaudio.dsp import hann_sinc_peak_fast as _hann_peak_from_d  # noqa: E402
 
 
 def _spectrum_kernel(freqs_ref, pf_ref, scale_ref, w_ref, out_ref):

@@ -105,11 +105,19 @@ def frame_step(carry: StepCarry, frame, params: Dict[str, Any],
     else:
         signal = jax.vmap(
             lambda sp: irfft_from_half(sp[:, 0], sp[:, 1]))(spectrum)
-    normalized, running_max = agc_normalize(
-        signal, carry.running_max,
-        jnp.asarray(params["attack"], jnp.float32),
-        jnp.asarray(params["release"], jnp.float32))
-    pcm, ola_tail = overlap_add(normalized, carry.ola_tail, window)
+    attack = jnp.asarray(params["attack"], jnp.float32)
+    release = jnp.asarray(params["release"], jnp.float32)
+    if cfg.use_pallas:
+        # Fused AGC+OLA kernel: one dispatch instead of ~10 tiny XLA
+        # kernels (per-kernel launch overhead dominates this stage).
+        from vaudio.ops.audio_kernel import agc_overlap_add
+        pcm, ola_tail, running_max = agc_overlap_add(
+            signal, carry.ola_tail, window, carry.running_max, attack,
+            release)
+    else:
+        normalized, running_max = agc_normalize(
+            signal, carry.running_max, attack, release)
+        pcm, ola_tail = overlap_add(normalized, carry.ola_tail, window)
     if cfg.channels != 1:
         pcm = pcm.T                         # (hop, channels) interleaved
 

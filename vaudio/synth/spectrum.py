@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from vaudio.config import AuralizerConfig
-from vaudio.dsp import find_closest_index, hann_sinc_peak, hue_to_f0
+from vaudio.dsp import find_closest_index, hann_sinc_peak_fast, hue_to_f0
 
 _TWO_PI = np.float64(2.0 * np.pi)
 
@@ -289,7 +289,7 @@ def build_spectrum(hues, grads, phases, prev_spectrum, spectrum_mixing,
         freqs = jnp.asarray(consts.freqs)                    # (F,)
         hann_mult = np.float32(1.0 / cfg.bin_width)
         d = (freqs[:, None] - flat_pf[None, :]) * (hann_mult * flat_inv_bw)
-        W = hann_sinc_peak(d)                                # (F, 496)
+        W = hann_sinc_peak_fast(d)                           # (F, 496)
         cur = jax.lax.dot_general(
             W, flat_w, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # (F, 2 or 4)

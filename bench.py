@@ -56,29 +56,33 @@ def main() -> int:
     log(f"bench: backend={backend} device={dev} frame={h}x{w} "
         f"chunks={chunks} pallas={use_pallas}")
 
-    def bench_chunk(T):
-        @jax.jit
-        def scan_chunk(carry, seed):
-            frames = jax.random.uniform(jax.random.PRNGKey(seed),
-                                        (T, h, w, 3), jnp.float32)
-            def body(c, f):
-                return frame_step(c, f, params, cfg, consts, window)
-            return jax.lax.scan(body, carry, frames)
+    # One executable with a RUNTIME trip count: n is a dynamic fori_loop
+    # bound, so both chunk sizes share a single (expensive, remotely
+    # cached) compile.
+    @jax.jit
+    def run_n(carry, seed, n):
+        def body(i, c):
+            key = jax.random.fold_in(jax.random.PRNGKey(0), seed * 131 + i)
+            frame = jax.random.uniform(key, (h, w, 3), jnp.float32)
+            c2, _out = frame_step(c, frame, params, cfg, consts, window)
+            return c2
+        return jax.lax.fori_loop(0, n, body, carry)
 
+    def bench_chunk(T, seed0):
         carry = init_carry(cfg)
         t0 = time.perf_counter()
-        carry, outs = scan_chunk(carry, 0)
-        jax.block_until_ready(outs["pcm"])
+        carry = run_n(carry, seed0, T)
+        jax.block_until_ready(carry.running_max)
         log(f"bench: chunk{T} first call (incl. compile) "
             f"{time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         for i in range(iters):
-            carry, outs = scan_chunk(carry, i + 1)
-        jax.block_until_ready(outs["pcm"])
+            carry = run_n(carry, seed0 + i + 1, T)
+        jax.block_until_ready(carry.running_max)
         return (time.perf_counter() - t0) / iters * 1e3  # ms/call
 
-    t_small = bench_chunk(chunks[0])
-    t_big = bench_chunk(chunks[1])
+    t_small = bench_chunk(chunks[0], 0)
+    t_big = bench_chunk(chunks[1], 1000)
     ms_per_frame = (t_big - t_small) / (chunks[1] - chunks[0])
     dispatch_ms = t_small - chunks[0] * ms_per_frame
     fps = 1000.0 / ms_per_frame

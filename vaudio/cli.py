@@ -26,6 +26,9 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
                         "reference-compatible quirk mode")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas synthesis kernel")
+    p.add_argument("--channels", type=int, default=1, choices=(1, 2),
+                   help="1 = mono (reference parity), 2 = stereo "
+                        "(cells panned by grid column)")
     p.add_argument("--spectrum-mixing", type=float, default=0.9)
     p.add_argument("--attack", type=float, default=1.0)
     p.add_argument("--release", type=float, default=1.0)
@@ -36,7 +39,8 @@ def _build_config(args):
     cfg = AuralizerConfig(sample_rate=args.sample_rate, video_fps=args.fps,
                           mip_level=args.mip_level,
                           quirk_compat=not args.no_quirks,
-                          use_pallas=args.pallas)
+                          use_pallas=args.pallas,
+                          channels=args.channels)
     params = LiveParams(attack=args.attack, release=args.release,
                         spectrum_mixing=args.spectrum_mixing)
     return cfg, params

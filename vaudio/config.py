@@ -93,6 +93,9 @@ class AuralizerConfig:
     # Use the fused Pallas synthesis kernel instead of the jnp reference
     # implementation for the spectrum builder.
     use_pallas: bool = False
+    # Use the fused Pallas AGC+overlap-add kernel for the audio tail
+    # (independent of use_pallas: it is much cheaper to compile).
+    use_pallas_audio: bool = False
 
     # ------------------------------------------------------------------
     # Derived quantities (SoundEngine.swift:129-144)

@@ -107,7 +107,7 @@ def frame_step(carry: StepCarry, frame, params: Dict[str, Any],
             lambda sp: irfft_from_half(sp[:, 0], sp[:, 1]))(spectrum)
     attack = jnp.asarray(params["attack"], jnp.float32)
     release = jnp.asarray(params["release"], jnp.float32)
-    if cfg.use_pallas:
+    if cfg.use_pallas or cfg.use_pallas_audio:
         # Fused AGC+OLA kernel: one dispatch instead of ~10 tiny XLA
         # kernels (per-kernel launch overhead dominates this stage).
         from vaudio.ops.audio_kernel import agc_overlap_add

@@ -56,29 +56,29 @@ def main() -> int:
     log(f"bench: backend={backend} device={dev} frame={h}x{w} "
         f"chunks={chunks} pallas={use_pallas}")
 
-    # One executable with a RUNTIME trip count: n is a dynamic fori_loop
-    # bound, so both chunk sizes share a single (expensive, remotely
-    # cached) compile.
-    @jax.jit
-    def run_n(carry, seed, n):
-        def body(i, c):
-            key = jax.random.fold_in(jax.random.PRNGKey(0), seed * 131 + i)
-            frame = jax.random.uniform(key, (h, w, 3), jnp.float32)
-            c2, _out = frame_step(c, frame, params, cfg, consts, window)
-            return c2
-        return jax.lax.fori_loop(0, n, body, carry)
-
+    # lax.scan with a static length per chunk size.  (A dynamic-trip-count
+    # fori_loop would need only one compile, but compiles pathologically
+    # slowly on this toolchain; the second scan length hits the remote
+    # compile cache and costs only seconds.)
     def bench_chunk(T, seed0):
+        @jax.jit
+        def scan_chunk(carry, seed):
+            frames = jax.random.uniform(jax.random.PRNGKey(seed),
+                                        (T, h, w, 3), jnp.float32)
+            def body(c, f):
+                return frame_step(c, f, params, cfg, consts, window)
+            return jax.lax.scan(body, carry, frames)
+
         carry = init_carry(cfg)
         t0 = time.perf_counter()
-        carry = run_n(carry, seed0, T)
-        jax.block_until_ready(carry.running_max)
+        carry, outs = scan_chunk(carry, seed0)
+        jax.block_until_ready(outs["pcm"])
         log(f"bench: chunk{T} first call (incl. compile) "
             f"{time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         for i in range(iters):
-            carry = run_n(carry, seed0 + i + 1, T)
-        jax.block_until_ready(carry.running_max)
+            carry, outs = scan_chunk(carry, seed0 + i + 1)
+        jax.block_until_ready(outs["pcm"])
         return (time.perf_counter() - t0) / iters * 1e3  # ms/call
 
     t_small = bench_chunk(chunks[0], 0)

@@ -193,3 +193,29 @@ class TestCheckpoint:
         other = dataclasses.replace(cfg, nfft=2048)
         with pytest.raises(ValueError):
             load_state(path, other)
+
+
+class TestChunkedStreaming:
+    def test_chunked_matches_single(self):
+        from vaudio.runtime import run_offline
+        from vaudio.config import LiveParams
+        frames = solid_color_frames([1.0, 0.2, 0.1], width=128, height=128,
+                                    num_frames=10)
+        s = StreamingAuralizer(AuralizerConfig(), chunk_frames=4)
+        s.run_until_exhausted(list(frames), timeout=120)
+        s.raise_if_failed()
+        assert s.metrics.frames_processed  # chunks recorded
+        got = s.pull(10 * 2048)
+        ref, _, _ = run_offline(frames, AuralizerConfig(),
+                                LiveParams().as_arrays())
+        # Ring buffer yields the same PCM stream (10 hops: 2 chunks of 4 +
+        # 2 trailing single steps).
+        np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4)
+
+    def test_chunked_exact_multiple(self):
+        frames = solid_color_frames([0.2, 0.9, 0.2], width=64, height=64,
+                                    num_frames=8)
+        s = StreamingAuralizer(AuralizerConfig(), chunk_frames=4)
+        s.run_until_exhausted(list(frames), timeout=120)
+        s.raise_if_failed()
+        assert s.ring.available == 8

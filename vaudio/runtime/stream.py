@@ -91,12 +91,38 @@ class StreamingAuralizer:
                  params: Optional[LiveParams] = None,
                  realtime: bool = False,
                  prefer_native: bool = True,
-                 debug: bool = False):
+                 debug: bool = False,
+                 chunk_frames: int = 1):
+        """``chunk_frames > 1`` dispatches N frames per device call (a
+        lax.scan micro-batch): adds N-1 frame times of buffering latency
+        but amortizes per-dispatch overhead N-fold — the right trade when
+        dispatch latency is high (remote TPU) or throughput matters more
+        than latency."""
         self.cfg = cfg
         self.params = params if params is not None else LiveParams()
         self.realtime = realtime
         self.debug = debug
+        self.chunk_frames = max(1, int(chunk_frames))
         self._step = make_step(cfg, debug=debug)
+        self._chunk_step = None
+        if self.chunk_frames > 1:
+            import functools
+
+            import jax.numpy as jnp
+
+            from vaudio.dsp import hann_window_norm
+            from vaudio.runtime.step import frame_step
+            from vaudio.synth import SynthConstants
+            consts = SynthConstants.create(cfg)
+            window = jnp.asarray(hann_window_norm(cfg.nfft))
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def chunk_step(carry, frames, params):
+                def body(c, f):
+                    return frame_step(c, f, params, cfg, consts, window,
+                                      debug=debug)
+                return jax.lax.scan(body, carry, frames)
+            self._chunk_step = chunk_step
         self._carry: StepCarry = init_carry(cfg)
         # Stereo streams store interleaved samples (frame = hop * channels).
         self.ring = make_ring_buffer(cfg.ring_buffer_frames,
@@ -195,18 +221,38 @@ class StreamingAuralizer:
 
     def _producer_loop(self, frames: Iterator[np.ndarray]) -> None:
         frame_period = 1.0 / self.cfg.video_fps
-        params_arrays = self.params.as_arrays()
-        pending = None        # (dispatch_outputs, capture_time)
+        pending = None        # (out, capture_time, n_hops)
         next_deadline = time.monotonic()
+        chunk_buf: list = []
+        chunk_t0: Optional[float] = None
 
         def flush(pending):
-            carry_out, out, t_capture = pending
+            out, t_capture, n_hops = pending
             pcm = np.asarray(out["pcm"])      # blocks until ready
-            self.ring.write(pcm.reshape(-1))  # stereo: interleaved
+            hop = self.cfg.hop_size * self.cfg.channels
+            pcm = pcm.reshape(n_hops, hop)    # stereo: interleaved
+            for row in pcm:
+                self.ring.write(row)
             self.metrics.record((time.monotonic() - t_capture) * 1000.0)
             if self.debug:
                 self.debug_state = {
-                    k: np.asarray(v) for k, v in out.items() if k != "pcm"}
+                    k: np.asarray(v)[-1] if n_hops > 1 else np.asarray(v)
+                    for k, v in out.items() if k != "pcm"}
+
+        def dispatch(frames_np, t_capture):
+            nonlocal pending
+            params_arrays = self.params.as_arrays()
+            if len(frames_np) == 1:
+                frame_dev = jax.device_put(frames_np[0])
+                self._carry, out = self._step(self._carry, frame_dev,
+                                              params_arrays)
+            else:
+                batch = jax.device_put(np.stack(frames_np))
+                self._carry, out = self._chunk_step(self._carry, batch,
+                                                    params_arrays)
+            if pending is not None:
+                flush(pending)
+            pending = (out, t_capture, len(frames_np))
 
         for frame in frames:
             if self._stop_event.is_set():
@@ -217,17 +263,22 @@ class StreamingAuralizer:
                     time.sleep(next_deadline - now)
                 next_deadline = max(next_deadline + frame_period,
                                     time.monotonic())
-            t_capture = time.monotonic()
-            params_arrays = self.params.as_arrays()
             frame_np = np.asarray(frame)
             if frame_np.dtype != np.uint8:    # uint8 ships 4x fewer bytes
                 frame_np = frame_np.astype(np.float32, copy=False)
-            frame_dev = jax.device_put(frame_np)
-            self._carry, out = self._step(self._carry, frame_dev,
-                                          params_arrays)
-            if pending is not None:
-                flush(pending)
-            pending = (self._carry, out, t_capture)
+            if self.chunk_frames == 1:
+                dispatch([frame_np], time.monotonic())
+            else:
+                if not chunk_buf:
+                    chunk_t0 = time.monotonic()
+                chunk_buf.append(frame_np)
+                if len(chunk_buf) >= self.chunk_frames:
+                    dispatch(chunk_buf, chunk_t0)
+                    chunk_buf = []
+        # Trailing partial chunk: single-step the remainder.
+        if chunk_buf and not self._stop_event.is_set():
+            for f in chunk_buf:
+                dispatch([f], chunk_t0 or time.monotonic())
         if pending is not None and not self._stop_event.is_set():
             flush(pending)
         self._running = False

@@ -183,3 +183,17 @@ class TestCLI:
         assert r.returncode == 0, r.stderr
         audio, _ = read_wav(out)
         assert len(audio) == 3 * 2048
+
+
+class TestApiCheckpoint:
+    def test_stream_state_roundtrip(self, tmp_path):
+        frames = solid_color_frames([1, 0.2, 0.1], 64, 64, 4)
+        aur = Auralizer(source=frames)
+        aur.run_until_exhausted()
+        p = str(tmp_path / "st.npz")
+        aur.save_state(p)
+        aur2 = Auralizer()
+        aur2.load_state(p)
+        np.testing.assert_array_equal(
+            np.asarray(aur._stream._carry.phases),
+            np.asarray(aur2._stream._carry.phases))

@@ -158,3 +158,20 @@ class Auralizer:
         (cellAvgGrads), spectrum (previousSpectrum) — the data feeds behind
         the reference's ConvolutionDebugView / SpectrumView."""
         return dict(self._stream.debug_state)
+
+    # ------------------------------------------------------------------
+    # Checkpoint / resume (extension; the reference keeps this state
+    # implicit and in-memory only — SURVEY.md §5)
+    # ------------------------------------------------------------------
+
+    def save_state(self, path: str) -> None:
+        """Serialize the stream's DSP carry (phases, previous spectrum,
+        OLA tail, AGC envelope, hues) to ``path`` (.npz)."""
+        from vaudio.runtime.checkpoint import save_state
+        save_state(path, self._stream._carry)
+
+    def load_state(self, path: str) -> None:
+        """Restore a previously saved DSP carry; the next frame continues
+        the stream seamlessly."""
+        from vaudio.runtime.checkpoint import load_state
+        self._stream._carry = load_state(path, self.config)

@@ -16,6 +16,7 @@ Execution modes:
   with the reference's ring-buffer/warm-up/drop semantics.
 """
 
+from vaudio.runtime.checkpoint import load_state, save_state
 from vaudio.runtime.step import (
     StepCarry,
     frame_step,
@@ -26,6 +27,8 @@ from vaudio.runtime.step import (
 
 __all__ = [
     "StepCarry",
+    "load_state",
+    "save_state",
     "frame_step",
     "init_carry",
     "make_step",

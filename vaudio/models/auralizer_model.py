@@ -14,7 +14,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from vaudio.config import AuralizerConfig, LiveParams
+from vaudio.config import AuralizerConfig
 from vaudio.runtime import StepCarry, init_carry, make_step
 from vaudio.runtime.step import default_params
 

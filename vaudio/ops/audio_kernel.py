@@ -20,8 +20,6 @@ Shapes are reshaped to (rows, 512) lanes-friendly blocks.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax

@@ -21,7 +21,7 @@ are sharded.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
@@ -30,11 +30,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vaudio.config import AuralizerConfig
-from vaudio.dsp import agc_normalize, hann_sinc_peak, hann_window_norm, \
+from vaudio.dsp import agc_normalize, hann_sinc_peak_fast, hann_window_norm, \
     irfft_from_half, overlap_add
 from vaudio.runtime.step import StepCarry, frame_step, init_carry
 from vaudio.synth import SynthConstants, partial_weights, phase_accumulate
-from vaudio.synth.spectrum import build_spectrum
 from vaudio.vision import extract_features
 
 
@@ -104,7 +103,7 @@ def _tp_frame_step(carry: StepCarry, frame, params, cfg: AuralizerConfig,
     freqs = jnp.asarray(consts.freqs)
     hann_mult = np.float32(1.0 / cfg.bin_width)
     d = (freqs[:, None] - flat_pf[None, :]) * (hann_mult * flat_ibw)
-    W = hann_sinc_peak(d)
+    W = hann_sinc_peak_fast(d)
     local = jax.lax.dot_general(
         W, flat_w, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)               # (F, 2) partial

@@ -51,14 +51,17 @@ from vaudio.dsp import hann_sinc_peak_fast as _hann_peak_from_d  # noqa: E402
 def _spectrum_kernel(freqs_ref, pf_ref, scale_ref, w_ref, out_ref):
     """One bin-tile: out[K, TILE_B] += partials' weighted peaks.
 
-    K = 2 for mono (re, im), 4 for stereo (L_re, L_im, R_re, R_im)."""
+    K = 2 for mono (re, im), 4 for stereo (L_re, L_im, R_re, R_im).
+    The peak matrix is evaluated on the VPU (one sine per element) and the
+    weighted partial-sum contracts on the MXU: (K, NP) @ (NP, TILE_B)."""
     f = freqs_ref[0, :]                       # (TILE_B,)
     pf = pf_ref[0, :]                         # (NP,)
     scale = scale_ref[0, :]                   # (NP,)
     d = (f[None, :] - pf[:, None]) * scale[:, None]   # (NP, TILE_B)
     w = _hann_peak_from_d(d)
-    for k in range(out_ref.shape[0]):
-        out_ref[k, :] = jnp.sum(w * w_ref[k, :][:, None], axis=0)
+    out_ref[...] = jax.lax.dot_general(
+        w_ref[...], w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("num_bins", "tile_b",

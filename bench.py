@@ -58,8 +58,11 @@ def main() -> int:
               os.environ.get("VAUDIO_BENCH_CHUNKS", "8,32").split(",")]
     iters = int(os.environ.get("VAUDIO_BENCH_ITERS", "6"))
     use_pallas = os.environ.get("VAUDIO_BENCH_PALLAS", "0") == "1"
+    use_pallas_audio = os.environ.get("VAUDIO_BENCH_PALLAS_AUDIO",
+                                      "0") == "1"
 
-    cfg = AuralizerConfig(sample_rate=48000.0, use_pallas=use_pallas)
+    cfg = AuralizerConfig(sample_rate=48000.0, use_pallas=use_pallas,
+                          use_pallas_audio=use_pallas_audio)
     consts = SynthConstants.create(cfg)
     window = jnp.asarray(hann_window_norm(cfg.nfft))
     params = default_params(cfg)
@@ -67,7 +70,7 @@ def main() -> int:
     backend = jax.default_backend()
     dev = jax.devices()[0]
     log(f"bench: backend={backend} device={dev} frame={h}x{w} "
-        f"chunks={chunks} pallas={use_pallas}")
+        f"chunks={chunks} pallas={use_pallas} pallas_audio={use_pallas_audio}")
 
     # lax.scan with a static length per chunk size.  (A dynamic-trip-count
     # fori_loop would need only one compile, but compiles pathologically

@@ -55,8 +55,8 @@ def main() -> int:
     res = os.environ.get("VAUDIO_BENCH_RES", "1080x1920")
     h, w = (int(x) for x in res.split("x"))
     chunks = [int(x) for x in
-              os.environ.get("VAUDIO_BENCH_CHUNKS", "8,32").split(",")]
-    iters = int(os.environ.get("VAUDIO_BENCH_ITERS", "6"))
+              os.environ.get("VAUDIO_BENCH_CHUNKS", "16,64").split(",")]
+    iters = int(os.environ.get("VAUDIO_BENCH_ITERS", "8"))
     use_pallas = os.environ.get("VAUDIO_BENCH_PALLAS", "0") == "1"
     use_pallas_audio = os.environ.get("VAUDIO_BENCH_PALLAS_AUDIO",
                                       "0") == "1"
@@ -79,8 +79,12 @@ def main() -> int:
     def bench_chunk(T, seed0):
         @jax.jit
         def scan_chunk(carry, seed):
-            frames = jax.random.uniform(jax.random.PRNGKey(seed),
-                                        (T, h, w, 3), jnp.float32)
+            # uint8 frames: the camera-native ingest dtype (the step
+            # normalizes on device), and 4x less RNG work — profiling
+            # showed f32 uniform generation costing MORE than the entire
+            # pipeline (0.13 vs 0.10 ms/frame).
+            frames = jax.random.bits(jax.random.PRNGKey(seed),
+                                     (T, h, w, 3), jnp.uint8)
             def body(c, f):
                 return frame_step(c, f, params, cfg, consts, window)
             return jax.lax.scan(body, carry, frames)

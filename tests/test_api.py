@@ -197,3 +197,23 @@ class TestApiCheckpoint:
         np.testing.assert_array_equal(
             np.asarray(aur._stream._carry.phases),
             np.asarray(aur2._stream._carry.phases))
+
+
+class TestInspectFrame:
+    def test_full_debug_surface(self, rng):
+        aur = Auralizer()
+        frame = rng.uniform(0, 1, (128, 128, 3)).astype(np.float32)
+        d = aur.inspect_frame(frame)
+        # mip dims 16x16, rotated maps (W,H,4)
+        assert d["hue_map"].shape == (16, 16, 4)
+        assert d["saturation_map"].shape == (16, 16, 4)
+        assert d["intensity_map"].shape == (16, 16, 4)
+        assert d["histogram"].shape == (16, 360)
+        assert d["hues"].shape == (16,)
+        assert d["mip_hsi"].shape == (16, 16, 3)
+
+    def test_uint8_input(self, rng):
+        aur = Auralizer()
+        frame = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+        d = aur.inspect_frame(frame)
+        assert np.all(np.isfinite(d["grads"]))

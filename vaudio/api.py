@@ -159,6 +159,27 @@ class Auralizer:
         the reference's ConvolutionDebugView / SpectrumView."""
         return dict(self._stream.debug_state)
 
+    def inspect_frame(self, frame: np.ndarray) -> Dict[str, np.ndarray]:
+        """One-shot full analysis of a single frame — the
+        ConvolutionDebugView surface (Views/DebuggingView.swift): per-pixel
+        mode heatmaps for all three HSI channels (rotated buffer layout,
+        matching the Metal outputs), the per-cell histogram, hues and
+        gradient stats.  Uses the *current* stream state for the hue EMA
+        but does not advance it."""
+        import jax.numpy as jnp
+
+        from vaudio.vision import extract_features
+        frame = np.asarray(frame)
+        if frame.dtype == np.uint8:
+            frame = frame.astype(np.float32) / 255.0
+        hues, grads, dbg = extract_features(
+            jnp.asarray(frame), self._stream._carry.hues,
+            jnp.float32(self.params.spectrum_mixing), self.config,
+            compute_debug_maps=True)
+        out = {"hues": np.asarray(hues), "grads": np.asarray(grads)}
+        out.update({k: np.asarray(v) for k, v in dbg.items()})
+        return out
+
     # ------------------------------------------------------------------
     # Checkpoint / resume (extension; the reference keeps this state
     # implicit and in-memory only — SURVEY.md §5)

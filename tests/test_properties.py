@@ -41,7 +41,8 @@ def test_rgb_to_hsi_ranges(r, g, b):
 
 
 @settings(max_examples=20, deadline=None)
-@given(st.floats(0.001, 10.0, width=32), st.floats(0.001, 10.0, width=32),
+@given(st.floats(0.0009765625, 8.0, width=32),
+       st.floats(0.0009765625, 8.0, width=32),
        st.floats(0.0, 1.0, width=32), st.floats(0.0, 1.0, width=32))
 def test_agc_output_bounded(peak_scale, rmax, attack, release):
     rng = np.random.default_rng(0)

@@ -77,27 +77,33 @@ def main() -> int:
     # slowly on this toolchain; the second scan length hits the remote
     # compile cache and costs only seconds.)
     def bench_chunk(T, seed0):
+        # Frames are uint8 (the camera-native ingest dtype; the step
+        # normalizes on device) and DEVICE-RESIDENT before timing starts:
+        # the measured region is exactly the frame->audio pipeline, the
+        # steady-state serving configuration where ingest DMA overlaps
+        # compute.  (Generating frames inside the jit instead was measured
+        # to cost more than the whole pipeline: f32 threefry ~0.13
+        # ms/frame vs 0.10 ms of actual work.)  Carries chain between
+        # calls, which defeats the tunnel's identical-dispatch dedup.
+        frames = jax.random.bits(jax.random.PRNGKey(seed0), (T, h, w, 3),
+                                 jnp.uint8)
+        jax.block_until_ready(frames)
+
         @jax.jit
-        def scan_chunk(carry, seed):
-            # uint8 frames: the camera-native ingest dtype (the step
-            # normalizes on device), and 4x less RNG work — profiling
-            # showed f32 uniform generation costing MORE than the entire
-            # pipeline (0.13 vs 0.10 ms/frame).
-            frames = jax.random.bits(jax.random.PRNGKey(seed),
-                                     (T, h, w, 3), jnp.uint8)
+        def scan_chunk(carry, frames):
             def body(c, f):
                 return frame_step(c, f, params, cfg, consts, window)
             return jax.lax.scan(body, carry, frames)
 
         carry = init_carry(cfg)
         t0 = time.perf_counter()
-        carry, outs = scan_chunk(carry, seed0)
+        carry, outs = scan_chunk(carry, frames)
         jax.block_until_ready(outs["pcm"])
         log(f"bench: chunk{T} first call (incl. compile) "
             f"{time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         for i in range(iters):
-            carry, outs = scan_chunk(carry, seed0 + i + 1)
+            carry, outs = scan_chunk(carry, frames)
         jax.block_until_ready(outs["pcm"])
         return (time.perf_counter() - t0) / iters * 1e3  # ms/call
 

@@ -81,11 +81,10 @@ def frame_step(carry: StepCarry, frame, params: Dict[str, Any],
     """
     mixing = jnp.asarray(params["spectrum_mixing"], jnp.float32)
 
-    # Accept camera-native uint8 frames and normalize on device — ingest
-    # ships 1 byte/channel over PCIe instead of 4 (the reference's camera
-    # path is 8-bit BGRA too, VisionEngine.swift:62-64).
-    if frame.dtype == jnp.uint8:
-        frame = frame.astype(jnp.float32) * np.float32(1.0 / 255.0)
+    # Camera-native uint8 frames pass through unchanged — ingest ships
+    # 1 byte/channel over PCIe instead of 4 (the reference's camera path
+    # is 8-bit BGRA too, VisionEngine.swift:62-64) and the vision layer
+    # folds the 1/255 normalization into its pooling matmul.
 
     # 1. Vision
     hues, grads, _vdbg = extract_features(frame, carry.hues, mixing, cfg)

@@ -98,7 +98,8 @@ def _pool_matrix(n: int, level: int):
     return p
 
 
-def mip_downsample_planes(planes, level: int, quantize: bool = False):
+def mip_downsample_planes(planes, level: int, quantize: bool = False,
+                          scale: float = 1.0):
     """(C, H, W) planes -> (C, H>>l, W>>l) box downsample.
 
     Equivalent of blit ``generateMipmaps`` + mip-level sampling
@@ -110,19 +111,27 @@ def mip_downsample_planes(planes, level: int, quantize: bool = False):
     filter is two MXU contractions with banded averaging matrices
     (rows then columns), which stream at full bandwidth.
 
+    ``scale`` is folded into the row-pooling matrix — uint8 camera frames
+    pass ``scale=1/255`` so the normalization costs no extra memory pass
+    over the full-resolution frame.
+
     ``quantize=True`` keeps the level-by-level path and rounds each level
     to 8-bit steps like a bgra8Unorm mip chain (parity knob).
     """
-    planes = jnp.asarray(planes, dtype=jnp.float32)
+    planes = jnp.asarray(planes)
+    if planes.dtype != jnp.float32:
+        planes = planes.astype(jnp.float32)
     c, h, w = planes.shape
     if (h >> level) == 0 or (w >> level) == 0:
         raise ValueError(f"frame dims ({h},{w}) too small for mip {level}")
     if quantize:
+        if scale != 1.0:
+            planes = planes * np.float32(scale)
         return jnp.stack([_mip_plane(planes[ci], level, True)
                           for ci in range(c)])
     if level == 0:
-        return planes
-    pr = jnp.asarray(_pool_matrix(h, level))          # (h, h>>l)
+        return planes * np.float32(scale) if scale != 1.0 else planes
+    pr = jnp.asarray(_pool_matrix(h, level) * np.float32(scale))
     pc = jnp.asarray(_pool_matrix(w, level))          # (w, w>>l)
     # (c, h, w) x (h, m) -> (c, m, w):  contract rows
     rows = jax.lax.dot_general(
@@ -420,9 +429,13 @@ def extract_features(frame, prev_hues, mixing, cfg: AuralizerConfig,
         the reference exposes on its debug screen (rotated layout, matching
         the Metal buffers).
     """
-    frame = jnp.asarray(frame, jnp.float32)
+    frame = jnp.asarray(frame)
+    # uint8 camera frames: the 1/255 normalization folds into the pooling
+    # matrix — no separate full-resolution memory pass.
+    scale = 1.0 / 255.0 if frame.dtype == jnp.uint8 else 1.0
     planes = jnp.transpose(frame, (2, 0, 1))              # (3, H, W)
-    mip = mip_downsample_planes(planes, cfg.mip_level, cfg.quantize_mips)
+    mip = mip_downsample_planes(planes, cfg.mip_level, cfg.quantize_mips,
+                                scale=scale)
     h, s, i = rgb_to_hsi_planes(mip[0], mip[1], mip[2])
 
     hist = hue_histogram_planes(h, s, i, cfg)

@@ -33,11 +33,14 @@ def main():
     params = default_params(cfg)
 
     def bench_T(T):
+        # Device-resident uint8 frames; carry chains between calls (see
+        # bench.py for the methodology rationale).
+        frames = jax.random.bits(jax.random.PRNGKey(0),
+                                 (T, n_streams, h, w, 3), jnp.uint8)
+        jax.block_until_ready(frames)
+
         @jax.jit
-        def scan_chunk(carry, seed):
-            frames = jax.random.uniform(
-                jax.random.PRNGKey(seed), (T, n_streams, h, w, 3),
-                jnp.float32)
+        def scan_chunk(carry, frames):
             def body(c, fr):
                 step = jax.vmap(
                     lambda cc, f: frame_step(cc, f, params, cfg, consts,
@@ -47,11 +50,11 @@ def main():
             return jax.lax.scan(body, carry, frames)
 
         carry = init_carry_batch(cfg, n_streams)
-        carry, outs = scan_chunk(carry, 0)
+        carry, outs = scan_chunk(carry, frames)
         jax.block_until_ready(outs["pcm"])
         t0 = time.perf_counter()
         for i in range(iters):
-            carry, outs = scan_chunk(carry, i + 1)
+            carry, outs = scan_chunk(carry, frames)
         jax.block_until_ready(outs["pcm"])
         return (time.perf_counter() - t0) / iters * 1e3
 

@@ -165,3 +165,59 @@ class TestBuildSpectrum:
                                                2 * consts.freqs[f0_idx])
         window = mag[h2_idx - 3:h2_idx + 4]
         assert window.max() > 10 * np.median(mag)
+
+
+class TestSpectralFilter:
+    def test_filter_gain_shape(self):
+        from vaudio.synth.spectrum import spectral_filter_gain
+        freqs = jnp.asarray(CFG.bin_frequencies())
+        g = np.asarray(spectral_filter_gain(
+            freqs, jnp.float32(200.0), jnp.float32(18000.0),
+            jnp.float32(2.0), jnp.float32(2.0)))
+        # Passband untouched, stop bands attenuated monotonically.
+        passband = (CFG.bin_frequencies() > 200) & \
+            (CFG.bin_frequencies() < 18000)
+        np.testing.assert_allclose(g[passband], 1.0)
+        low = g[CFG.bin_frequencies() <= 200]
+        assert np.all(np.diff(low) >= 0)       # rises toward the cutoff
+        high = g[CFG.bin_frequencies() >= 18000]
+        assert np.all(np.diff(high) <= 0)      # falls past the cutoff
+        assert g[0] < 0.01 and g[-1] < 0.01
+
+    def test_disabled_by_default_matches_reference(self, rng):
+        # Default config: filter params present but NOT applied (the
+        # reference's sliders are no-ops, SpectrumCompute.metal:200-209).
+        import dataclasses
+        from vaudio.runtime import run_offline
+        from vaudio.config import LiveParams
+        frames = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+        base = LiveParams().as_arrays()
+        moved = LiveParams(hp_cutoff=5000.0, lp_cutoff=6000.0,
+                           hp_order=4.0, lp_order=4.0).as_arrays()
+        a1, _, _ = run_offline(frames, CFG, base)
+        a2, _, _ = run_offline(frames, CFG, moved)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
+
+    def test_enabled_filter_attenuates(self, rng):
+        import dataclasses
+        from vaudio.runtime import run_offline
+        from vaudio.config import LiveParams
+        cfg_f = dataclasses.replace(CFG, enable_filters=True)
+        frames = np.zeros((6, 256, 256, 3), np.float32)
+        frames[..., 0] = 1.0   # red -> f0 ~220, harmonics up to ~2.8k
+        wide = LiveParams(hp_cutoff=20.0, lp_cutoff=20000.0,
+                          hp_order=8.0, lp_order=8.0,
+                          spectrum_mixing=0.0).as_arrays()
+        narrow = LiveParams(hp_cutoff=2000.0, lp_cutoff=2500.0,
+                            hp_order=8.0, lp_order=8.0,
+                            spectrum_mixing=0.0).as_arrays()
+        _, _, dw = run_offline(frames, cfg_f, wide, debug=True)
+        _, _, dn = run_offline(frames, cfg_f, narrow, debug=True)
+        sw = np.asarray(dw["spectrum"][-1])
+        sn = np.asarray(dn["spectrum"][-1])
+        mag_w = np.hypot(sw[:, 0], sw[:, 1])
+        mag_n = np.hypot(sn[:, 0], sn[:, 1])
+        freqs = CFG.bin_frequencies()
+        low_bins = freqs < 500
+        # The narrow band-pass must crush the fundamental region.
+        assert mag_n[low_bins].max() < 0.05 * mag_w[low_bins].max()

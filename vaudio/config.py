@@ -96,6 +96,12 @@ class AuralizerConfig:
     # Use the fused Pallas AGC+overlap-add kernel for the audio tail
     # (independent of use_pallas: it is much cheaper to compile).
     use_pallas_audio: bool = False
+    # Apply the spectral HP/LP filter driven by the hp/lp live params.
+    # The reference plumbs these parameters all the way into its kernel but
+    # the application is commented out (SpectrumCompute.metal:200-209) — the
+    # sliders are no-ops there.  False (default) reproduces that; True
+    # enables the filter with the commented-out math.
+    enable_filters: bool = False
 
     # ------------------------------------------------------------------
     # Derived quantities (SoundEngine.swift:129-144)

@@ -95,7 +95,7 @@ def frame_step(carry: StepCarry, frame, params: Dict[str, Any],
 
     # 3. Spectrum
     spectrum = build_spectrum(hues, grads, phases, carry.prev_spectrum,
-                              mixing, cfg, consts)
+                              mixing, cfg, consts, filter_params=params)
 
     # 4. Audio frame (stereo: channel-batched irfft, shared AGC/OLA gain so
     #    the stereo image is preserved)

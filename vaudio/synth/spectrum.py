@@ -243,9 +243,29 @@ def cell_pan_gains(cfg: AuralizerConfig) -> np.ndarray:
     return np.stack([np.cos(theta), np.sin(theta)], axis=1).astype(np.float32)
 
 
+def spectral_filter_gain(freqs, hp_cutoff, lp_cutoff, hp_order, lp_order):
+    """The reference's (commented-out) HP/LP per-bin gain
+    (SpectrumCompute.metal:200-209):
+
+        gain = 1
+        if f <= hp: gain /= 1 + max(0, hp - f)^hp_order
+        if f >= lp: gain /= 1 + max(0, f - lp)^lp_order
+
+    Note pow(0, 0) == 1 (both Metal and jnp), so order 0 halves the gain
+    at and beyond the cutoff — reproduced as written.
+    """
+    gain = jnp.ones_like(freqs)
+    hp_term = 1.0 + jnp.maximum(0.0, hp_cutoff - freqs) ** hp_order
+    lp_term = 1.0 + jnp.maximum(0.0, freqs - lp_cutoff) ** lp_order
+    gain = jnp.where(freqs <= hp_cutoff, gain / hp_term, gain)
+    gain = jnp.where(freqs >= lp_cutoff, gain / lp_term, gain)
+    return gain
+
+
 def build_spectrum(hues, grads, phases, prev_spectrum, spectrum_mixing,
                    cfg: AuralizerConfig, consts: SynthConstants,
-                   use_pallas: Optional[bool] = None):
+                   use_pallas: Optional[bool] = None,
+                   filter_params=None):
     """Full spectrum synthesis for one frame.
 
     Equivalent of one ``computeSpectrum`` dispatch
@@ -302,6 +322,17 @@ def build_spectrum(hues, grads, phases, prev_spectrum, spectrum_mixing,
     s = jnp.asarray(consts.static_sin)
     rot = jnp.stack([cur[..., 0] * c - cur[..., 1] * s,
                      cur[..., 0] * s + cur[..., 1] * c], axis=-1)
+
+    # Optional HP/LP filtering (metal :200-209 — commented out upstream;
+    # see AuralizerConfig.enable_filters).
+    if cfg.enable_filters and filter_params is not None:
+        fg = spectral_filter_gain(
+            jnp.asarray(consts.freqs),
+            jnp.asarray(filter_params["hp_cutoff"], jnp.float32),
+            jnp.asarray(filter_params["lp_cutoff"], jnp.float32),
+            jnp.asarray(filter_params["hp_order"], jnp.float32),
+            jnp.asarray(filter_params["lp_order"], jnp.float32))
+        rot = rot * fg[:, None]
 
     # Temporal smoothing: mix(prev, cur, 1 - mixing)  (metal :211-213).
     m = spectrum_mixing

@@ -219,3 +219,18 @@ class TestChunkedStreaming:
         s.run_until_exhausted(list(frames), timeout=120)
         s.raise_if_failed()
         assert s.ring.available == 8
+
+
+class TestMetricsLog:
+    def test_jsonl_records(self, tmp_path):
+        import json
+        log = str(tmp_path / "metrics.jsonl")
+        s = StreamingAuralizer(AuralizerConfig(), metrics_log=log)
+        frames = solid_color_frames([1.0, 0.2, 0.1], width=64, height=64,
+                                    num_frames=4)
+        s.run_until_exhausted(list(frames), timeout=120)
+        s.raise_if_failed()
+        records = [json.loads(l) for l in open(log)]
+        assert len(records) == 4
+        assert all("latency_ms" in r and "buffer_fill" in r
+                   for r in records)

@@ -26,6 +26,9 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
                         "reference-compatible quirk mode")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas synthesis kernel")
+    p.add_argument("--filters", action="store_true",
+                   help="enable the HP/LP spectral filter (the reference "
+                        "plumbs but never applies it)")
     p.add_argument("--channels", type=int, default=1, choices=(1, 2),
                    help="1 = mono (reference parity), 2 = stereo "
                         "(cells panned by grid column)")
@@ -40,7 +43,8 @@ def _build_config(args):
                           mip_level=args.mip_level,
                           quirk_compat=not args.no_quirks,
                           use_pallas=args.pallas,
-                          channels=args.channels)
+                          channels=args.channels,
+                          enable_filters=args.filters)
     params = LiveParams(attack=args.attack, release=args.release,
                         spectrum_mixing=args.spectrum_mixing)
     return cfg, params
@@ -100,6 +104,15 @@ def cmd_bench(args) -> int:
     return subprocess.call([sys.executable, "bench.py"])
 
 
+def cmd_parity(args) -> int:
+    import os
+    import subprocess
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return subprocess.call(
+        [sys.executable, os.path.join(root, "benchmarks", "parity.py"),
+         str(args.frames), str(args.size)])
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="vaudio",
                                  description="TPU-native video sonifier")
@@ -129,6 +142,13 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("bench", help="run the benchmark")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("parity",
+                       help="verify against the literal reference-math "
+                            "oracle")
+    p.add_argument("--frames", type=int, default=3)
+    p.add_argument("--size", type=int, default=128)
+    p.set_defaults(fn=cmd_parity)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -92,12 +92,18 @@ class StreamingAuralizer:
                  realtime: bool = False,
                  prefer_native: bool = True,
                  debug: bool = False,
-                 chunk_frames: int = 1):
+                 chunk_frames: int = 1,
+                 metrics_log: Optional[str] = None):
         """``chunk_frames > 1`` dispatches N frames per device call (a
         lax.scan micro-batch): adds N-1 frame times of buffering latency
         but amortizes per-dispatch overhead N-fold — the right trade when
         dispatch latency is high (remote TPU) or throughput matters more
-        than latency."""
+        than latency.
+
+        ``metrics_log``: path to a JSONL file receiving one record per
+        processed frame/chunk (timestamp, latency, buffer fill, drops) —
+        the structured replacement for the reference's per-frame
+        ``print(availableFrames)`` (SoundEngine.swift:445)."""
         self.cfg = cfg
         self.params = params if params is not None else LiveParams()
         self.realtime = realtime
@@ -134,9 +140,28 @@ class StreamingAuralizer:
         self._stop_event = threading.Event()
         self._running = False
         self._error: Optional[BaseException] = None
+        self._metrics_log = metrics_log
+        self._metrics_fh = None
         # Last debug snapshot (hues/grads/spectrum) — the ConvolutionDebugView
         # data feed equivalent.
         self.debug_state: Dict[str, np.ndarray] = {}
+
+    def _log_metrics(self, latency_ms: float, n_frames: int) -> None:
+        if self._metrics_log is None:
+            return
+        import json
+        if self._metrics_fh is None:
+            self._metrics_fh = open(self._metrics_log, "a")
+        self._metrics_fh.write(json.dumps({
+            "t": time.time(),
+            "frames": n_frames,
+            "latency_ms": round(latency_ms, 3),
+            "buffer_fill": self.ring.available,
+            "dropped_frames": int(getattr(self.ring, "dropped_frames", 0)),
+            "underrun_samples": int(getattr(self.ring, "underrun_samples",
+                                            0)),
+        }) + "\n")
+        self._metrics_fh.flush()
 
     # -- lifecycle (VideoToAudio.toggleProcessing equivalents) -------------
 
@@ -233,7 +258,9 @@ class StreamingAuralizer:
             pcm = pcm.reshape(n_hops, hop)    # stereo: interleaved
             for row in pcm:
                 self.ring.write(row)
-            self.metrics.record((time.monotonic() - t_capture) * 1000.0)
+            latency_ms = (time.monotonic() - t_capture) * 1000.0
+            self.metrics.record(latency_ms)
+            self._log_metrics(latency_ms, n_hops)
             if self.debug:
                 self.debug_state = {
                     k: np.asarray(v)[-1] if n_hops > 1 else np.asarray(v)

@@ -234,3 +234,35 @@ class TestMetricsLog:
         assert len(records) == 4
         assert all("latency_ms" in r and "buffer_fill" in r
                    for r in records)
+
+
+class TestSoak:
+    def test_long_stream_stable(self):
+        # 300 frames through the streaming path: no drift, no leak-ish
+        # growth, finite audio throughout (stability soak at small res).
+        cfg = AuralizerConfig()
+        s = StreamingAuralizer(cfg, chunk_frames=10)
+        rng = np.random.default_rng(1)
+
+        def source():
+            base = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+            for t in range(300):
+                yield np.clip(base * (0.5 + 0.5 * np.sin(t / 20)), 0, 1)
+
+        consumed = []
+        import threading
+        stop = threading.Event()
+
+        def consumer():
+            while not stop.is_set():
+                consumed.append(s.pull(2048))
+        c = threading.Thread(target=consumer, daemon=True)
+        c.start()
+        s.run_until_exhausted(source(), timeout=240)
+        s.raise_if_failed()
+        stop.set()
+        c.join(timeout=5)
+        assert s.metrics.frames_processed == 30  # 300 frames / 10 per chunk
+        audio = np.concatenate(consumed) if consumed else np.zeros(1)
+        assert np.all(np.isfinite(audio))
+        assert np.abs(audio).max() <= 2.0

@@ -154,6 +154,7 @@ class TestDisplayUtils:
 class TestCLI:
     def _run(self, *args):
         env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
                    PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
         return subprocess.run(
             [sys.executable, "-m", "vaudio", *args],
@@ -217,3 +218,57 @@ class TestInspectFrame:
         frame = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
         d = aur.inspect_frame(frame)
         assert np.all(np.isfinite(d["grads"]))
+
+
+class TestYuv:
+    def test_yuv420_grey_roundtrip(self):
+        from vaudio.io import yuv420_to_rgb
+        # Y=128 (mid grey), U=V=128 (no chroma) -> equal RGB channels.
+        y = np.full((8, 8), 128, np.uint8)
+        u = np.full((4, 4), 128, np.uint8)
+        v = np.full((4, 4), 128, np.uint8)
+        rgb = yuv420_to_rgb(y, u, v)
+        assert rgb.shape == (8, 8, 3)
+        assert np.all(rgb[..., 0] == rgb[..., 1])
+        assert np.all(rgb[..., 1] == rgb[..., 2])
+
+    def test_red_has_high_v(self):
+        from vaudio.io import yuv420_to_rgb
+        y = np.full((4, 4), 81, np.uint8)    # BT.601 Y of pure red
+        u = np.full((2, 2), 90, np.uint8)
+        v = np.full((2, 2), 240, np.uint8)
+        rgb = yuv420_to_rgb(y, u, v)
+        assert rgb[..., 0].mean() > 200      # red dominant
+        assert rgb[..., 1].mean() < 90
+
+    def test_yuv_file_source(self, tmp_path):
+        from vaudio.io import Yuv420FileSource
+        h, w = 16, 16
+        n = 3
+        data = np.random.default_rng(0).integers(
+            0, 256, n * (h * w + 2 * (h // 2) * (w // 2))).astype(np.uint8)
+        p = str(tmp_path / "clip.yuv")
+        data.tofile(p)
+        src = Yuv420FileSource(p, width=w, height=h)
+        frames = list(src.frames())
+        assert len(frames) == n
+        assert frames[0].shape == (h, w, 3) and frames[0].dtype == np.uint8
+
+
+class TestStreamCLI:
+    def test_stdin_stdout_pipe(self, tmp_path):
+        import subprocess
+        frames = (solid_color_frames([1, 0.2, 0.1], 64, 64, 4)
+                  * 255).astype(np.uint8)
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
+                   PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH",
+                                                             ""))
+        r = subprocess.run(
+            [sys.executable, "-m", "vaudio", "stream", "--size", "64x64"],
+            input=frames.tobytes(), capture_output=True, env=env,
+            cwd="/root/repo", timeout=300)
+        assert r.returncode == 0, r.stderr.decode()[-500:]
+        pcm = np.frombuffer(r.stdout, "<f4")
+        assert len(pcm) >= 4 * 2048
+        assert np.all(np.isfinite(pcm))

@@ -104,6 +104,46 @@ def cmd_bench(args) -> int:
     return subprocess.call([sys.executable, "bench.py"])
 
 
+def cmd_stream(args) -> int:
+    """Raw-frame stdin -> PCM stdout streaming (production pipe mode):
+
+        ffmpeg -i cam.mp4 -f rawvideo -pix_fmt rgb24 pipe:1 | \
+            python -m vaudio stream --size 1080x1920 > out.pcm
+    """
+    import numpy as np
+
+    from vaudio.api import Auralizer
+    cfg, params = _build_config(args)
+    h, w = (int(x) for x in args.size.split("x"))
+    frame_bytes = h * w * 3
+    aur = Auralizer(config=cfg, params=params, realtime=args.realtime,
+                    debug=False)
+
+    def frames():
+        while True:
+            buf = sys.stdin.buffer.read(frame_bytes)
+            if len(buf) < frame_bytes:
+                return
+            yield np.frombuffer(buf, np.uint8).reshape(h, w, 3)
+
+    aur.start(frames())
+    out = sys.stdout.buffer
+    quantum = 2048 * cfg.channels
+    written = 0
+    import time as _time
+    while aur.is_running or aur.metrics["buffer_fill"] > 0:
+        pcm = aur.pull(quantum)
+        out.write(pcm.astype("<f4").tobytes())
+        written += len(pcm)
+        if args.realtime:
+            _time.sleep(quantum / cfg.sample_rate / cfg.channels * 0.9)
+    out.flush()
+    print(f"stream: {written / cfg.sample_rate / cfg.channels:.2f}s of "
+          f"PCM written; metrics: {aur.metrics}", file=sys.stderr)
+    aur.stop()
+    return 0
+
+
 def cmd_parity(args) -> int:
     import os
     import subprocess
@@ -142,6 +182,15 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("bench", help="run the benchmark")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("stream",
+                       help="raw RGB24 frames on stdin -> f32 PCM on "
+                            "stdout")
+    p.add_argument("--size", required=True, help="HxW of incoming frames")
+    p.add_argument("--realtime", action="store_true",
+                   help="pace at --fps instead of max throughput")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("parity",
                        help="verify against the literal reference-math "

@@ -22,16 +22,20 @@ Sinks:
 from vaudio.io.sources import (
     ArraySource,
     VideoFileSource,
+    Yuv420FileSource,
     bgra_to_rgb,
     hsb_frames,
     hsb_to_rgb,
     solid_color_frames,
+    yuv420_to_rgb,
 )
 from vaudio.io.sinks import read_wav, write_wav
 
 __all__ = [
     "ArraySource",
     "VideoFileSource",
+    "Yuv420FileSource",
+    "yuv420_to_rgb",
     "bgra_to_rgb",
     "hsb_frames",
     "hsb_to_rgb",

@@ -54,6 +54,69 @@ def hsb_frames(hue: float, saturation: float, brightness: float,
                               width, height, num_frames)
 
 
+def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                  studio_swing: bool = True) -> np.ndarray:
+    """Planar YUV 4:2:0 (I420) -> uint8 RGB, BT.601.
+
+    Camera/video pipelines commonly deliver I420/NV12; this is the host
+    conversion for those sources (``studio_swing``: 16-235/16-240 range,
+    the common camera output; False = full swing).
+
+    Args: y: u8[H, W]; u, v: u8[H/2, W/2].  Returns u8[H, W, 3].
+    """
+    y = y.astype(np.float32)
+    u = u.astype(np.float32) - 128.0
+    v = v.astype(np.float32) - 128.0
+    u = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:y.shape[0],
+                                                      :y.shape[1]]
+    v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:y.shape[0],
+                                                      :y.shape[1]]
+    if studio_swing:
+        yv = (y - 16.0) * (255.0 / 219.0)
+        scale = 255.0 / 224.0
+        u, v = u * scale, v * scale
+    else:
+        yv = y
+    r = yv + 1.402 * v
+    g = yv - 0.344136 * u - 0.714136 * v
+    b = yv + 1.772 * u
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+class Yuv420FileSource:
+    """Raw planar I420 file/stream source (the codec-free camera format).
+
+    Frame size on disk: H*W + 2*(H/2*W/2) = H*W*3/2 bytes.
+    """
+
+    def __init__(self, path: str, width: int, height: int,
+                 fps: float = 30.0, studio_swing: bool = True):
+        self.path = path
+        self._w, self._h = int(width), int(height)
+        self.fps = fps
+        self.studio_swing = studio_swing
+
+    @property
+    def shape(self):
+        return self._h, self._w
+
+    def frames(self) -> Iterator[np.ndarray]:
+        h, w = self._h, self._w
+        ysz, csz = h * w, (h // 2) * (w // 2)
+        frame_bytes = ysz + 2 * csz
+        with open(self.path, "rb") as f:
+            while True:
+                buf = f.read(frame_bytes)
+                if len(buf) < frame_bytes:
+                    break
+                y = np.frombuffer(buf, np.uint8, ysz).reshape(h, w)
+                u = np.frombuffer(buf, np.uint8, csz, ysz).reshape(
+                    h // 2, w // 2)
+                v = np.frombuffer(buf, np.uint8, csz, ysz + csz).reshape(
+                    h // 2, w // 2)
+                yield yuv420_to_rgb(y, u, v, self.studio_swing)
+
+
 def bgra_to_rgb(frame_bgra_u8: np.ndarray) -> np.ndarray:
     """Camera-format conversion: BGRA uint8 -> RGB float32 in [0,1]
     (the reference forces kCVPixelFormatType_32BGRA,

@@ -220,3 +220,29 @@ class TestTimbreModulation:
         assert np.abs(grads_str).max() > 1e-3
         # Striped spectrum must differ from flat (timbre changed).
         assert not np.allclose(mag_flat, mag_str, atol=1e-5)
+
+
+class TestYuvStreamIngest:
+    def test_offline_yuv_dict_frames(self, rng):
+        # run_offline over a pytree of stacked YUV planes.
+        frames = {
+            "y": rng.integers(16, 236, (3, 64, 64)).astype(np.uint8),
+            "u": rng.integers(16, 240, (3, 32, 32)).astype(np.uint8),
+            "v": rng.integers(16, 240, (3, 32, 32)).astype(np.uint8),
+        }
+        audio, carry, _ = run_offline(frames, CFG, PARAMS)
+        assert np.asarray(audio).shape == (3 * 2048,)
+        assert np.all(np.isfinite(np.asarray(audio)))
+
+    def test_streaming_yuv_source(self, tmp_path, rng):
+        from vaudio.api import Auralizer
+        from vaudio.io import Yuv420FileSource
+        h, w, n = 64, 64, 4
+        data = rng.integers(0, 256,
+                            n * (h * w * 3 // 2)).astype(np.uint8)
+        p = str(tmp_path / "c.yuv")
+        data.tofile(p)
+        src = Yuv420FileSource(p, width=w, height=h, raw=True)
+        aur = Auralizer()
+        aur.run_until_exhausted(src.frames())
+        assert aur.metrics["frames_processed"] == n

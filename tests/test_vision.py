@@ -244,3 +244,35 @@ class TestExtractFeatures:
         np.testing.assert_array_equal(np.asarray(hues), 0)
         # Uniform frame -> all gradient modes zero
         np.testing.assert_allclose(np.asarray(grads), 0.0, atol=1e-6)
+
+
+class TestYuvDevicePath:
+    def test_matches_host_conversion(self, rng):
+        # Device path (pool-then-convert) vs host path (convert-then-pool):
+        # box pooling commutes with the affine BT.601 transform up to the
+        # host path's uint8 quantization and clipping of out-of-gamut
+        # pixels.
+        from vaudio.io import yuv420_to_rgb
+        from vaudio.vision import yuv420_mip_to_rgb_planes
+        h, w = 64, 64
+        # Keep YUV in-gamut so clipping doesn't break commutativity.
+        y = rng.integers(60, 200, (h, w)).astype(np.uint8)
+        u = rng.integers(108, 148, (h // 2, w // 2)).astype(np.uint8)
+        v = rng.integers(108, 148, (h // 2, w // 2)).astype(np.uint8)
+        dev = np.asarray(yuv420_mip_to_rgb_planes(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), CFG))
+        rgb_host = yuv420_to_rgb(y, u, v).astype(np.float32) / 255.0
+        host_mip = np.asarray(vision.mip_downsample(rgb_host, CFG.mip_level))
+        np.testing.assert_allclose(dev, np.transpose(host_mip, (2, 0, 1)),
+                                   atol=0.02)  # u8 quantization of host path
+
+    def test_full_step_with_yuv_dict(self, rng):
+        frame = {
+            "y": rng.integers(16, 236, (256, 256)).astype(np.uint8),
+            "u": rng.integers(16, 240, (128, 128)).astype(np.uint8),
+            "v": rng.integers(16, 240, (128, 128)).astype(np.uint8),
+        }
+        hues, grads, _ = vision.extract_features(
+            frame, jnp.zeros(16, jnp.int32), jnp.float32(0.0), CFG)
+        assert hues.shape == (16,)
+        assert np.all(np.isfinite(np.asarray(grads)))

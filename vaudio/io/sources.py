@@ -90,11 +90,16 @@ class Yuv420FileSource:
     """
 
     def __init__(self, path: str, width: int, height: int,
-                 fps: float = 30.0, studio_swing: bool = True):
+                 fps: float = 30.0, studio_swing: bool = True,
+                 raw: bool = False):
+        """``raw=True`` yields planar ``{"y", "u", "v"}`` uint8 dicts for
+        the device-side conversion path (half the ingest bytes of RGB; see
+        vision.yuv420_mip_to_rgb_planes) instead of host-converted RGB."""
         self.path = path
         self._w, self._h = int(width), int(height)
         self.fps = fps
         self.studio_swing = studio_swing
+        self.raw = raw
 
     @property
     def shape(self):
@@ -114,7 +119,10 @@ class Yuv420FileSource:
                     h // 2, w // 2)
                 v = np.frombuffer(buf, np.uint8, csz, ysz + csz).reshape(
                     h // 2, w // 2)
-                yield yuv420_to_rgb(y, u, v, self.studio_swing)
+                if self.raw:
+                    yield {"y": y, "u": u, "v": v}
+                else:
+                    yield yuv420_to_rgb(y, u, v, self.studio_swing)
 
 
 def bgra_to_rgb(frame_bgra_u8: np.ndarray) -> np.ndarray:

@@ -178,7 +178,8 @@ def run_offline(frames, cfg: AuralizerConfig,
                               debug=debug)
         return jax.lax.scan(body, carry, frames)
 
-    final_carry, outs = scan_fn(carry, jnp.asarray(frames), params)
+    frames = jax.tree.map(jnp.asarray, frames)
+    final_carry, outs = scan_fn(carry, frames, params)
     if cfg.channels == 1:
         audio = outs["pcm"].reshape(-1)
     else:

@@ -290,9 +290,12 @@ class StreamingAuralizer:
                     time.sleep(next_deadline - now)
                 next_deadline = max(next_deadline + frame_period,
                                     time.monotonic())
-            frame_np = np.asarray(frame)
-            if frame_np.dtype != np.uint8:    # uint8 ships 4x fewer bytes
-                frame_np = frame_np.astype(np.float32, copy=False)
+            if isinstance(frame, dict):       # planar YUV 4:2:0
+                frame_np = {k: np.asarray(v) for k, v in frame.items()}
+            else:
+                frame_np = np.asarray(frame)
+                if frame_np.dtype != np.uint8:  # uint8 ships 4x fewer bytes
+                    frame_np = frame_np.astype(np.float32, copy=False)
             if self.chunk_frames == 1:
                 dispatch([frame_np], time.monotonic())
             else:

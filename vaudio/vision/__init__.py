@@ -23,6 +23,7 @@ from vaudio.vision.features import (
     rgb_to_hsi,
     rotate_cw,
     update_hues,
+    yuv420_mip_to_rgb_planes,
 )
 
 __all__ = [
@@ -34,4 +35,5 @@ __all__ = [
     "rgb_to_hsi",
     "rotate_cw",
     "update_hues",
+    "yuv420_mip_to_rgb_planes",
 ]

@@ -414,6 +414,38 @@ def cell_gradient_stats(intensity_feat_rot, cfg: AuralizerConfig):
 # Full vision step
 # ---------------------------------------------------------------------------
 
+def yuv420_mip_to_rgb_planes(y, u, v, cfg: AuralizerConfig,
+                             studio_swing: bool = True):
+    """Planar YUV 4:2:0 camera frame -> RGB mip planes, TPU-native.
+
+    Ships 1.5 bytes/px over PCIe instead of 3 and exploits linearity: the
+    box mip filter commutes with the affine BT.601 transform, so Y pools by
+    2^level and the half-resolution chroma by 2^(level-1) FIRST (banded
+    matmuls on the uint8 planes), and the color conversion runs on the tiny
+    mip — no chroma upsampling, no full-resolution RGB tensor ever exists.
+
+    Args: y: u8[H, W]; u, v: u8[H/2, W/2] (H, W even).
+    Returns: f32[3, H>>level, W>>level] RGB in [0, 1].
+    """
+    level = cfg.mip_level
+    if studio_swing:
+        y_scale, y_off = 1.0 / 219.0, -16.0 / 219.0
+        c_scale, c_off = 1.0 / 224.0, -128.0 / 224.0
+    else:
+        y_scale, y_off = 1.0 / 255.0, 0.0
+        c_scale, c_off = 1.0 / 255.0, -128.0 / 255.0
+    my = mip_downsample_planes(y[None], level, scale=y_scale)[0] + y_off
+    mu = mip_downsample_planes(u[None], level - 1, scale=c_scale)[0] + c_off
+    mv = mip_downsample_planes(v[None], level - 1, scale=c_scale)[0] + c_off
+    # Chroma mips can be one texel larger on odd dims; crop to luma dims.
+    mu = mu[:my.shape[0], :my.shape[1]]
+    mv = mv[:my.shape[0], :my.shape[1]]
+    r = my + 1.402 * mv
+    g = my - 0.344136 * mu - 0.714136 * mv
+    b = my + 1.772 * mu
+    return jnp.clip(jnp.stack([r, g, b]), 0.0, 1.0)
+
+
 def extract_features(frame, prev_hues, mixing, cfg: AuralizerConfig,
                      compute_debug_maps: bool = False):
     """Full L2 pass: frame -> (hues i32[16], grads f32[16,4], debug dict).
@@ -422,20 +454,26 @@ def extract_features(frame, prev_hues, mixing, cfg: AuralizerConfig,
     reduction loops (VisionEngine.swift:91-316).
 
     Args:
-      frame: f32[H, W, 3] RGB in [0,1].
+      frame: f32[H, W, 3] RGB in [0,1], u8[H, W, 3] RGB, or a dict
+        ``{"y", "u", "v"}`` of planar uint8 YUV 4:2:0 (camera-native).
       prev_hues: i32[16] carried hue state.
       mixing: f32 scalar EMA coefficient (VisionEngine.spectrumMixing).
       compute_debug_maps: also return the hue/saturation/intensity mode maps
         the reference exposes on its debug screen (rotated layout, matching
         the Metal buffers).
     """
-    frame = jnp.asarray(frame)
-    # uint8 camera frames: the 1/255 normalization folds into the pooling
-    # matrix — no separate full-resolution memory pass.
-    scale = 1.0 / 255.0 if frame.dtype == jnp.uint8 else 1.0
-    planes = jnp.transpose(frame, (2, 0, 1))              # (3, H, W)
-    mip = mip_downsample_planes(planes, cfg.mip_level, cfg.quantize_mips,
-                                scale=scale)
+    if isinstance(frame, dict):
+        mip = yuv420_mip_to_rgb_planes(jnp.asarray(frame["y"]),
+                                       jnp.asarray(frame["u"]),
+                                       jnp.asarray(frame["v"]), cfg)
+    else:
+        frame = jnp.asarray(frame)
+        # uint8 camera frames: the 1/255 normalization folds into the
+        # pooling matrix — no separate full-resolution memory pass.
+        scale = 1.0 / 255.0 if frame.dtype == jnp.uint8 else 1.0
+        planes = jnp.transpose(frame, (2, 0, 1))          # (3, H, W)
+        mip = mip_downsample_planes(planes, cfg.mip_level,
+                                    cfg.quantize_mips, scale=scale)
     h, s, i = rgb_to_hsi_planes(mip[0], mip[1], mip[2])
 
     hist = hue_histogram_planes(h, s, i, cfg)

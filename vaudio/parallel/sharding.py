@@ -81,7 +81,11 @@ def _tp_frame_step(carry: StepCarry, frame, params, cfg: AuralizerConfig,
                    consts: SynthConstants, window, n_cell_shards: int,
                    debug: bool):
     """Single-stream frame step with the synthesis contraction sharded over
-    the 'cell' mesh axis.  Runs inside shard_map."""
+    the 'cell' mesh axis.  Runs inside shard_map.
+
+    Limitations vs. the single-device step: mono output only and no
+    enable_filters support (both trivially addable; the TP decomposition is
+    orthogonal to them — see docs/ROADMAP.md)."""
     mixing = jnp.asarray(params["spectrum_mixing"], jnp.float32)
 
     # Vision + phase accumulation: replicated over 'cell'.

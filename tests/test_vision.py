@@ -276,3 +276,17 @@ class TestYuvDevicePath:
             frame, jnp.zeros(16, jnp.int32), jnp.float32(0.0), CFG)
         assert hues.shape == (16,)
         assert np.all(np.isfinite(np.asarray(grads)))
+
+
+class TestU8PoolingExactness:
+    def test_bf16_u8_path_matches_f32(self, rng):
+        # The uint8 bf16 pooling must match converting to f32 first
+        # to within a few ULP (it is exact by construction; only the
+        # order of the 1/255 application differs).
+        from vaudio.vision.features import mip_downsample_planes
+        u8 = rng.integers(0, 256, (3, 64, 96)).astype(np.uint8)
+        got = np.asarray(mip_downsample_planes(
+            jnp.asarray(u8), 3, scale=1.0 / 255.0))
+        f32 = u8.astype(np.float32) / 255.0
+        expect = np.asarray(mip_downsample_planes(jnp.asarray(f32), 3))
+        np.testing.assert_allclose(got, expect, atol=2e-7)

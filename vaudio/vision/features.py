@@ -119,23 +119,39 @@ def mip_downsample_planes(planes, level: int, quantize: bool = False,
     to 8-bit steps like a bgra8Unorm mip chain (parity knob).
     """
     planes = jnp.asarray(planes)
-    if planes.dtype != jnp.float32:
-        planes = planes.astype(jnp.float32)
+    is_u8 = planes.dtype == jnp.uint8
     c, h, w = planes.shape
     if (h >> level) == 0 or (w >> level) == 0:
         raise ValueError(f"frame dims ({h},{w}) too small for mip {level}")
     if quantize:
+        planes = planes.astype(jnp.float32)
         if scale != 1.0:
             planes = planes * np.float32(scale)
         return jnp.stack([_mip_plane(planes[ci], level, True)
                           for ci in range(c)])
     if level == 0:
+        planes = planes.astype(jnp.float32)
         return planes * np.float32(scale) if scale != 1.0 else planes
-    pr = jnp.asarray(_pool_matrix(h, level) * np.float32(scale))
-    pc = jnp.asarray(_pool_matrix(w, level))          # (w, w>>l)
+
+    if is_u8:
+        # bf16 fast path for camera frames — exact by construction: uint8
+        # values (<=255) and the 1/2^level banded entries are both
+        # bf16-representable, MXU bf16 products accumulate in f32, and each
+        # output sums only 2^level terms.  The extra ``scale`` (1/255,
+        # studio swing, ...) folds into the SECOND matmul, which touches
+        # only the already-row-pooled (64x smaller) intermediate.  Halves
+        # the full-resolution memory traffic vs. an f32 convert.
+        pr = jnp.asarray(_pool_matrix(h, level), jnp.bfloat16)
+        lhs = planes.astype(jnp.bfloat16)
+        pc_scale = scale
+    else:
+        pr = jnp.asarray(_pool_matrix(h, level) * np.float32(scale))
+        lhs = planes.astype(jnp.float32)
+        pc_scale = 1.0
+    pc = jnp.asarray(_pool_matrix(w, level) * np.float32(pc_scale))
     # (c, h, w) x (h, m) -> (c, m, w):  contract rows
     rows = jax.lax.dot_general(
-        planes, pr, dimension_numbers=(((1,), (0,)), ((), ())),
+        lhs, pr, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)           # (c, w, m)
     rows = jnp.swapaxes(rows, 1, 2)                   # (c, m, w)
     out = jax.lax.dot_general(

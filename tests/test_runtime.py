@@ -246,3 +246,9 @@ class TestYuvStreamIngest:
         aur = Auralizer()
         aur.run_until_exhausted(src.frames())
         assert aur.metrics["frames_processed"] == n
+
+
+class TestInputValidation:
+    def test_bad_shape_raises_clearly(self):
+        with pytest.raises(ValueError, match=r"\[T, H, W, 3\]"):
+            run_offline(np.zeros((64, 64, 3), np.float32), CFG, PARAMS)

@@ -168,6 +168,12 @@ def run_offline(frames, cfg: AuralizerConfig,
         params = default_params(cfg)
     if carry is None:
         carry = init_carry(cfg)
+    if not isinstance(frames, dict):
+        arr = np.asarray(frames) if not hasattr(frames, "shape") else frames
+        if arr.ndim != 4 or arr.shape[-1] != 3:
+            raise ValueError(
+                f"run_offline expects frames [T, H, W, 3] (or a YUV dict); "
+                f"got shape {getattr(arr, 'shape', None)}")
     consts = SynthConstants.create(cfg)
     window = jnp.asarray(hann_window_norm(cfg.nfft))
 

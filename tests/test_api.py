@@ -272,3 +272,28 @@ class TestStreamCLI:
         pcm = np.frombuffer(r.stdout, "<f4")
         assert len(pcm) >= 4 * 2048
         assert np.all(np.isfinite(pcm))
+
+
+class TestNv12:
+    def test_nv12_equals_i420(self, tmp_path, rng):
+        from vaudio.io import Yuv420FileSource
+        h, w = 16, 16
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        u = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+        v = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+        i420 = np.concatenate([y.ravel(), u.ravel(), v.ravel()])
+        uv = np.empty((h // 2, w), np.uint8)
+        uv[:, 0::2], uv[:, 1::2] = u, v
+        nv12 = np.concatenate([y.ravel(), uv.ravel()])
+        p1, p2 = str(tmp_path / "a.yuv"), str(tmp_path / "b.yuv")
+        i420.tofile(p1)
+        nv12.tofile(p2)
+        f1 = next(Yuv420FileSource(p1, w, h, raw=True).frames())
+        f2 = next(Yuv420FileSource(p2, w, h, raw=True, fmt="nv12").frames())
+        for k in ("y", "u", "v"):
+            np.testing.assert_array_equal(f1[k], f2[k])
+
+    def test_bad_format_rejected(self):
+        from vaudio.io import Yuv420FileSource
+        with pytest.raises(ValueError):
+            Yuv420FileSource("x.yuv", 8, 8, fmt="yuyv")

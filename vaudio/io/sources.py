@@ -84,22 +84,27 @@ def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray,
 
 
 class Yuv420FileSource:
-    """Raw planar I420 file/stream source (the codec-free camera format).
+    """Raw YUV 4:2:0 file/stream source (the codec-free camera formats).
 
-    Frame size on disk: H*W + 2*(H/2*W/2) = H*W*3/2 bytes.
+    ``fmt="i420"``: planar Y, U, V.  ``fmt="nv12"``: planar Y followed by
+    interleaved UVUV... (the most common camera/ISP memory layout).
+    Frame size on disk: H*W*3/2 bytes either way.
     """
 
     def __init__(self, path: str, width: int, height: int,
                  fps: float = 30.0, studio_swing: bool = True,
-                 raw: bool = False):
+                 raw: bool = False, fmt: str = "i420"):
         """``raw=True`` yields planar ``{"y", "u", "v"}`` uint8 dicts for
         the device-side conversion path (half the ingest bytes of RGB; see
         vision.yuv420_mip_to_rgb_planes) instead of host-converted RGB."""
+        if fmt not in ("i420", "nv12"):
+            raise ValueError(f"unknown YUV format {fmt!r}")
         self.path = path
         self._w, self._h = int(width), int(height)
         self.fps = fps
         self.studio_swing = studio_swing
         self.raw = raw
+        self.fmt = fmt
 
     @property
     def shape(self):
@@ -115,10 +120,16 @@ class Yuv420FileSource:
                 if len(buf) < frame_bytes:
                     break
                 y = np.frombuffer(buf, np.uint8, ysz).reshape(h, w)
-                u = np.frombuffer(buf, np.uint8, csz, ysz).reshape(
-                    h // 2, w // 2)
-                v = np.frombuffer(buf, np.uint8, csz, ysz + csz).reshape(
-                    h // 2, w // 2)
+                if self.fmt == "i420":
+                    u = np.frombuffer(buf, np.uint8, csz, ysz).reshape(
+                        h // 2, w // 2)
+                    v = np.frombuffer(buf, np.uint8, csz, ysz + csz).reshape(
+                        h // 2, w // 2)
+                else:  # nv12: interleaved UV plane
+                    uv = np.frombuffer(buf, np.uint8, 2 * csz, ysz).reshape(
+                        h // 2, w)
+                    u = np.ascontiguousarray(uv[:, 0::2])
+                    v = np.ascontiguousarray(uv[:, 1::2])
                 if self.raw:
                     yield {"y": y, "u": u, "v": v}
                 else:

@@ -18,6 +18,8 @@ Environment overrides:
   VAUDIO_BENCH_CHUNKS=a,b   slope chunk sizes  (default 8,32)
   VAUDIO_BENCH_ITERS=N      timed repetitions  (default 6)
   VAUDIO_BENCH_PALLAS=0/1   use the Pallas synthesis kernel
+  VAUDIO_BENCH_PALLAS_AUDIO=0/1  use the Pallas AGC+OLA kernel
+  VAUDIO_JAX_CACHE=dir      persistent compile cache location
 """
 
 import json

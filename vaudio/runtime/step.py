@@ -72,7 +72,8 @@ def frame_step(carry: StepCarry, frame, params: Dict[str, Any],
       4. irfft -> AGC -> overlap-add (SoundEngine.swift:403-428)
 
     Args:
-      frame: f32[H, W, 3] RGB in [0,1].
+      frame: f32[H, W, 3] RGB in [0,1], u8[H, W, 3] RGB (normalized on
+        device), or a ``{"y", "u", "v"}`` dict of planar uint8 YUV 4:2:0.
       params: dict of f32 scalars (LiveParams.as_arrays()).
     Returns:
       (new_carry, out) with out["pcm"]: f32[hop] audio samples; when

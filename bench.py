@@ -6,17 +6,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is value / 10 — the ratio to the north-star target (the
 reference publishes no numbers of its own; see BASELINE.md).
 
-Methodology: frames are generated on-device inside the jit (ingest is a
-separately-reported secondary number) and the full fused frame step is
-scanned over them; the reported per-frame time is the SLOPE between a small
-and a large chunk, which cancels per-dispatch overhead (the TPU tunnel used
-in CI adds ~5 ms/call and dedupes identical dispatches, so naive per-call
-timing is unreliable — chained carries defeat the dedup).
+Methodology: uint8 frames are pre-generated DEVICE-RESIDENT (the
+steady-state serving configuration, where ingest DMA overlaps compute;
+H2D cost is characterized separately in benchmarks/latency.py) and the
+full fused frame step is scanned over them; the reported per-frame time is
+the SLOPE between a small and a large scan length, which cancels
+per-dispatch overhead (the TPU tunnel used in CI adds ~5 ms/call and
+dedupes identical dispatches, so naive per-call timing is unreliable —
+chained carries defeat the dedup).
 
 Environment overrides:
   VAUDIO_BENCH_RES=HxW      frame resolution   (default 1080x1920)
-  VAUDIO_BENCH_CHUNKS=a,b   slope chunk sizes  (default 8,32)
-  VAUDIO_BENCH_ITERS=N      timed repetitions  (default 6)
+  VAUDIO_BENCH_CHUNKS=a,b   slope chunk sizes  (default 16,64)
+  VAUDIO_BENCH_ITERS=N      timed repetitions  (default 8)
   VAUDIO_BENCH_PALLAS=0/1   use the Pallas synthesis kernel
   VAUDIO_BENCH_PALLAS_AUDIO=0/1  use the Pallas AGC+OLA kernel
   VAUDIO_JAX_CACHE=dir      persistent compile cache location

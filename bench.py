@@ -21,6 +21,7 @@ Environment overrides:
   VAUDIO_BENCH_ITERS=N      timed repetitions  (default 8)
   VAUDIO_BENCH_PALLAS=0/1   use the Pallas synthesis kernel
   VAUDIO_BENCH_PALLAS_AUDIO=0/1  use the Pallas AGC+OLA kernel
+  VAUDIO_BENCH_CHANNELS=1/2 mono (default) or stereo output
   VAUDIO_JAX_CACHE=dir      persistent compile cache location
 """
 
@@ -64,9 +65,11 @@ def main() -> int:
     use_pallas = os.environ.get("VAUDIO_BENCH_PALLAS", "0") == "1"
     use_pallas_audio = os.environ.get("VAUDIO_BENCH_PALLAS_AUDIO",
                                       "0") == "1"
+    channels = int(os.environ.get("VAUDIO_BENCH_CHANNELS", "1"))
 
     cfg = AuralizerConfig(sample_rate=48000.0, use_pallas=use_pallas,
-                          use_pallas_audio=use_pallas_audio)
+                          use_pallas_audio=use_pallas_audio,
+                          channels=channels)
     consts = SynthConstants.create(cfg)
     window = jnp.asarray(hann_window_norm(cfg.nfft))
     params = default_params(cfg)

@@ -133,31 +133,39 @@ def mip_downsample_planes(planes, level: int, quantize: bool = False,
         planes = planes.astype(jnp.float32)
         return planes * np.float32(scale) if scale != 1.0 else planes
 
+    k = 1 << level
     if is_u8:
-        # bf16 fast path for camera frames — exact by construction: uint8
-        # values (<=255) and the 1/2^level banded entries are both
-        # bf16-representable, MXU bf16 products accumulate in f32, and each
-        # output sums only 2^level terms.  The extra ``scale`` (1/255,
-        # studio swing, ...) folds into the SECOND matmul, which touches
-        # only the already-row-pooled (64x smaller) intermediate.  Halves
-        # the full-resolution memory traffic vs. an f32 convert.
-        pr = jnp.asarray(_pool_matrix(h, level), jnp.bfloat16)
-        lhs = planes.astype(jnp.bfloat16)
-        pc_scale = scale
+        # int8-MXU fast path for camera frames — exact by construction:
+        # u8 XOR 0x80 bitcast to s8 equals (value - 128) exactly; the row
+        # pool is an s8 x s8 integer matmul with 0/1 banded entries
+        # accumulating in i32 (block sums <= 128*2^level, also f32-exact);
+        # the mean normalization, the +128 offset undo and the extra
+        # ``scale`` (1/255, studio swing, ...) all fold into the SECOND
+        # matmul + one add, which touch only the already-row-pooled
+        # (2^level smaller) intermediate.  The full-resolution frame is
+        # read once, as int8.
+        s8 = jax.lax.bitcast_convert_type(
+            planes ^ np.uint8(0x80), jnp.int8)
+        pr_i8 = jnp.asarray(
+            (_pool_matrix(h, level) > 0).astype(np.int8))
+        rows = jax.lax.dot_general(
+            s8, pr_i8, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        pc = jnp.asarray(_pool_matrix(w, level) * np.float32(scale / k))
+        offset = np.float32(128.0 * scale)
     else:
         pr = jnp.asarray(_pool_matrix(h, level) * np.float32(scale))
-        lhs = planes.astype(jnp.float32)
-        pc_scale = 1.0
-    pc = jnp.asarray(_pool_matrix(w, level) * np.float32(pc_scale))
-    # (c, h, w) x (h, m) -> (c, m, w):  contract rows
-    rows = jax.lax.dot_general(
-        lhs, pr, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (c, w, m)
+        rows = jax.lax.dot_general(
+            planes.astype(jnp.float32), pr,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (c, w, m)
+        pc = jnp.asarray(_pool_matrix(w, level))
+        offset = np.float32(0.0)
     rows = jnp.swapaxes(rows, 1, 2)                   # (c, m, w)
     out = jax.lax.dot_general(
         rows, pc, dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)           # (c, m, n)
-    return out
+    return out + offset if offset else out
 
 
 def mip_downsample(frame, level: int, quantize: bool = False):

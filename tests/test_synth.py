@@ -221,3 +221,24 @@ class TestSpectralFilter:
         low_bins = freqs < 500
         # The narrow band-pass must crush the fundamental region.
         assert mag_n[low_bins].max() < 0.05 * mag_w[low_bins].max()
+
+
+class TestCleanModeOracle:
+    def test_clean_layout_against_oracle(self, rng):
+        # quirk_compat=False reads phases at stride 32 with the +13 Bessel
+        # offset — the layout the reference *intended* (SoundEngine.swift
+        # writes it; the kernel misreads it).  The oracle parameterizes the
+        # stride, so clean mode is verifiable too.
+        clean = dataclasses.replace(SMALL, quirk_compat=False)
+        consts = SynthConstants.create(clean)
+        hues, grads, phases, prev = make_state(rng, clean)
+        got = np.asarray(build_spectrum(
+            jnp.asarray(hues), jnp.asarray(grads), jnp.asarray(phases),
+            jnp.asarray(prev), jnp.float32(0.85), clean, consts))
+        expect_c = oracles.compute_spectrum_np(
+            hues, grads.astype(np.float64), consts.freqs.astype(np.float64),
+            (prev[:, 0] + 1j * prev[:, 1]).astype(np.complex128),
+            phases.reshape(-1).astype(np.float64), 0.85, clean.bin_width,
+            quirk_stride=32, quirk_bessel_offset=13)
+        np.testing.assert_allclose(got[:, 0], expect_c.real, atol=2e-4)
+        np.testing.assert_allclose(got[:, 1], expect_c.imag, atol=2e-4)

@@ -22,6 +22,7 @@ Environment overrides:
   VAUDIO_BENCH_PALLAS=0/1   use the Pallas synthesis kernel
   VAUDIO_BENCH_PALLAS_AUDIO=0/1  use the Pallas AGC+OLA kernel
   VAUDIO_BENCH_CHANNELS=1/2 mono (default) or stereo output
+  VAUDIO_BENCH_UNROLL=N     scan unroll factor (default 4)
   VAUDIO_JAX_CACHE=dir      persistent compile cache location
 """
 
@@ -66,6 +67,7 @@ def main() -> int:
     use_pallas_audio = os.environ.get("VAUDIO_BENCH_PALLAS_AUDIO",
                                       "0") == "1"
     channels = int(os.environ.get("VAUDIO_BENCH_CHANNELS", "1"))
+    unroll = int(os.environ.get("VAUDIO_BENCH_UNROLL", "4"))
 
     cfg = AuralizerConfig(sample_rate=48000.0, use_pallas=use_pallas,
                           use_pallas_audio=use_pallas_audio,
@@ -100,7 +102,9 @@ def main() -> int:
         def scan_chunk(carry, frames):
             def body(c, f):
                 return frame_step(c, f, params, cfg, consts, window)
-            return jax.lax.scan(body, carry, frames)
+            # unroll lets XLA overlap kernels across iterations — the
+            # single-stream step is scheduling-gap-bound (~17% win).
+            return jax.lax.scan(body, carry, frames, unroll=unroll)
 
         carry = init_carry(cfg)
         t0 = time.perf_counter()

@@ -25,6 +25,7 @@ def main():
     res = os.environ.get("VAUDIO_BENCH_RES", "1080x1920")
     h, w = (int(x) for x in res.split("x"))
     n_streams = int(os.environ.get("VAUDIO_BENCH_STREAMS", "8"))
+    unroll = int(os.environ.get("VAUDIO_BENCH_UNROLL", "2"))
     iters = int(os.environ.get("VAUDIO_BENCH_ITERS", "6"))
 
     cfg = AuralizerConfig(sample_rate=48000.0)
@@ -47,7 +48,7 @@ def main():
                                              window),
                     in_axes=(0, 0))
                 return step(c, fr)
-            return jax.lax.scan(body, carry, frames)
+            return jax.lax.scan(body, carry, frames, unroll=unroll)
 
         carry = init_carry_batch(cfg, n_streams)
         carry, outs = scan_chunk(carry, frames)

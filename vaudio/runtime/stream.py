@@ -93,7 +93,8 @@ class StreamingAuralizer:
                  prefer_native: bool = True,
                  debug: bool = False,
                  chunk_frames: int = 1,
-                 metrics_log: Optional[str] = None):
+                 metrics_log: Optional[str] = None,
+                 scan_unroll: int = 1):
         """``chunk_frames > 1`` dispatches N frames per device call (a
         lax.scan micro-batch): adds N-1 frame times of buffering latency
         but amortizes per-dispatch overhead N-fold — the right trade when
@@ -127,7 +128,8 @@ class StreamingAuralizer:
                 def body(c, f):
                     return frame_step(c, f, params, cfg, consts, window,
                                       debug=debug)
-                return jax.lax.scan(body, carry, frames)
+                return jax.lax.scan(body, carry, frames,
+                                    unroll=max(1, scan_unroll))
             self._chunk_step = chunk_step
         self._carry: StepCarry = init_carry(cfg)
         # Stereo streams store interleaved samples (frame = hop * channels).

@@ -25,7 +25,7 @@ def main():
     res = os.environ.get("VAUDIO_BENCH_RES", "1080x1920")
     h, w = (int(x) for x in res.split("x"))
     n_streams = int(os.environ.get("VAUDIO_BENCH_STREAMS", "8"))
-    unroll = int(os.environ.get("VAUDIO_BENCH_UNROLL", "2"))
+    unroll = int(os.environ.get("VAUDIO_BENCH_UNROLL", "1"))  # unroll>1 hurts batched: 2x the 8x-larger live intermediates
     iters = int(os.environ.get("VAUDIO_BENCH_ITERS", "6"))
 
     cfg = AuralizerConfig(sample_rate=48000.0)

@@ -246,7 +246,7 @@ class TestSoak:
 
         def source():
             base = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
-            for t in range(300):
+            for t in range(150):
                 yield np.clip(base * (0.5 + 0.5 * np.sin(t / 20)), 0, 1)
 
         consumed = []
@@ -262,7 +262,7 @@ class TestSoak:
         s.raise_if_failed()
         stop.set()
         c.join(timeout=5)
-        assert s.metrics.frames_processed == 30  # 300 frames / 10 per chunk
+        assert s.metrics.frames_processed == 15  # 150 frames / 10 per chunk
         audio = np.concatenate(consumed) if consumed else np.zeros(1)
         assert np.all(np.isfinite(audio))
         assert np.abs(audio).max() <= 2.0

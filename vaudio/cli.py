@@ -69,16 +69,22 @@ def cmd_sonify(args) -> int:
 
 
 def cmd_synthetic(args) -> int:
-    from vaudio.api import Auralizer
-    from vaudio.io import hsb_frames
+    from vaudio.io import hsb_frames, write_wav
     cfg, params = _build_config(args)
     frames = hsb_frames(args.hue, args.saturation, args.brightness,
                         width=args.width, height=args.height,
                         num_frames=args.frames)
-    aur = Auralizer(config=cfg, params=params)
-    audio = aur.sonify_to_wav(frames, args.output)
+    if args.model == "orthomodes":
+        from vaudio.models import OrthoModesConfig, OrthoModesModel
+        model = OrthoModesModel(OrthoModesConfig(audio=cfg))
+        audio = model.sonify(frames)
+        write_wav(args.output, audio, cfg.sample_rate)
+    else:
+        from vaudio.api import Auralizer
+        aur = Auralizer(config=cfg, params=params)
+        audio = aur.sonify_to_wav(frames, args.output)
     print(f"wrote {args.output}: {len(audio) / cfg.sample_rate:.2f}s "
-          f"(hue={args.hue})")
+          f"(hue={args.hue}, model={args.model})")
     return 0
 
 
@@ -173,6 +179,10 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--frames", type=int, default=90)
+    p.add_argument("--model", choices=("auralizer", "orthomodes"),
+                   default="auralizer",
+                   help="model family: the flagship 16-cell pipeline or "
+                        "the per-pixel OrthoModes synthesis")
     p.add_argument("-o", "--output", default="synthetic.wav")
     _add_config_args(p)
     p.set_defaults(fn=cmd_synthetic)

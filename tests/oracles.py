@@ -90,12 +90,18 @@ def hue_histogram_np(mip_rgb, grid=4, bins=360):
 
 
 def update_hues_np(hist, prev, mixing, gate=20):
-    """Literal VisionEngine.swift:255-271."""
+    """Literal VisionEngine.swift:255-271.  The argmax loop transcribes
+    Swift's ``max(by:)``, which replaces its running result whenever the
+    candidate is NOT strictly less — so equal max counts resolve to the
+    LAST (highest) bin."""
     out = prev.copy()
     for c in range(hist.shape[0]):
         mx = hist[c].max()
         if mx > gate:
-            arg = int(np.argmax(hist[c]))
+            arg = 0
+            for b in range(1, hist.shape[1]):
+                if not (hist[c, b] < hist[c, arg]):
+                    arg = b
             out[c] = np.int32(float(prev[c]) * mixing + arg * (1 - mixing))
     return out
 

@@ -67,13 +67,20 @@ class Auralizer:
     # Offline
     # ------------------------------------------------------------------
 
-    def sonify(self, frames: Union[np.ndarray, ArraySource],
+    def sonify(self, frames: Union[np.ndarray, ArraySource, Dict[str, Any]],
                debug: bool = False):
         """Sonify a whole decoded clip (lax.scan path).  Returns PCM
-        f32[T*hop]; with ``debug`` returns (pcm, debug_dict)."""
+        f32[T*hop]; with ``debug`` returns (pcm, debug_dict).
+
+        ``frames`` may be a [T,H,W,3] RGB tensor (f32 in [0,1] or uint8),
+        an :class:`ArraySource`, or a ``{"y", "u", "v"}`` dict of planar
+        uint8 YUV 4:2:0 tensors (each [T, ...]) for the device-side
+        conversion path."""
         if isinstance(frames, ArraySource):
             frames = frames.tensor()
-        audio, _carry, dbg = run_offline(np.asarray(frames), self.config,
+        if not isinstance(frames, dict):
+            frames = np.asarray(frames)
+        audio, _carry, dbg = run_offline(frames, self.config,
                                          self.params.as_arrays(),
                                          debug=debug)
         audio = np.asarray(audio)

@@ -37,7 +37,11 @@ BESSEL_RATIOS: Tuple[float, ...] = (
 class AuralizerConfig:
     """Static configuration (shapes + compile-time constants).
 
-    Defaults reproduce the reference app exactly.
+    Defaults reproduce the reference app's math and quirks, with one
+    documented deviation: the mip pyramid is computed in full f32 by
+    default (``quantize_mips=False``) where the reference's bgra8Unorm
+    chain quantizes every level to 8 bits — set ``quantize_mips=True``
+    for strict 8-bit parity (docs/PARITY.md, "Known deviations").
     """
 
     # --- audio format (SoundEngine.swift:46-48) ---

@@ -345,14 +345,18 @@ def update_hues(hist, prev_hues, mixing, cfg: AuralizerConfig):
     Reproduces the CPU reduction at VisionEngine.swift:255-271: for each
     cell, if max count > 20, the new hue is
     ``int32(prev*mix + argmax*(1-mix))`` (truncating), else unchanged.
-    First-maximum tie-break matches Swift's ``max(by:)``.
+    LAST-maximum tie-break matches Swift's ``max(by:)`` (it replaces the
+    running result whenever the candidate is not strictly less, so equal
+    max counts resolve to the highest bin) — implemented as an argmax over
+    the reversed bin axis.
 
     Args:
       hist: f32[cells, bins]; prev_hues: i32[cells]; mixing: f32 scalar.
     Returns: i32[cells].
     """
+    bins = hist.shape[1]
     max_val = jnp.max(hist, axis=1)
-    arg = jnp.argmax(hist, axis=1).astype(jnp.float32)
+    arg = (bins - 1 - jnp.argmax(hist[:, ::-1], axis=1)).astype(jnp.float32)
     mixed = prev_hues.astype(jnp.float32) * mixing + arg * (1.0 - mixing)
     new = mixed.astype(jnp.int32)  # truncation, as Swift Int32(Float)
     return jnp.where(max_val > np.float32(cfg.hist_count_gate), new,
@@ -452,6 +456,11 @@ def yuv420_mip_to_rgb_planes(y, u, v, cfg: AuralizerConfig,
     Returns: f32[3, H>>level, W>>level] RGB in [0, 1].
     """
     level = cfg.mip_level
+    if level < 1:
+        raise ValueError(
+            f"the planar-YUV ingest path pools half-resolution chroma at "
+            f"mip level-1 and so requires mip_level >= 1 (got {level}); "
+            f"convert to RGB on the host (io.yuv420_to_rgb) for mip_level=0")
     if studio_swing:
         y_scale, y_off = 1.0 / 219.0, -16.0 / 219.0
         c_scale, c_off = 1.0 / 224.0, -128.0 / 224.0

@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Headline benchmark: real-time factor sonifying 1080p30 video to 48 kHz
-PCM on one chip (BASELINE.json north star: >= 10x real time per v5e chip).
+STEREO PCM on one chip (BASELINE.json north star: >= 10x real time per
+v5e chip, 48 kHz stereo).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus a
+``mono_x_realtime`` key (the reference's own output is mono 44.1 kHz —
+SoundEngine.swift:165 — so both operating points are recorded).
 ``vs_baseline`` is value / 10 — the ratio to the north-star target (the
 reference publishes no numbers of its own; see BASELINE.md).
 
@@ -21,7 +24,8 @@ Environment overrides:
   VAUDIO_BENCH_ITERS=N      timed repetitions  (default 8)
   VAUDIO_BENCH_PALLAS=0/1   use the Pallas synthesis kernel
   VAUDIO_BENCH_PALLAS_AUDIO=0/1  use the Pallas AGC+OLA kernel
-  VAUDIO_BENCH_CHANNELS=1/2 mono (default) or stereo output
+  VAUDIO_BENCH_CHANNELS=1/2 stereo (default) or mono headline config
+  VAUDIO_BENCH_MONO=0/1     also measure the mono config (default 1)
   VAUDIO_BENCH_UNROLL=N     scan unroll factor (default 4)
   VAUDIO_JAX_CACHE=dir      persistent compile cache location
 """
@@ -66,76 +70,88 @@ def main() -> int:
     use_pallas = os.environ.get("VAUDIO_BENCH_PALLAS", "0") == "1"
     use_pallas_audio = os.environ.get("VAUDIO_BENCH_PALLAS_AUDIO",
                                       "0") == "1"
-    channels = int(os.environ.get("VAUDIO_BENCH_CHANNELS", "1"))
+    channels = int(os.environ.get("VAUDIO_BENCH_CHANNELS", "2"))
+    also_mono = os.environ.get("VAUDIO_BENCH_MONO", "1") == "1" \
+        and channels == 2
     unroll = int(os.environ.get("VAUDIO_BENCH_UNROLL", "4"))
-
-    cfg = AuralizerConfig(sample_rate=48000.0, use_pallas=use_pallas,
-                          use_pallas_audio=use_pallas_audio,
-                          channels=channels)
-    consts = SynthConstants.create(cfg)
-    window = jnp.asarray(hann_window_norm(cfg.nfft))
-    params = default_params(cfg)
 
     backend = jax.default_backend()
     dev = jax.devices()[0]
     log(f"bench: backend={backend} device={dev} frame={h}x{w} "
         f"chunks={chunks} pallas={use_pallas} pallas_audio={use_pallas_audio}")
 
-    # lax.scan with a static length per chunk size.  (A dynamic-trip-count
-    # fori_loop would need only one compile, but compiles pathologically
-    # slowly on this toolchain; the second scan length hits the remote
-    # compile cache and costs only seconds.)
-    def bench_chunk(T, seed0):
-        # Frames are uint8 (the camera-native ingest dtype; the step
-        # normalizes on device) and DEVICE-RESIDENT before timing starts:
-        # the measured region is exactly the frame->audio pipeline, the
-        # steady-state serving configuration where ingest DMA overlaps
-        # compute.  (Generating frames inside the jit instead was measured
-        # to cost more than the whole pipeline: f32 threefry ~0.13
-        # ms/frame vs 0.10 ms of actual work.)  Carries chain between
-        # calls, which defeats the tunnel's identical-dispatch dedup.
-        frames = jax.random.bits(jax.random.PRNGKey(seed0), (T, h, w, 3),
-                                 jnp.uint8)
-        jax.block_until_ready(frames)
+    def measure(ch):
+        cfg = AuralizerConfig(sample_rate=48000.0, use_pallas=use_pallas,
+                              use_pallas_audio=use_pallas_audio,
+                              channels=ch)
+        consts = SynthConstants.create(cfg)
+        window = jnp.asarray(hann_window_norm(cfg.nfft))
+        params = default_params(cfg)
 
-        @jax.jit
-        def scan_chunk(carry, frames):
-            def body(c, f):
-                return frame_step(c, f, params, cfg, consts, window)
-            # unroll lets XLA overlap kernels across iterations — the
-            # single-stream step is scheduling-gap-bound (~17% win).
-            return jax.lax.scan(body, carry, frames, unroll=unroll)
+        # lax.scan with a static length per chunk size.  (A dynamic-trip-
+        # count fori_loop would need only one compile, but compiles
+        # pathologically slowly on this toolchain; the second scan length
+        # hits the remote compile cache and costs only seconds.)
+        def bench_chunk(T, seed0):
+            # Frames are uint8 (the camera-native ingest dtype; the step
+            # normalizes on device) and DEVICE-RESIDENT before timing
+            # starts: the measured region is exactly the frame->audio
+            # pipeline, the steady-state serving configuration where
+            # ingest DMA overlaps compute.  (Generating frames inside the
+            # jit instead was measured to cost more than the whole
+            # pipeline: f32 threefry ~0.13 ms/frame vs 0.10 ms of actual
+            # work.)  Carries chain between calls, which defeats the
+            # tunnel's identical-dispatch dedup.
+            frames = jax.random.bits(jax.random.PRNGKey(seed0),
+                                     (T, h, w, 3), jnp.uint8)
+            jax.block_until_ready(frames)
 
-        carry = init_carry(cfg)
-        t0 = time.perf_counter()
-        carry, outs = scan_chunk(carry, frames)
-        jax.block_until_ready(outs["pcm"])
-        log(f"bench: chunk{T} first call (incl. compile) "
-            f"{time.perf_counter() - t0:.1f}s")
-        t0 = time.perf_counter()
-        for i in range(iters):
+            @jax.jit
+            def scan_chunk(carry, frames):
+                def body(c, f):
+                    return frame_step(c, f, params, cfg, consts, window)
+                # unroll lets XLA overlap kernels across iterations — the
+                # single-stream step is scheduling-gap-bound (~17% win).
+                return jax.lax.scan(body, carry, frames, unroll=unroll)
+
+            carry = init_carry(cfg)
+            t0 = time.perf_counter()
             carry, outs = scan_chunk(carry, frames)
-        jax.block_until_ready(outs["pcm"])
-        return (time.perf_counter() - t0) / iters * 1e3  # ms/call
+            jax.block_until_ready(outs["pcm"])
+            log(f"bench[ch={ch}]: chunk{T} first call (incl. compile) "
+                f"{time.perf_counter() - t0:.1f}s")
+            t0 = time.perf_counter()
+            for i in range(iters):
+                carry, outs = scan_chunk(carry, frames)
+            jax.block_until_ready(outs["pcm"])
+            return (time.perf_counter() - t0) / iters * 1e3  # ms/call
 
-    t_small = bench_chunk(chunks[0], 0)
-    t_big = bench_chunk(chunks[1], 1000)
-    ms_per_frame = (t_big - t_small) / (chunks[1] - chunks[0])
-    dispatch_ms = t_small - chunks[0] * ms_per_frame
-    fps = 1000.0 / ms_per_frame
-    rtf = fps / cfg.video_fps
-    log(f"bench: chunk{chunks[0]}={t_small:.1f}ms chunk{chunks[1]}="
-        f"{t_big:.1f}ms -> {ms_per_frame:.3f} ms/frame "
-        f"(per-dispatch overhead ~{dispatch_ms:.1f}ms)")
-    log(f"bench: {fps:.0f} frames/s = {rtf:.1f}x realtime @30fps; audio "
-        f"out {fps * cfg.hop_size / 1e6:.2f} Msamples/s")
+        t_small = bench_chunk(chunks[0], 0)
+        t_big = bench_chunk(chunks[1], 1000)
+        ms_per_frame = (t_big - t_small) / (chunks[1] - chunks[0])
+        dispatch_ms = t_small - chunks[0] * ms_per_frame
+        fps = 1000.0 / ms_per_frame
+        rtf = fps / cfg.video_fps
+        log(f"bench[ch={ch}]: chunk{chunks[0]}={t_small:.1f}ms "
+            f"chunk{chunks[1]}={t_big:.1f}ms -> {ms_per_frame:.3f} "
+            f"ms/frame (per-dispatch overhead ~{dispatch_ms:.1f}ms)")
+        log(f"bench[ch={ch}]: {fps:.0f} frames/s = {rtf:.1f}x realtime "
+            f"@30fps; audio out {fps * cfg.hop_size * ch / 1e6:.2f} "
+            f"Msamples/s")
+        return rtf
 
-    print(json.dumps({
-        "metric": "realtime_factor_1080p30_to_48kHz_per_chip",
+    rtf = measure(channels)
+    record = {
+        "metric": ("realtime_factor_1080p30_to_48kHz_stereo_per_chip"
+                   if channels == 2 else
+                   "realtime_factor_1080p30_to_48kHz_per_chip"),
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 10.0, 3),
-    }))
+    }
+    if also_mono:
+        record["mono_x_realtime"] = round(measure(1), 2)
+    print(json.dumps(record))
     return 0
 
 

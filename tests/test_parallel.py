@@ -57,6 +57,53 @@ class TestParallelStep:
         np.testing.assert_array_equal(np.asarray(carryP.hues),
                                       np.asarray(carryB.hues))
 
+    @pytest.mark.parametrize("flags", [
+        {"channels": 2},
+        {"enable_filters": True},
+        {"channels": 2, "enable_filters": True},
+        {"quirk_compat": False},
+        {"linear_cell_grads": False},
+    ], ids=lambda f: "+".join(f"{k}={v}" for k, v in f.items()))
+    def test_flag_matrix_on_tp_mesh(self, frames8, flags):
+        """Every config flag must survive the (4,2) DP+TP decomposition —
+        the TP step is feature-complete, not a narrowed special case."""
+        cfg = AuralizerConfig(**flags)
+        params = dict(PARAMS)
+        if flags.get("enable_filters"):
+            # Make the filter actually bite so a TP-side omission would
+            # show up as a mismatch.
+            params["hp_cutoff"] = np.float32(500.0)
+            params["hp_order"] = np.float32(2.0)
+            params["lp_cutoff"] = np.float32(4000.0)
+            params["lp_order"] = np.float32(1.0)
+        mesh = make_stream_mesh(4, 2)
+        stepP = make_parallel_step(cfg, mesh)
+        stepB = make_batched_step(cfg)
+        carryP, outP = stepP(init_carry_batch(cfg, 8),
+                             jnp.asarray(frames8[:, 0]), params)
+        carryB, outB = stepB(init_carry_batch(cfg, 8),
+                             jnp.asarray(frames8[:, 0]), params)
+        np.testing.assert_allclose(np.asarray(outP["pcm"]),
+                                   np.asarray(outB["pcm"]), atol=3e-4)
+        np.testing.assert_array_equal(np.asarray(carryP.hues),
+                                      np.asarray(carryB.hues))
+
+    def test_stereo_image_survives_tp(self, frames8):
+        """An off-center hue field must produce L != R through the TP
+        mesh (the pan law is sliced per cell shard)."""
+        cfg = AuralizerConfig(channels=2)
+        frame = np.zeros((64, 64, 3), np.float32)
+        frame[:, 48:] = [1.0, 0.1, 0.1]   # color mass on the right
+        frames = jnp.asarray(np.broadcast_to(frame, (8, 64, 64, 3)))
+        mesh = make_stream_mesh(4, 2)
+        step = make_parallel_step(cfg, mesh)
+        carry, out = step(init_carry_batch(cfg, 8), frames, PARAMS)
+        carry, out = step(carry, frames, PARAMS)  # past warm-up silence
+        pcm = np.asarray(out["pcm"])              # (8, hop, 2)
+        el = np.abs(pcm[0, :, 0]).sum()
+        er = np.abs(pcm[0, :, 1]).sum()
+        assert el > 0 and er > 0 and not np.isclose(el, er, rtol=1e-3)
+
     def test_collective_present_in_hlo(self):
         # The cell axis must introduce a real reduction collective.
         mesh = make_stream_mesh(2, 4)

@@ -30,10 +30,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vaudio.config import AuralizerConfig
-from vaudio.dsp import agc_normalize, hann_sinc_peak_fast, hann_window_norm, \
-    irfft_from_half, overlap_add
-from vaudio.runtime.step import StepCarry, frame_step, init_carry
-from vaudio.synth import SynthConstants, partial_weights, phase_accumulate
+from vaudio.dsp import hann_window_norm
+from vaudio.runtime.step import StepCarry, frame_step, init_carry, \
+    synth_audio
+from vaudio.synth import SynthConstants, contract_spectrum, \
+    finalize_spectrum, flatten_partials, partial_weights, phase_accumulate
 from vaudio.vision import extract_features
 
 
@@ -83,50 +84,36 @@ def _tp_frame_step(carry: StepCarry, frame, params, cfg: AuralizerConfig,
     """Single-stream frame step with the synthesis contraction sharded over
     the 'cell' mesh axis.  Runs inside shard_map.
 
-    Limitations vs. the single-device step: mono output only and no
-    enable_filters support (both trivially addable; the TP decomposition is
-    orthogonal to them — see docs/ROADMAP.md)."""
+    Feature-complete vs. the single-device step: stereo (pan gains are
+    sliced per cell shard; the psum sums per-channel partial spectra) and
+    enable_filters (applied post-psum in the shared finalize stage) both
+    compose with the TP decomposition.
+    """
     mixing = jnp.asarray(params["spectrum_mixing"], jnp.float32)
 
-    # Vision + phase accumulation: replicated over 'cell'.
+    # Vision + phase accumulation: replicated over 'cell' (~1% of FLOPs).
     hues, grads, _ = extract_features(frame, carry.hues, mixing, cfg)
     phases = phase_accumulate(carry.phases, hues, cfg, consts)
 
     local_cells = cfg.num_cells // n_cell_shards
     ci = jax.lax.axis_index("cell")
     start = ci * local_cells
+    cell_slice = (start, local_cells)
 
+    # Shared synthesis stages (vaudio.synth.spectrum), restricted to the
+    # local cell range; the full-spectrum sum is ONE psum riding ICI.
     pfreq, w_re, w_im, inv_bw = partial_weights(
-        hues, grads, phases, cfg, consts,
-        cell_slice=(start, local_cells))
-    nc, npart = pfreq.shape
-    flat_pf = pfreq.reshape(nc * npart)
-    flat_w = jnp.stack([w_re.reshape(-1), w_im.reshape(-1)], axis=1)
-    flat_ibw = jnp.broadcast_to(inv_bw[:, None], (nc, npart)).reshape(-1)
-
-    freqs = jnp.asarray(consts.freqs)
-    hann_mult = np.float32(1.0 / cfg.bin_width)
-    d = (freqs[:, None] - flat_pf[None, :]) * (hann_mult * flat_ibw)
-    W = hann_sinc_peak_fast(d)
-    local = jax.lax.dot_general(
-        W, flat_w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # (F, 2) partial
+        hues, grads, phases, cfg, consts, cell_slice=cell_slice)
+    flat_pf, flat_w, flat_ibw = flatten_partials(
+        pfreq, w_re, w_im, inv_bw, cfg, cell_slice=cell_slice)
+    local = contract_spectrum(flat_pf, flat_w, flat_ibw, cfg, consts)
 
     cur = jax.lax.psum(local, "cell")                     # THE collective
 
-    c = jnp.asarray(consts.static_cos)
-    s = jnp.asarray(consts.static_sin)
-    rot = jnp.stack([cur[:, 0] * c - cur[:, 1] * s,
-                     cur[:, 0] * s + cur[:, 1] * c], axis=1)
-    spectrum = (carry.prev_spectrum * mixing
-                + rot * (1.0 - mixing)).astype(jnp.float32)
-
-    signal = irfft_from_half(spectrum[:, 0], spectrum[:, 1])
-    normalized, running_max = agc_normalize(
-        signal, carry.running_max,
-        jnp.asarray(params["attack"], jnp.float32),
-        jnp.asarray(params["release"], jnp.float32))
-    pcm, ola_tail = overlap_add(normalized, carry.ola_tail, window)
+    spectrum = finalize_spectrum(cur, carry.prev_spectrum, mixing, cfg,
+                                 consts, filter_params=params)
+    pcm, ola_tail, running_max = synth_audio(
+        spectrum, carry.ola_tail, carry.running_max, params, cfg, window)
 
     new_carry = StepCarry(hues=hues, phases=phases, prev_spectrum=spectrum,
                           ola_tail=ola_tail, running_max=running_max)
@@ -201,6 +188,10 @@ def run_offline_parallel(frames, cfg: AuralizerConfig, mesh: Mesh,
         return jax.lax.scan(body, carry, jnp.swapaxes(frames, 0, 1))
 
     final, outs = scan_fn(carry, frames, params)
-    pcm = outs["pcm"]                       # (T, S, hop)
-    audio = jnp.swapaxes(pcm, 0, 1).reshape(n_streams, -1)
+    pcm = outs["pcm"]             # (T, S, hop) or (T, S, hop, ch)
+    audio = jnp.swapaxes(pcm, 0, 1)
+    if cfg.channels == 1:
+        audio = audio.reshape(n_streams, -1)
+    else:
+        audio = audio.reshape(n_streams, -1, cfg.channels)
     return audio, final

@@ -58,6 +58,40 @@ def default_params(cfg: AuralizerConfig) -> Dict[str, np.float32]:
     return LiveParams().as_arrays()
 
 
+def synth_audio(spectrum, ola_tail, running_max, params: Dict[str, Any],
+                cfg: AuralizerConfig, window):
+    """The audio tail of the frame step: irfft -> AGC -> overlap-add
+    (SoundEngine.swift:403-428).  Shared by the single-device and
+    tensor-parallel steps.
+
+    Stereo (cfg.channels == 2): channel-batched irfft with a SHARED
+    AGC/OLA gain so the stereo image is preserved; pcm comes back
+    interleaved as (hop, channels).
+
+    Returns (pcm, new_ola_tail, new_running_max).
+    """
+    if cfg.channels == 1:
+        signal = irfft_from_half(spectrum[:, 0], spectrum[:, 1])
+    else:
+        signal = jax.vmap(
+            lambda sp: irfft_from_half(sp[:, 0], sp[:, 1]))(spectrum)
+    attack = jnp.asarray(params["attack"], jnp.float32)
+    release = jnp.asarray(params["release"], jnp.float32)
+    if cfg.use_pallas or cfg.use_pallas_audio:
+        # Fused AGC+OLA kernel: one dispatch instead of ~10 tiny XLA
+        # kernels (per-kernel launch overhead dominates this stage).
+        from vaudio.ops.audio_kernel import agc_overlap_add
+        pcm, new_tail, new_max = agc_overlap_add(
+            signal, ola_tail, window, running_max, attack, release)
+    else:
+        normalized, new_max = agc_normalize(
+            signal, running_max, attack, release)
+        pcm, new_tail = overlap_add(normalized, ola_tail, window)
+    if cfg.channels != 1:
+        pcm = pcm.T                         # (hop, channels) interleaved
+    return pcm, new_tail, new_max
+
+
 def frame_step(carry: StepCarry, frame, params: Dict[str, Any],
                cfg: AuralizerConfig, consts: SynthConstants, window,
                debug: bool = False) -> Tuple[StepCarry, Dict[str, Any]]:
@@ -98,28 +132,9 @@ def frame_step(carry: StepCarry, frame, params: Dict[str, Any],
     spectrum = build_spectrum(hues, grads, phases, carry.prev_spectrum,
                               mixing, cfg, consts, filter_params=params)
 
-    # 4. Audio frame (stereo: channel-batched irfft, shared AGC/OLA gain so
-    #    the stereo image is preserved)
-    if cfg.channels == 1:
-        signal = irfft_from_half(spectrum[:, 0], spectrum[:, 1])
-    else:
-        signal = jax.vmap(
-            lambda sp: irfft_from_half(sp[:, 0], sp[:, 1]))(spectrum)
-    attack = jnp.asarray(params["attack"], jnp.float32)
-    release = jnp.asarray(params["release"], jnp.float32)
-    if cfg.use_pallas or cfg.use_pallas_audio:
-        # Fused AGC+OLA kernel: one dispatch instead of ~10 tiny XLA
-        # kernels (per-kernel launch overhead dominates this stage).
-        from vaudio.ops.audio_kernel import agc_overlap_add
-        pcm, ola_tail, running_max = agc_overlap_add(
-            signal, carry.ola_tail, window, carry.running_max, attack,
-            release)
-    else:
-        normalized, running_max = agc_normalize(
-            signal, carry.running_max, attack, release)
-        pcm, ola_tail = overlap_add(normalized, carry.ola_tail, window)
-    if cfg.channels != 1:
-        pcm = pcm.T                         # (hop, channels) interleaved
+    # 4. Audio frame
+    pcm, ola_tail, running_max = synth_audio(
+        spectrum, carry.ola_tail, carry.running_max, params, cfg, window)
 
     new_carry = StepCarry(hues=hues, phases=phases, prev_spectrum=spectrum,
                           ola_tail=ola_tail, running_max=running_max)

@@ -13,6 +13,10 @@ VPU, contracted with per-partial complex weights on the MXU.
 from vaudio.synth.spectrum import (
     SynthConstants,
     build_spectrum,
+    cell_pan_gains,
+    contract_spectrum,
+    finalize_spectrum,
+    flatten_partials,
     partial_weights,
     phase_accumulate,
 )
@@ -20,6 +24,10 @@ from vaudio.synth.spectrum import (
 __all__ = [
     "SynthConstants",
     "build_spectrum",
+    "cell_pan_gains",
+    "contract_spectrum",
+    "finalize_spectrum",
+    "flatten_partials",
     "partial_weights",
     "phase_accumulate",
 ]

@@ -262,60 +262,64 @@ def spectral_filter_gain(freqs, hp_cutoff, lp_cutoff, hp_order, lp_order):
     return gain
 
 
-def build_spectrum(hues, grads, phases, prev_spectrum, spectrum_mixing,
-                   cfg: AuralizerConfig, consts: SynthConstants,
-                   use_pallas: Optional[bool] = None,
-                   filter_params=None):
-    """Full spectrum synthesis for one frame.
+def flatten_partials(pfreq, w_re, w_im, inv_bw, cfg: AuralizerConfig,
+                     cell_slice=None):
+    """Stage 1.5: flatten per-cell partials into contraction operands.
 
-    Equivalent of one ``computeSpectrum`` dispatch
-    (SpectrumCompute.metal:82-214): stamps every audible partial of every
-    valid cell onto the F-bin grid with the Hann-transform peak shape,
-    applies the static per-bin phase rotation, and EMA-blends with the
-    previous frame's spectrum.
+    Folds the stereo pan split (cfg.channels == 2) into the weight matrix,
+    so the heavy (F x partials) contraction is SHARED between channels:
+    each partial's complex weight becomes [gL*re, gL*im, gR*re, gR*im].
+    ``cell_slice=(start, count)`` slices the pan gains to the local cell
+    range (the tensor-parallel path).
 
-    Args:
-      hues: i32[16]; grads: f32[16,4]; phases: f32[16,32];
-      prev_spectrum: f32[F,2] (mono) or f32[2,F,2] (stereo);
-      spectrum_mixing: f32 scalar.
-    Returns: spectrum shaped like ``prev_spectrum`` (the next ``prev``).
-
-    With cfg.channels == 2 the per-partial complex weights are split into
-    L/R by the cell pan law before the SAME peak-matrix contraction — the
-    heavy (F x partials) stage is shared between channels.
+    Returns (flat_pf f32[NP], flat_w f32[NP, 2*channels], flat_ibw f32[NP]).
     """
-    if use_pallas is None:
-        use_pallas = cfg.use_pallas
-    ch = cfg.channels
-
-    pfreq, w_re, w_im, inv_bw = partial_weights(hues, grads, phases, cfg,
-                                                consts)
     nc, P = pfreq.shape
     flat_pf = pfreq.reshape(nc * P)
     flat_w = jnp.stack([w_re.reshape(nc * P), w_im.reshape(nc * P)], axis=1)
-    flat_inv_bw = jnp.broadcast_to(inv_bw[:, None], (nc, P)).reshape(nc * P)
-
-    if ch == 2:
-        pan = jnp.asarray(cell_pan_gains(cfg))               # (nc, 2)
+    flat_ibw = jnp.broadcast_to(inv_bw[:, None], (nc, P)).reshape(nc * P)
+    if cfg.channels == 2:
+        pan = jnp.asarray(cell_pan_gains(cfg))               # (16, 2)
+        if cell_slice is not None:
+            start, count = cell_slice
+            pan = jax.lax.dynamic_slice_in_dim(pan, start, count)
         pan_flat = jnp.repeat(pan, P, axis=0)                # (nc*P, 2)
-        # (NP, ch, 2) -> (NP, ch*2): [gL*re, gL*im, gR*re, gR*im]
         flat_w = (pan_flat[:, :, None] * flat_w[:, None, :]).reshape(
-            nc * P, ch * 2)
+            nc * P, cfg.channels * 2)
+    return flat_pf, flat_w, flat_ibw
 
-    if use_pallas:
-        from vaudio.ops.spectrum_kernel import spectrum_pallas
-        cur = spectrum_pallas(flat_pf, flat_w, flat_inv_bw, cfg, consts)
-    else:
-        freqs = jnp.asarray(consts.freqs)                    # (F,)
-        hann_mult = np.float32(1.0 / cfg.bin_width)
-        d = (freqs[:, None] - flat_pf[None, :]) * (hann_mult * flat_inv_bw)
-        W = hann_sinc_peak_fast(d)                           # (F, 496)
-        cur = jax.lax.dot_general(
-            W, flat_w, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (F, 2 or 4)
 
-    if ch == 2:
-        cur = jnp.transpose(cur.reshape(-1, ch, 2), (1, 0, 2))  # (2, F, 2)
+def contract_spectrum(flat_pf, flat_w, flat_ibw, cfg: AuralizerConfig,
+                      consts: SynthConstants):
+    """Stage 2: stamp every partial's Hann-transform peak onto the F-bin
+    grid — W[bin, partial] @ weights, the MXU contraction (the 1.0M
+    windowed-sinc evaluations of SpectrumCompute.metal:128-190, batched).
+
+    Returns f32[F, 2*channels] raw (un-rotated, un-smoothed) spectrum.
+    """
+    freqs = jnp.asarray(consts.freqs)                        # (F,)
+    hann_mult = np.float32(1.0 / cfg.bin_width)
+    d = (freqs[:, None] - flat_pf[None, :]) * (hann_mult * flat_ibw)
+    W = hann_sinc_peak_fast(d)                               # (F, NP)
+    return jax.lax.dot_general(
+        W, flat_w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (F, 2 or 4)
+
+
+def finalize_spectrum(cur, prev_spectrum, spectrum_mixing,
+                      cfg: AuralizerConfig, consts: SynthConstants,
+                      filter_params=None):
+    """Stage 3: static per-bin phase rotation, optional HP/LP filter,
+    temporal EMA against the previous frame (SpectrumCompute.metal:198-213).
+
+    Args:
+      cur: f32[F, 2*channels] raw contraction output.
+    Returns: spectrum shaped like ``prev_spectrum`` — f32[F, 2] mono or
+    f32[channels, F, 2] stereo (the next ``prev``).
+    """
+    if cfg.channels == 2:
+        cur = cur.reshape(-1, cfg.channels, 2)
+        cur = jnp.transpose(cur, (1, 0, 2))                  # (2, F, 2)
 
     # Static per-bin phase rotation (complex multiply, metal :198).
     c = jnp.asarray(consts.static_cos)
@@ -337,3 +341,44 @@ def build_spectrum(hues, grads, phases, prev_spectrum, spectrum_mixing,
     # Temporal smoothing: mix(prev, cur, 1 - mixing)  (metal :211-213).
     m = spectrum_mixing
     return (prev_spectrum * m + rot * (1.0 - m)).astype(jnp.float32)
+
+
+def build_spectrum(hues, grads, phases, prev_spectrum, spectrum_mixing,
+                   cfg: AuralizerConfig, consts: SynthConstants,
+                   use_pallas: Optional[bool] = None,
+                   filter_params=None):
+    """Full spectrum synthesis for one frame.
+
+    Equivalent of one ``computeSpectrum`` dispatch
+    (SpectrumCompute.metal:82-214): stamps every audible partial of every
+    valid cell onto the F-bin grid with the Hann-transform peak shape,
+    applies the static per-bin phase rotation, and EMA-blends with the
+    previous frame's spectrum.  Composition of the staged helpers above
+    (the tensor-parallel path reuses them with a cell slice + psum —
+    vaudio.parallel.sharding).
+
+    Args:
+      hues: i32[16]; grads: f32[16,4]; phases: f32[16,32];
+      prev_spectrum: f32[F,2] (mono) or f32[2,F,2] (stereo);
+      spectrum_mixing: f32 scalar.
+    Returns: spectrum shaped like ``prev_spectrum`` (the next ``prev``).
+
+    With cfg.channels == 2 the per-partial complex weights are split into
+    L/R by the cell pan law before the SAME peak-matrix contraction — the
+    heavy (F x partials) stage is shared between channels.
+    """
+    if use_pallas is None:
+        use_pallas = cfg.use_pallas
+
+    pfreq, w_re, w_im, inv_bw = partial_weights(hues, grads, phases, cfg,
+                                                consts)
+    flat_pf, flat_w, flat_ibw = flatten_partials(pfreq, w_re, w_im, inv_bw,
+                                                 cfg)
+    if use_pallas:
+        from vaudio.ops.spectrum_kernel import spectrum_pallas
+        cur = spectrum_pallas(flat_pf, flat_w, flat_ibw, cfg, consts)
+    else:
+        cur = contract_spectrum(flat_pf, flat_w, flat_ibw, cfg, consts)
+
+    return finalize_spectrum(cur, prev_spectrum, spectrum_mixing, cfg,
+                             consts, filter_params=filter_params)

@@ -150,6 +150,40 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_debug(args) -> int:
+    """Render the debug surface (the ConvolutionDebugView / SpectrumView /
+    TimeDomainFrameView equivalents) for a frame or short clip to PNGs:
+    per-pixel signed mode heatmaps for H/S/I, the 4x4 dominant-hue matrix,
+    the log-dB spectrum and the output waveform."""
+    from vaudio.api import Auralizer
+    from vaudio.io import ArraySource, hsb_frames
+    from vaudio.utils.render import render_debug_surface
+    cfg, params = _build_config(args)
+    if args.input == "synthetic":
+        frames = hsb_frames(args.hue, args.saturation, args.brightness,
+                            num_frames=args.frames)
+    else:
+        frames = ArraySource.load(args.input).tensor()
+        if frames.ndim == 3:
+            frames = frames[None]
+    aur = Auralizer(config=cfg, params=params)
+    pcm, dbg = aur.sonify(frames, debug=True)
+    hop = cfg.hop_size
+
+    info = aur.inspect_frame(frames[-1])
+    # The hue matrix shows the stream-smoothed hues after the whole clip,
+    # not a from-zero re-analysis of the last frame.
+    info["hues"] = dbg["hues"][-1]
+    written = render_debug_surface(
+        info, cfg, args.output,
+        spectrum=dbg["spectrum"][-1],
+        pcm=pcm[-hop:] if cfg.channels == 1 else pcm[-hop:, :])
+    print(f"wrote {len(written)} debug artifacts to {args.output}:")
+    for name in sorted(written):
+        print(f"  {name}: {written[name]}")
+    return 0
+
+
 def cmd_parity(args) -> int:
     import os
     import subprocess
@@ -201,6 +235,21 @@ def main(argv=None) -> int:
                    help="pace at --fps instead of max throughput")
     _add_config_args(p)
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("debug",
+                       help="render the debug surface (heatmaps, hue "
+                            "matrix, spectrum, waveform) to PNGs")
+    p.add_argument("input",
+                   help=".npy/.npz frame or clip tensor, or 'synthetic'")
+    p.add_argument("-o", "--output", default="debug_out",
+                   help="output directory for the PNG/JSON artifacts")
+    p.add_argument("--frames", type=int, default=30,
+                   help="synthetic clip length (hue EMA settle time)")
+    p.add_argument("--hue", type=float, default=0.33)
+    p.add_argument("--saturation", type=float, default=1.0)
+    p.add_argument("--brightness", type=float, default=1.0)
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_debug)
 
     p = sub.add_parser("parity",
                        help="verify against the literal reference-math "

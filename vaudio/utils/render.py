@@ -1,0 +1,224 @@
+"""Render the observability data feeds to PNG images — the framework's
+equivalent of the reference's debug/visualization screens.
+
+The reference draws these live in SwiftUI:
+
+* per-pixel signed heatmaps of the mode maps, green for positive and red
+  for negative with |value| as opacity over black
+  (Views/DebuggingView.swift:96-135, ``HeatmapView``);
+* the 4x4 dominant-hue swatch matrix, full-saturation HSB color per cell,
+  gray for invalid bins (Views/DebuggingView.swift:174-218, ``DebugMatrix``
+  / ``CellView``);
+* the log-frequency dB spectrum polyline (Views/SpectrumView.swift:15-77);
+* the time-domain waveform polyline (Views/TimeDomainFrameView.swift:15-51).
+
+Here each becomes a pure-numpy image builder plus a tiny stdlib PNG writer
+(zlib + struct — no image library dependencies), consumed by the CLI's
+``vaudio debug`` subcommand and usable from notebooks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+from typing import Dict, Optional
+
+import numpy as np
+
+from vaudio.config import AuralizerConfig
+
+MODE_NAMES = ("breathing", "vtilt", "htilt", "saddle")
+CHANNEL_NAMES = ("hue", "saturation", "intensity")
+
+
+# ---------------------------------------------------------------------------
+# PNG writer (stdlib only)
+# ---------------------------------------------------------------------------
+
+def write_png(path: str, rgb: np.ndarray) -> None:
+    """Write u8[H, W, 3] RGB to ``path`` as an 8-bit truecolor PNG."""
+    rgb = np.asarray(rgb)
+    if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected u8[H,W,3], got {rgb.dtype}{rgb.shape}")
+    h, w = rgb.shape[:2]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# Image builders
+# ---------------------------------------------------------------------------
+
+def signed_heatmap(values: np.ndarray, upscale: int = 1) -> np.ndarray:
+    """f32[H, W] signed map -> u8[H, W, 3]: the reference's green/red
+    heatmap (DebuggingView.swift:125-128: positive green, negative red,
+    opacity min(|v|, 1) composited over black)."""
+    v = np.asarray(values, np.float32)
+    a = np.minimum(np.abs(v), 1.0)
+    img = np.zeros(v.shape + (3,), np.float32)
+    img[..., 1] = np.where(v >= 0, a, 0.0)   # green
+    img[..., 0] = np.where(v < 0, a, 0.0)    # red
+    out = (img * 255.0 + 0.5).astype(np.uint8)
+    if upscale > 1:
+        out = np.repeat(np.repeat(out, upscale, axis=0), upscale, axis=1)
+    return out
+
+
+def hsb_to_rgb_array(h: np.ndarray, s: float = 1.0, b: float = 1.0
+                     ) -> np.ndarray:
+    """Vectorized HSB->RGB (the SwiftUI Color(hue:saturation:brightness:)
+    model used for the hue swatches)."""
+    h6 = (np.asarray(h, np.float32) % 1.0) * 6.0
+    i = np.floor(h6).astype(np.int32) % 6
+    f = h6 - np.floor(h6)
+    p = np.full_like(f, b * (1.0 - s))
+    q = b * (1.0 - s * f)
+    t = b * (1.0 - s * (1.0 - f))
+    bb = np.full_like(f, b)
+    lut = np.stack([
+        np.stack([bb, t, p], -1), np.stack([q, bb, p], -1),
+        np.stack([p, bb, t], -1), np.stack([p, q, bb], -1),
+        np.stack([t, p, bb], -1), np.stack([bb, p, q], -1)], 0)
+    return np.take_along_axis(lut, i[None, ..., None], axis=0)[0]
+
+
+def hue_matrix_image(hues: np.ndarray, cfg: AuralizerConfig,
+                     cell_px: int = 45, gap: int = 2) -> np.ndarray:
+    """i32[16] hue bins -> the 4x4 dominant-hue swatch matrix
+    (DebuggingView.swift:174-218): Color(hue: bin/360, s:1, b:1) per cell,
+    gray for bins > 360, black gaps."""
+    g = cfg.grid_size
+    hues = np.asarray(hues).reshape(g, g)
+    side = g * cell_px + (g + 1) * gap
+    img = np.zeros((side, side, 3), np.uint8)
+    for r in range(g):
+        for c in range(g):
+            bin_ = int(hues[r, c])
+            if bin_ > 360 or bin_ < 0:
+                color = np.array([77, 77, 77], np.uint8)  # gray .3
+            else:
+                rgb = hsb_to_rgb_array(np.float32(bin_) / 360.0)
+                color = (rgb * 255.0 + 0.5).astype(np.uint8)
+            y0 = gap + r * (cell_px + gap)
+            x0 = gap + c * (cell_px + gap)
+            img[y0:y0 + cell_px, x0:x0 + cell_px] = color
+    return img
+
+
+def curve_image(x01: np.ndarray, y01: np.ndarray, width: int = 640,
+                height: int = 240, color=(64, 224, 128),
+                background=(8, 8, 12)) -> np.ndarray:
+    """Rasterize a polyline of normalized (x, y) in [0,1] (y up) to
+    u8[height, width, 3] — the Canvas-polyline equivalent."""
+    img = np.empty((height, width, 3), np.uint8)
+    img[...] = np.asarray(background, np.uint8)
+    x = np.clip(np.asarray(x01, np.float32), 0, 1) * (width - 1)
+    y = (1.0 - np.clip(np.asarray(y01, np.float32), 0, 1)) * (height - 1)
+    if x.size == 0:
+        return img
+    # Dense-sample each segment so diagonal lines have no gaps.
+    seg = np.maximum(np.abs(np.diff(x)), np.abs(np.diff(y)))
+    col = np.asarray(color, np.uint8)
+    for i in range(x.size - 1):
+        n = int(seg[i]) + 1
+        t = np.linspace(0.0, 1.0, n + 1)
+        xi = (x[i] + t * (x[i + 1] - x[i]) + 0.5).astype(np.int32)
+        yi = (y[i] + t * (y[i + 1] - y[i]) + 0.5).astype(np.int32)
+        img[yi, xi] = col
+    return img
+
+
+def spectrum_image(spectrum: np.ndarray, cfg: AuralizerConfig,
+                   width: int = 640, height: int = 240) -> np.ndarray:
+    """f32[F, 2] complex half-spectrum -> the SpectrumView log-f dB curve
+    (Views/SpectrumView.swift:15-77) as an image."""
+    from vaudio.utils.display import spectrum_display
+    spectrum = np.asarray(spectrum)
+    if spectrum.ndim == 3:            # stereo: draw the left channel
+        spectrum = spectrum[0]
+    d = spectrum_display(spectrum, cfg)
+    return curve_image(d["log_x"], d["norm_y"], width, height)
+
+
+def waveform_image(pcm: np.ndarray, width: int = 640, height: int = 160
+                   ) -> np.ndarray:
+    """f32[N] (or interleaved f32[N, ch] — channel 0) PCM -> the
+    TimeDomainFrameView polyline (Views/TimeDomainFrameView.swift:15-51)."""
+    pcm = np.asarray(pcm)
+    if pcm.ndim == 2:
+        pcm = pcm[:, 0]
+    n = pcm.size
+    x = np.arange(n, dtype=np.float32) / max(n - 1, 1)
+    peak = float(np.abs(pcm).max()) or 1.0
+    y = 0.5 + 0.5 * (pcm / peak)
+    return curve_image(x, y, width, height, color=(240, 200, 80))
+
+
+# ---------------------------------------------------------------------------
+# High-level: render a frame's full debug surface
+# ---------------------------------------------------------------------------
+
+def render_debug_surface(inspect_out: Dict[str, np.ndarray],
+                         cfg: AuralizerConfig, out_dir: str,
+                         spectrum: Optional[np.ndarray] = None,
+                         pcm: Optional[np.ndarray] = None,
+                         heatmap_upscale: int = 4) -> Dict[str, str]:
+    """Write the ConvolutionDebugView + SpectrumView + TimeDomainFrameView
+    surfaces for one analyzed frame as PNGs (+ a JSON with the numeric
+    4x4 grid-overlay values).
+
+    Args:
+      inspect_out: the dict returned by :meth:`Auralizer.inspect_frame`
+        (hues, grads, histogram, {hue,saturation,intensity}_map).
+      spectrum / pcm: optional synthesis state to also render the
+        spectrum and waveform views.
+    Returns: {name: written path}.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    written: Dict[str, str] = {}
+
+    def put(name: str, img: np.ndarray) -> None:
+        path = os.path.join(out_dir, name + ".png")
+        write_png(path, img)
+        written[name] = path
+
+    # Per-pixel mode heatmaps, one per (channel, mode) — the reference's
+    # channel picker x mode picker (DebuggingView.swift:18-34).
+    for ch in CHANNEL_NAMES:
+        maps = inspect_out.get(f"{ch}_map")
+        if maps is None:
+            continue
+        maps = np.asarray(maps)
+        for m, mode in enumerate(MODE_NAMES):
+            put(f"heatmap_{ch}_{mode}",
+                signed_heatmap(maps[..., m], upscale=heatmap_upscale))
+
+    put("hue_matrix", hue_matrix_image(inspect_out["hues"], cfg))
+
+    if spectrum is not None:
+        put("spectrum", spectrum_image(spectrum, cfg))
+    if pcm is not None:
+        put("waveform", waveform_image(pcm))
+
+    # The numeric grid overlay (DebuggingView.swift:138-171) as data.
+    grid_path = os.path.join(out_dir, "grid_overlay.json")
+    with open(grid_path, "w") as f:
+        json.dump({
+            "hues": np.asarray(inspect_out["hues"]).tolist(),
+            "grads": {mode: np.asarray(inspect_out["grads"])[:, m].tolist()
+                      for m, mode in enumerate(MODE_NAMES)},
+        }, f, indent=2)
+    written["grid_overlay"] = grid_path
+    return written

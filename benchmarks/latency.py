@@ -1,11 +1,29 @@
 #!/usr/bin/env python
 """Frame->audio latency benchmark (north star: p50 < 33 ms on one chip).
 
-Measures the reference's probe semantics (SoundEngine.swift:430-434): wall
-clock from frame capture to PCM landing in the ring buffer, through the
-streaming host loop (H2D + device step + D2H readback included).
+Produces a committed JSON artifact (default benchmarks/LATENCY_r02.json)
+with BOTH quantities the budget question needs:
+
+1. ``streaming``: the reference's probe semantics through the live host
+   loop — wall clock from frame capture to PCM landing in the ring buffer
+   (SoundEngine.swift:430-434), using the PIPELINED producer (frame k+1
+   dispatched before blocking on frame k, vaudio/runtime/stream.py).  On
+   the CI environment this is dominated by the TPU tunnel's per-dispatch
+   relay overhead; the artifact records it as the honest end-to-end
+   number FOR THIS TRANSPORT.
+2. ``decomposed``: each hardware-bound term measured separately —
+   H2D of a uint8 frame (distinct data per rep, defeating the tunnel's
+   identical-dispatch dedup), the marginal device step time (scan slope,
+   the same method as bench.py), and the PCM readback — whose sum is the
+   frame->audio latency a local (non-tunnel) PJRT deployment would see.
+
+Environment:
+  VAUDIO_BENCH_RES=HxW        (default 1080x1920)
+  VAUDIO_LAT_FRAMES=N         streaming frames (default 60)
+  VAUDIO_LAT_OUT=path         artifact path ('' = don't write)
 """
 
+import json
 import os
 import sys
 import time
@@ -15,50 +33,190 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_streaming(cfg, frames):
+    """The reference-probe number through the pipelined host loop."""
     from vaudio.api import Auralizer
+    # Warm the compile cache outside the timed run.
+    warm = Auralizer(config=cfg, realtime=True, debug=False)
+    warm.run_until_exhausted(frames[:2], timeout=600)
+    warm.stop()
+
+    aur = Auralizer(config=cfg, realtime=True, debug=False)
+    aur.run_until_exhausted(frames, timeout=600)
+    m = aur.metrics
+    aur.stop()
+    return {
+        "frames": m["frames_processed"],
+        "p50_ms": round(m["latency_p50_ms"], 2),
+        "p99_ms": round(m["latency_p99_ms"], 2),
+        "hardware_latency_ms": round(m["hardware_latency_ms"], 2),
+        "total_p50_ms": round(m["total_latency_p50_ms"], 2),
+        "achieved_fps": round(m["achieved_fps"], 2),
+        "dropped_frames": m["dropped_frames"],
+    }
+
+
+def measure_decomposed(cfg, h, w):
+    """Measure each hardware-bound latency term separately."""
+    import jax
+    import jax.numpy as jnp
+
+    from vaudio.dsp import hann_window_norm
+    from vaudio.runtime.step import default_params, frame_step, init_carry
+    from vaudio.synth import SynthConstants
+
+    consts = SynthConstants.create(cfg)
+    window = jnp.asarray(hann_window_norm(cfg.nfft))
+    params = default_params(cfg)
+    rng = np.random.default_rng(0)
+    frame_bytes = h * w * 3
+
+    def median_put_ms(nbytes, reps=10):
+        """Median H2D time for distinct nbytes-sized uint8 payloads."""
+        times = []
+        for _ in range(reps):
+            payload = rng.integers(0, 256, nbytes, dtype=np.uint8)
+            t0 = time.perf_counter()
+            d = jax.device_put(payload)
+            jax.block_until_ready(d)
+            times.append((time.perf_counter() - t0) * 1e3)
+        return float(np.median(times[2:]))
+
+    def median_get_ms(nbytes, reps=10):
+        """Median D2H time for distinct nbytes-sized device arrays."""
+        times = []
+        for i in range(reps):
+            d = jax.device_put(rng.integers(0, 256, nbytes,
+                                            dtype=np.uint8))
+            jax.block_until_ready(d)
+            t0 = time.perf_counter()
+            _ = np.asarray(d)
+            times.append((time.perf_counter() - t0) * 1e3)
+        return float(np.median(times[2:]))
+
+    # Two-size linear fits split the transport's FIXED per-call overhead
+    # (tunnel relay on CI; near-zero on local PJRT) from the PER-BYTE
+    # link cost, which is the hardware-bound term.
+    small = 64 * 1024
+    h2d_small, h2d_big = median_put_ms(small), median_put_ms(frame_bytes)
+    h2d_per_byte = max(h2d_big - h2d_small, 0.0) / (frame_bytes - small)
+    h2d_fixed = max(h2d_small - h2d_per_byte * small, 0.0)
+    h2d_frame_hw = h2d_per_byte * frame_bytes
+
+    pcm_bytes = cfg.hop_size * cfg.channels * 4
+    d2h_small, d2h_big = median_get_ms(small), median_get_ms(8 << 20)
+    d2h_per_byte = max(d2h_big - d2h_small, 0.0) / ((8 << 20) - small)
+    d2h_fixed = max(d2h_small - d2h_per_byte * small, 0.0)
+    d2h_pcm_hw = d2h_per_byte * pcm_bytes
+
+    # --- Marginal device step: scan slope, bench.py's method/sizes
+    # (dispatch overhead cancels between the two scan lengths). ---
+    def scan_time(T, seed, iters=8):
+        frames = jax.random.bits(jax.random.PRNGKey(seed), (T, h, w, 3),
+                                 jnp.uint8)
+        jax.block_until_ready(frames)
+
+        @jax.jit
+        def scan_chunk(carry, frames):
+            def body(c, f):
+                return frame_step(c, f, params, cfg, consts, window)
+            return jax.lax.scan(body, carry, frames, unroll=4)
+        carry = init_carry(cfg)
+        carry, outs = scan_chunk(carry, frames)     # compile
+        jax.block_until_ready(outs["pcm"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry, outs = scan_chunk(carry, frames)
+        jax.block_until_ready(outs["pcm"])
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    t_small, t_big = scan_time(16, 0), scan_time(64, 1)
+    step_ms = (t_big - t_small) / 48.0
+
+    # --- Single-dispatch step: what one pipelined stage costs through
+    # THIS transport, dispatch included (chained carry + distinct frames
+    # defeat the tunnel's dedup). ---
+    step1 = jax.jit(lambda c, f, p: frame_step(c, f, p, cfg, consts,
+                                               window))
+    carry = init_carry(cfg)
+    frames_dev = [jax.device_put(rng.integers(0, 256, (h, w, 3),
+                                              dtype=np.uint8))
+                  for _ in range(8)]
+    carry, out = step1(carry, frames_dev[0], params)   # compile
+    jax.block_until_ready(out["pcm"])
+    t0 = time.perf_counter()
+    for fr in frames_dev:
+        carry, out = step1(carry, fr, params)
+        jax.block_until_ready(out["pcm"])
+    dispatch_step_ms = (time.perf_counter() - t0) / len(frames_dev) * 1e3
+
+    hw_total = h2d_frame_hw + step_ms + d2h_pcm_hw
+    return {
+        "h2d_frame_measured_ms": round(h2d_big, 3),
+        "h2d_transport_fixed_ms": round(h2d_fixed, 3),
+        "h2d_frame_hardware_ms": round(h2d_frame_hw, 3),
+        "h2d_bandwidth_GBps": round(1e-6 / max(h2d_per_byte, 1e-12), 2),
+        "device_step_marginal_ms": round(step_ms, 3),
+        "device_step_with_dispatch_ms": round(dispatch_step_ms, 3),
+        "d2h_transport_fixed_ms": round(d2h_fixed, 3),
+        "d2h_pcm_hardware_ms": round(d2h_pcm_hw, 4),
+        "d2h_bandwidth_GBps": round(1e-6 / max(d2h_per_byte, 1e-12), 2),
+        "hardware_bound_total_ms": round(hw_total, 3),
+    }
+
+
+def main():
+    import jax
+
+    cache_dir = os.environ.get("VAUDIO_JAX_CACHE", "/root/repo/.jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:
+        log(f"latency: compile cache unavailable: {e}")
+
     from vaudio.config import AuralizerConfig
-    from vaudio.io import solid_color_frames
 
     res = os.environ.get("VAUDIO_BENCH_RES", "1080x1920")
     h, w = (int(x) for x in res.split("x"))
-    n = int(os.environ.get("VAUDIO_BENCH_FRAMES", "60"))
+    n = int(os.environ.get("VAUDIO_LAT_FRAMES", "60"))
+    out_path = os.environ.get(
+        "VAUDIO_LAT_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "LATENCY_r02.json"))
 
     cfg = AuralizerConfig(sample_rate=48000.0)
-    aur = Auralizer(config=cfg, realtime=True, debug=False)
+    log(f"latency: backend={jax.default_backend()} device="
+        f"{jax.devices()[0]} frame={h}x{w}")
 
     rng = np.random.default_rng(0)
-    frames = rng.uniform(0, 1, (n, h, w, 3)).astype(np.float32)
+    frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
 
-    # Warm the compile cache with one frame outside the timed run.
-    aur.run_until_exhausted(frames[:1], timeout=300)
-    aur.stop()
+    decomposed = measure_decomposed(cfg, h, w)
+    log(f"latency decomposed: {decomposed}")
+    streaming = measure_streaming(cfg, frames)
+    log(f"latency streaming (pipelined host loop): {streaming}")
 
-    aur2 = Auralizer(config=cfg, realtime=True, debug=False)
-    aur2.run_until_exhausted(frames, timeout=300)
-    m = aur2.metrics
-    print(f"frames={m['frames_processed']} "
-          f"p50={m['latency_p50_ms']:.2f}ms p99={m['latency_p99_ms']:.2f}ms "
-          f"achieved_fps={m['achieved_fps']:.1f} "
-          f"dropped={m['dropped_frames']} target_p50=33ms")
-    aur2.stop()
-
-    # The per-dispatch path through the CI TPU tunnel (loopback relay +
-    # remote execute) adds hundreds of ms per call that local PJRT does
-    # not; also estimate the hardware-bound latency from amortized device
-    # time (scan slope) + a uint8 frame H2D.
-    import jax
-    import numpy as np
-    u8 = (frames[0] * 255).astype(np.uint8)
-    t0 = time.time()
-    d = jax.device_put(u8)
-    jax.block_until_ready(d)
-    h2d_ms = (time.time() - t0) * 1e3
-    print(f"estimate: h2d(u8 frame)={h2d_ms:.1f}ms + device-step ~0.3ms "
-          f"(see bench.py slope) + readback <0.1ms -> hardware-bound "
-          f"frame->audio latency well under the 33ms budget; the streaming "
-          f"p50 above is dominated by this environment's per-dispatch "
-          f"tunnel overhead.")
+    artifact = {
+        "config": {"frame": f"{h}x{w}", "sample_rate": cfg.sample_rate,
+                   "frames": n,
+                   "backend": str(jax.devices()[0])},
+        "budget_ms": 33.0,
+        "streaming_tunnel": streaming,
+        "decomposed_hardware_bound": decomposed,
+        "hardware_bound_within_budget":
+            decomposed["hardware_bound_total_ms"] < 33.0,
+    }
+    print(json.dumps(artifact))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=2)
+        log(f"latency: wrote {out_path}")
 
 
 if __name__ == "__main__":

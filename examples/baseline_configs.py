@@ -56,7 +56,9 @@ def config3_1080p_clip(tmpdir="/tmp"):
 
 
 def config4_live_stream(tmpdir="/tmp"):
-    """Streaming mode: live source, gradient-modulated timbre, stereo."""
+    """Streaming mode: live source, gradient-modulated timbre, TRUE stereo
+    (channels=2: cells pan by grid column, so an off-center hue field
+    produces a real L/R image — synth.cell_pan_gains)."""
     from vaudio.api import Auralizer
     from vaudio.config import AuralizerConfig
     from vaudio.io import write_wav
@@ -64,20 +66,25 @@ def config4_live_stream(tmpdir="/tmp"):
     def camera():  # synthetic "camera": hue sweep with moving gradient
         rng = np.random.default_rng(4)
         base = rng.uniform(0, 1, (270, 480, 3)).astype(np.float32)
+        base[:, 240:, 0] = 1.0               # red mass on the right half
         for t in range(60):
             roll = np.roll(base, t * 4, axis=1)
             yield np.clip(roll * (0.6 + 0.4 * np.sin(t / 10)), 0, 1)
 
-    aur = Auralizer(config=AuralizerConfig(sample_rate=48000.0),
-                    realtime=False, debug=True)
+    cfg = AuralizerConfig(sample_rate=48000.0, channels=2)
+    aur = Auralizer(config=cfg, realtime=False, debug=True)
     aur.run_until_exhausted(camera(), timeout=600)
-    mono = aur.pull(aur.metrics["buffer_fill"] * 2048)
-    stereo = np.stack([mono, mono], axis=1)   # dual-mono stereo out
+    n = aur.metrics["buffer_fill"] * cfg.hop_size * cfg.channels
+    stereo = aur.pull(n).reshape(-1, 2)      # interleaved -> (N, 2)
     path = os.path.join(tmpdir, "config4.wav")
     write_wav(path, stereo, 48000.0, channels=2)
+    el, er = np.abs(stereo[:, 0]).sum(), np.abs(stereo[:, 1]).sum()
     print(f"[4] live stream -> {path}: {stereo.shape}, "
-          f"p50 latency {aur.metrics['latency_p50_ms']:.1f} ms")
+          f"L/R energy {el:.1f}/{er:.1f}, "
+          f"p50 latency {aur.metrics['latency_p50_ms']:.1f} ms "
+          f"(+{aur.metrics['hardware_latency_ms']:.1f} ms sink)")
     aur.stop()
+    assert not np.isclose(el, er, rtol=1e-3), "expected a stereo image"
 
 
 def config5_mesh_batch(tmpdir="/tmp"):

@@ -52,6 +52,26 @@ class TestKernelEquivalence:
         expect = W @ w
         np.testing.assert_allclose(got, expect, atol=5e-4)
 
+    def test_batched_weighted_sum_matches_single(self, rng):
+        from vaudio.ops import hann_peak_weighted_sum_batched
+        F = CFG.num_bins
+        T, NP = 3, 496
+        freqs = CFG.bin_frequencies()
+        pf = rng.uniform(20, 20000, (T, NP)).astype(np.float32)
+        scale = (1.0 / CFG.bin_width * rng.choice(
+            [1.0, 0.2], (T, NP))).astype(np.float32)
+        w = rng.normal(0, 0.1, (T, NP, 2)).astype(np.float32)
+        got = np.asarray(hann_peak_weighted_sum_batched(
+            jnp.asarray(freqs), jnp.asarray(pf), jnp.asarray(scale),
+            jnp.asarray(w), num_bins=F, interpret=True))
+        assert got.shape == (T, F, 2)
+        for t in range(T):
+            one = np.asarray(hann_peak_weighted_sum(
+                jnp.asarray(freqs), jnp.asarray(pf[t]),
+                jnp.asarray(scale[t]), jnp.asarray(w[t]), num_bins=F,
+                interpret=True))
+            np.testing.assert_allclose(got[t], one, atol=1e-5)
+
     def test_full_spectrum_pallas_vs_jnp(self, rng):
         consts = SynthConstants.create(CFG)
         hues = rng.integers(0, 361, 16).astype(np.int32)

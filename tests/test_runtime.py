@@ -135,6 +135,26 @@ class TestGoldenSolidColor:
         assert np.all((hues >= 175) & (hues <= 185))  # cyan ~ bin 180
         assert np.all(np.isfinite(np.asarray(audio)))
 
+    def test_1080p_production_resolution_golden(self):
+        """Correctness at the production resolution, on CPU: 3 frames of
+        1080x1920 exercise the odd mip-3 dims 135x240 — the real
+        odd-dimension pooling path (VisionEngine.swift:189-192, width>>3 =
+        240, height>>3 = 135) — and must still produce the golden hue and
+        the spectral peak at the snapped fundamental."""
+        frames = solid_color_frames([0.05, 1.0, 0.05], width=1920,
+                                    height=1080, num_frames=3)
+        audio, carry, dbg = run_offline(frames, CFG, instant_params(),
+                                        debug=True)
+        hues = np.asarray(carry.hues)
+        assert np.all((hues >= 110) & (hues <= 130))     # green ~ bin 120
+        assert np.all(hues == hues[0])                   # uniform frame
+        # Uniform frame -> zero gradients even across the odd-dim pools.
+        np.testing.assert_allclose(np.asarray(dbg["grads"][-1]), 0.0,
+                                   atol=1e-5)
+        f0 = self.expected_f0(int(hues[0]))
+        dom, _ = self.dominant_freqs(np.asarray(audio))
+        assert np.min(np.abs(dom - f0)) < 2 * CFG.bin_width
+
     def test_uniform_frame_all_cells_agree(self):
         _, carry, dbg = self.sonify_solid([0.2, 0.3, 0.9])
         hues = np.asarray(carry.hues)

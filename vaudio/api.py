@@ -55,13 +55,15 @@ class Auralizer:
                  params: Optional[LiveParams] = None,
                  realtime: bool = False,
                  debug: bool = True,
-                 prefer_native: bool = True):
+                 prefer_native: bool = True,
+                 sink_latency_ms: Optional[float] = None):
         self.config = config
         self.params = params if params is not None else LiveParams()
         self._source = source
         self._stream = StreamingAuralizer(
             config, params=self.params, realtime=realtime,
-            prefer_native=prefer_native, debug=debug)
+            prefer_native=prefer_native, debug=debug,
+            sink_latency_ms=sink_latency_ms)
 
     # ------------------------------------------------------------------
     # Offline
@@ -148,16 +150,27 @@ class Auralizer:
         availableFrames surface, SoundEngine.swift:430-445,477-484)."""
         m = self._stream.metrics
         ring = self._stream.ring
+        hw = self._stream.sink_latency_ms
         return {
             "processing_latency_ms": m.processing_latency_ms,
             "latency_p50_ms": m.latency_percentile(50),
             "latency_p99_ms": m.latency_percentile(99),
+            # The reference's processingLatency includes the hardware
+            # output chain (SoundEngine.swift:477-484); total = the same
+            # quantity here.
+            "hardware_latency_ms": hw,
+            "total_latency_p50_ms": m.latency_percentile(50) + hw,
             "achieved_fps": m.achieved_fps,
             "frames_processed": m.frames_processed,
             "buffer_fill": ring.available,
+            "warmed_up": bool(getattr(ring, "warmed_up", True)),
             "dropped_frames": getattr(ring, "dropped_frames", 0),
             "underrun_samples": getattr(ring, "underrun_samples", 0),
         }
+
+    def raise_if_failed(self) -> None:
+        """Re-raise any exception the producer thread died with."""
+        self._stream.raise_if_failed()
 
     @property
     def debug(self) -> Dict[str, np.ndarray]:

@@ -111,38 +111,64 @@ def cmd_bench(args) -> int:
 
 
 def cmd_stream(args) -> int:
-    """Raw-frame stdin -> PCM stdout streaming (production pipe mode):
+    """Raw frames in -> PCM stdout streaming (production pipe mode).
+
+    Input is stdin by default, or any readable node via ``--input`` — a
+    FIFO fed by a capture process, or a V4L2 device configured for a raw
+    pixel format (the live-camera path, CameraModel.swift:12-37)::
 
         ffmpeg -i cam.mp4 -f rawvideo -pix_fmt rgb24 pipe:1 | \
             python -m vaudio stream --size 1080x1920 > out.pcm
+        python -m vaudio stream --input /dev/video0 --pix-fmt nv12 \
+            --size 1080x1920 > out.pcm
     """
-    import numpy as np
-
     from vaudio.api import Auralizer
+    from vaudio.io import RawVideoSource
     cfg, params = _build_config(args)
     h, w = (int(x) for x in args.size.split("x"))
-    frame_bytes = h * w * 3
     aur = Auralizer(config=cfg, params=params, realtime=args.realtime,
                     debug=False)
 
-    def frames():
-        while True:
-            buf = sys.stdin.buffer.read(frame_bytes)
-            if len(buf) < frame_bytes:
-                return
-            yield np.frombuffer(buf, np.uint8).reshape(h, w, 3)
-
-    aur.start(frames())
+    path = "/dev/stdin" if args.input == "-" else args.input
+    src = RawVideoSource(path, width=w, height=h, pix_fmt=args.pix_fmt,
+                         fps=args.fps, raw=args.raw_yuv,
+                         max_frames=args.max_frames)
+    aur.start(src.frames())
     out = sys.stdout.buffer
     quantum = 2048 * cfg.channels
+    hop_samples = cfg.hop_size * cfg.channels
     written = 0
     import time as _time
-    while aur.is_running or aur.metrics["buffer_fill"] > 0:
-        pcm = aur.pull(quantum)
+    while True:
+        aur.raise_if_failed()
+        m = aur.metrics
+        fill, running = m["buffer_fill"], aur.is_running
+        if args.realtime:
+            # Real-time contract: pull at the hardware cadence; underruns
+            # legitimately emit silence (SoundEngine.swift:184-189).
+            if not running and fill == 0:
+                break
+            pcm = aur.pull(quantum)
+            out.write(pcm.astype("<f4").tobytes())
+            written += len(pcm)
+            _time.sleep(quantum / cfg.sample_rate / cfg.channels * 0.9)
+            continue
+        # Free-running pipe mode: emit only REAL samples — pulling while
+        # the producer is still computing would stream zero-fill to the
+        # pipe at CPU speed (gigabytes of silence during a long compile).
+        if fill == 0:
+            if not running:
+                break
+            _time.sleep(0.002)
+            continue
+        if not m["warmed_up"] and fill < cfg.warmup_frames:
+            if running:        # warm-up in progress
+                _time.sleep(0.002)
+                continue
+            break              # producer ended below warm-up: undrainable
+        pcm = aur.pull(min(quantum, fill * hop_samples))
         out.write(pcm.astype("<f4").tobytes())
         written += len(pcm)
-        if args.realtime:
-            _time.sleep(quantum / cfg.sample_rate / cfg.channels * 0.9)
     out.flush()
     print(f"stream: {written / cfg.sample_rate / cfg.channels:.2f}s of "
           f"PCM written; metrics: {aur.metrics}", file=sys.stderr)
@@ -228,9 +254,23 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("stream",
-                       help="raw RGB24 frames on stdin -> f32 PCM on "
-                            "stdout")
+                       help="raw frames (stdin/FIFO/device node) -> f32 "
+                            "PCM on stdout")
     p.add_argument("--size", required=True, help="HxW of incoming frames")
+    p.add_argument("--input", default="-",
+                   help="frame source: '-' = stdin, or a file/FIFO/"
+                        "capture-device node (e.g. /dev/video0 in a raw "
+                        "pixel format)")
+    p.add_argument("--pix-fmt", default="rgb24",
+                   choices=("rgb24", "i420", "nv12"),
+                   help="incoming raw pixel format")
+    p.add_argument("--raw-yuv", action="store_true",
+                   help="ship planar YUV to the device and convert "
+                        "on-chip (half the ingest bytes; YUV formats "
+                        "only)")
+    p.add_argument("--max-frames", type=int, default=None,
+                   help="stop after N frames (live device nodes never "
+                        "EOF)")
     p.add_argument("--realtime", action="store_true",
                    help="pace at --fps instead of max throughput")
     _add_config_args(p)

@@ -10,6 +10,9 @@ Sources mirror the reference's inputs:
   screen's sliders.
 * :class:`ArraySource` / :class:`VideoFileSource` — decoded tensors and
   (ffmpeg-gated) video files standing in for the AVCaptureSession path.
+* :class:`RawVideoSource` — uncompressed frames from a file, FIFO or
+  capture-device node (rgb24/i420/nv12): the codec-free live-camera path
+  (CameraModel.swift:12-37).
 * :func:`bgra_to_rgb` — the camera pixel-format conversion
   (kCVPixelFormatType_32BGRA, VisionEngine.swift:62-64).
 
@@ -21,11 +24,13 @@ Sinks:
 
 from vaudio.io.sources import (
     ArraySource,
+    RawVideoSource,
     VideoFileSource,
     Yuv420FileSource,
     bgra_to_rgb,
     hsb_frames,
     hsb_to_rgb,
+    parse_yuv420,
     solid_color_frames,
     yuv420_to_rgb,
 )
@@ -33,8 +38,10 @@ from vaudio.io.sinks import read_wav, write_wav
 
 __all__ = [
     "ArraySource",
+    "RawVideoSource",
     "VideoFileSource",
     "Yuv420FileSource",
+    "parse_yuv420",
     "yuv420_to_rgb",
     "bgra_to_rgb",
     "hsb_frames",

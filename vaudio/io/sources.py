@@ -83,13 +83,109 @@ def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
-class Yuv420FileSource:
-    """Raw YUV 4:2:0 file/stream source (the codec-free camera formats).
+def parse_yuv420(buf: bytes, height: int, width: int, fmt: str = "i420"):
+    """Split one raw YUV 4:2:0 frame into (y, u, v) uint8 planes.
 
-    ``fmt="i420"``: planar Y, U, V.  ``fmt="nv12"``: planar Y followed by
-    interleaved UVUV... (the most common camera/ISP memory layout).
-    Frame size on disk: H*W*3/2 bytes either way.
+    ``i420``: planar Y, U, V.  ``nv12``: planar Y then interleaved UVUV...
+    (the most common camera/ISP memory layout).  Frame size: H*W*3/2 bytes.
     """
+    h, w = height, width
+    ysz, csz = h * w, (h // 2) * (w // 2)
+    y = np.frombuffer(buf, np.uint8, ysz).reshape(h, w)
+    if fmt == "i420":
+        u = np.frombuffer(buf, np.uint8, csz, ysz).reshape(h // 2, w // 2)
+        v = np.frombuffer(buf, np.uint8, csz, ysz + csz).reshape(
+            h // 2, w // 2)
+    else:  # nv12: interleaved UV plane
+        uv = np.frombuffer(buf, np.uint8, 2 * csz, ysz).reshape(h // 2, w)
+        u = np.ascontiguousarray(uv[:, 0::2])
+        v = np.ascontiguousarray(uv[:, 1::2])
+    return y, u, v
+
+
+class RawVideoSource:
+    """Uncompressed frames from any readable node — plain file, FIFO, or a
+    capture-device node (e.g. a V4L2 ``/dev/video*`` configured for a raw
+    pixel format).
+
+    The live-camera capability equivalent (CameraModel.swift:12-37 +
+    VisionEngine.swift:55-75: AVCaptureSession delivering raw BGRA pixel
+    buffers) without any codec dependency: the OS/capture process produces
+    rawvideo bytes and this source blocks on ``read`` until each full
+    frame arrives — exactly the FIFO/device contract.
+
+    ``pix_fmt``: ``rgb24`` (H*W*3 bytes/frame, yields u8[H, W, 3]) or
+    ``i420`` / ``nv12`` (H*W*3/2 bytes/frame; yields host-converted u8
+    RGB, or with ``raw=True`` planar ``{"y","u","v"}`` dicts for the
+    device-side conversion path — half the ingest bytes, see
+    vision.yuv420_mip_to_rgb_planes).
+
+    ``max_frames``: stop after N frames (a live device node never EOFs).
+    """
+
+    def __init__(self, path: str, width: int, height: int,
+                 pix_fmt: str = "rgb24", fps: float = 30.0,
+                 studio_swing: bool = True, raw: bool = False,
+                 max_frames: Optional[int] = None):
+        if pix_fmt not in ("rgb24", "i420", "nv12"):
+            raise ValueError(f"unknown pix_fmt {pix_fmt!r} "
+                             f"(expected rgb24, i420 or nv12)")
+        if raw and pix_fmt == "rgb24":
+            raise ValueError("raw planar output requires a YUV pix_fmt")
+        self.path = path
+        self._w, self._h = int(width), int(height)
+        self.pix_fmt = pix_fmt
+        self.fps = fps
+        self.studio_swing = studio_swing
+        self.raw = raw
+        self.max_frames = max_frames
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self._h, self._w
+
+    @property
+    def frame_bytes(self) -> int:
+        if self.pix_fmt == "rgb24":
+            return self._h * self._w * 3
+        return self._h * self._w * 3 // 2
+
+    def _read_exact(self, f, n: int) -> bytes:
+        """Read exactly n bytes; FIFOs/devices return short reads at
+        pipe-buffer boundaries, so loop until the frame is complete."""
+        chunks = []
+        got = 0
+        while got < n:
+            chunk = f.read(n - got)
+            if not chunk:
+                break
+            chunks.append(chunk)
+            got += len(chunk)
+        return b"".join(chunks)
+
+    def frames(self) -> Iterator[np.ndarray]:
+        h, w = self._h, self._w
+        n = 0
+        with open(self.path, "rb", buffering=0) as f:
+            while self.max_frames is None or n < self.max_frames:
+                buf = self._read_exact(f, self.frame_bytes)
+                if len(buf) < self.frame_bytes:
+                    break
+                n += 1
+                if self.pix_fmt == "rgb24":
+                    yield np.frombuffer(buf, np.uint8).reshape(h, w, 3)
+                    continue
+                y, u, v = parse_yuv420(buf, h, w, self.pix_fmt)
+                if self.raw:
+                    yield {"y": y, "u": u, "v": v}
+                else:
+                    yield yuv420_to_rgb(y, u, v, self.studio_swing)
+
+
+class Yuv420FileSource(RawVideoSource):
+    """Raw YUV 4:2:0 file/stream source (the codec-free camera formats) —
+    a :class:`RawVideoSource` restricted to the YUV pixel formats, kept as
+    the planar-ingest front door."""
 
     def __init__(self, path: str, width: int, height: int,
                  fps: float = 30.0, studio_swing: bool = True,
@@ -99,41 +195,9 @@ class Yuv420FileSource:
         vision.yuv420_mip_to_rgb_planes) instead of host-converted RGB."""
         if fmt not in ("i420", "nv12"):
             raise ValueError(f"unknown YUV format {fmt!r}")
-        self.path = path
-        self._w, self._h = int(width), int(height)
-        self.fps = fps
-        self.studio_swing = studio_swing
-        self.raw = raw
+        super().__init__(path, width, height, pix_fmt=fmt, fps=fps,
+                         studio_swing=studio_swing, raw=raw)
         self.fmt = fmt
-
-    @property
-    def shape(self):
-        return self._h, self._w
-
-    def frames(self) -> Iterator[np.ndarray]:
-        h, w = self._h, self._w
-        ysz, csz = h * w, (h // 2) * (w // 2)
-        frame_bytes = ysz + 2 * csz
-        with open(self.path, "rb") as f:
-            while True:
-                buf = f.read(frame_bytes)
-                if len(buf) < frame_bytes:
-                    break
-                y = np.frombuffer(buf, np.uint8, ysz).reshape(h, w)
-                if self.fmt == "i420":
-                    u = np.frombuffer(buf, np.uint8, csz, ysz).reshape(
-                        h // 2, w // 2)
-                    v = np.frombuffer(buf, np.uint8, csz, ysz + csz).reshape(
-                        h // 2, w // 2)
-                else:  # nv12: interleaved UV plane
-                    uv = np.frombuffer(buf, np.uint8, 2 * csz, ysz).reshape(
-                        h // 2, w)
-                    u = np.ascontiguousarray(uv[:, 0::2])
-                    v = np.ascontiguousarray(uv[:, 1::2])
-                if self.raw:
-                    yield {"y": y, "u": u, "v": v}
-                else:
-                    yield yuv420_to_rgb(y, u, v, self.studio_swing)
 
 
 def bgra_to_rgb(frame_bgra_u8: np.ndarray) -> np.ndarray:

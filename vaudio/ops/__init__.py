@@ -6,6 +6,11 @@ peak evaluation + weighting + reduction in VMEM, never materializing the
 (bins x partials) peak matrix to HBM.
 """
 
-from vaudio.ops.spectrum_kernel import hann_peak_weighted_sum, spectrum_pallas
+from vaudio.ops.spectrum_kernel import (
+    hann_peak_weighted_sum,
+    hann_peak_weighted_sum_batched,
+    spectrum_pallas,
+)
 
-__all__ = ["hann_peak_weighted_sum", "spectrum_pallas"]
+__all__ = ["hann_peak_weighted_sum", "hann_peak_weighted_sum_batched",
+           "spectrum_pallas"]

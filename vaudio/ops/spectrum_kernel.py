@@ -117,6 +117,80 @@ def hann_peak_weighted_sum(freqs, pfreq, scale, weights, num_bins: int,
     return out[:, :F].T                       # (F, 2)
 
 
+def _spectrum_kernel_batched(freqs_ref, pf_ref, scale_ref, w_ref, out_ref):
+    """One (frame, bin-tile) grid cell — identical math to
+    :func:`_spectrum_kernel` with the frame index supplied by the grid.
+
+    Per-frame operands carry a singleton middle axis ((T, 1, NP) blocks of
+    (1, 1, NP)) so every block's trailing two dims equal the array's —
+    the Mosaic lowering's tiling requirement."""
+    f = freqs_ref[0, :]                       # (TILE_B,)
+    pf = pf_ref[0, 0, :]                      # (NP,)
+    scale = scale_ref[0, 0, :]                # (NP,)
+    d = (f[None, :] - pf[:, None]) * scale[:, None]   # (NP, TILE_B)
+    w = _hann_peak_from_d(d)
+    out_ref[0] = jax.lax.dot_general(
+        w_ref[0], w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins", "tile_b",
+                                             "interpret"))
+def hann_peak_weighted_sum_batched(freqs, pfreq, scale, weights,
+                                   num_bins: int, tile_b: int = 512,
+                                   interpret: bool = False):
+    """Frame-batched variant: ONE pallas_call computes T frames' raw
+    spectra — the fixed per-invocation dispatch overhead (~75 us on the
+    measured runtime, docs/BENCHMARKS.md) amortizes T-fold.  Usable by any
+    path that has all frames' partial weights at hand before the
+    sequential EMA (the chunked/offline pipelines; the EMA and audio tail
+    stay in a cheap scan).
+
+    Args:
+      freqs:   f32[F] bin frequencies (shared across frames).
+      pfreq:   f32[T, NP]; scale: f32[T, NP]; weights: f32[T, NP, K].
+    Returns: f32[T, F, K].
+    """
+    F = num_bins
+    T, np_raw = pfreq.shape
+    K = weights.shape[2]
+    NP = _round_up(np_raw, 8)
+    FP = _round_up(F, tile_b)
+
+    freqs_p = jnp.zeros((1, FP), jnp.float32).at[0, :F].set(freqs)
+    pf_p = jnp.zeros((T, 1, NP), jnp.float32).at[:, 0, :np_raw].set(pfreq)
+    scale_p = jnp.zeros((T, 1, NP), jnp.float32).at[:, 0, :np_raw].set(
+        scale)
+    w_p = jnp.zeros((T, K, NP), jnp.float32).at[:, :, :np_raw].set(
+        jnp.swapaxes(weights, 1, 2))
+
+    grid = (T, FP // tile_b)
+    out = pl.pallas_call(
+        _spectrum_kernel_batched,
+        out_shape=jax.ShapeDtypeStruct((T, K, FP), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_b), lambda t, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NP), lambda t, i: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NP), lambda t, i: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, NP), lambda t, i: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, K, tile_b), lambda t, i: (t, 0, i),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * NP * FP * T,
+            bytes_accessed=4 * T * (FP + 3 * NP + 2 * FP),
+            transcendentals=T * NP * FP,
+        ),
+        interpret=interpret,
+    )(freqs_p, pf_p, scale_p, w_p)
+    return jnp.swapaxes(out[:, :, :F], 1, 2)  # (T, F, K)
+
+
 def spectrum_pallas(flat_pf, flat_w, flat_inv_bw, cfg: AuralizerConfig,
                     consts, interpret: Optional[bool] = None):
     """Drop-in replacement for the jnp peak-stamping contraction in

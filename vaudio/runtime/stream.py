@@ -94,7 +94,8 @@ class StreamingAuralizer:
                  debug: bool = False,
                  chunk_frames: int = 1,
                  metrics_log: Optional[str] = None,
-                 scan_unroll: int = 1):
+                 scan_unroll: int = 1,
+                 sink_latency_ms: Optional[float] = None):
         """``chunk_frames > 1`` dispatches N frames per device call (a
         lax.scan micro-batch): adds N-1 frame times of buffering latency
         but amortizes per-dispatch overhead N-fold — the right trade when
@@ -104,10 +105,23 @@ class StreamingAuralizer:
         ``metrics_log``: path to a JSONL file receiving one record per
         processed frame/chunk (timestamp, latency, buffer fill, drops) —
         the structured replacement for the reference's per-frame
-        ``print(availableFrames)`` (SoundEngine.swift:445)."""
+        ``print(availableFrames)`` (SoundEngine.swift:445).
+
+        ``sink_latency_ms``: the downstream audio-output latency added to
+        the reported total latency, so the metric is the same quantity as
+        the reference's ``processingLatency`` = wall clock + hardware
+        latency (output latency + IO buffer duration + presentation
+        latency, SoundEngine.swift:477-484).  None estimates the IO-buffer
+        term as one 512-sample quantum at cfg.sample_rate (the output/
+        presentation terms are sink hardware we cannot see); pass your
+        sink's measured figure for accuracy, or 0.0 to report pure
+        frame->ring time."""
         self.cfg = cfg
         self.params = params if params is not None else LiveParams()
         self.realtime = realtime
+        if sink_latency_ms is None:
+            sink_latency_ms = 512.0 / cfg.sample_rate * 1000.0
+        self.sink_latency_ms = float(sink_latency_ms)
         self.debug = debug
         self.chunk_frames = max(1, int(chunk_frames))
         self._step = make_step(cfg, debug=debug)
@@ -238,11 +252,30 @@ class StreamingAuralizer:
         """Pull ``n`` PCM samples (zero-filled per the real-time contract)."""
         return self.ring.pull(n)
 
-    def audio_stream(self, quantum: int = 512) -> Iterator[np.ndarray]:
+    def audio_stream(self, quantum: int = 512,
+                     pace: Optional[bool] = None) -> Iterator[np.ndarray]:
         """Iterator of audio quanta while the stream runs — mirrors the
-        ~86 Hz 512-sample CoreAudio pull cadence (SURVEY.md §3.4)."""
+        ~86 Hz 512-sample CoreAudio pull cadence (SURVEY.md §3.4).
+
+        ``pace``: sleep each iteration to the quantum's real-time duration
+        (the hardware render-thread cadence).  Defaults to the stream's
+        ``realtime`` flag.  When free-running (pace=False), a short sleep
+        is still inserted while the ring is empty but the producer lives,
+        so warm-up does not busy-spin yielding zero-blocks at CPU speed.
+        """
+        if pace is None:
+            pace = self.realtime
+        quantum_sec = quantum / (self.cfg.sample_rate * self.cfg.channels)
         while self._running or self.ring.available > 0:
-            yield self.pull(quantum)
+            t0 = time.monotonic()
+            block = self.pull(quantum)
+            yield block
+            if pace:
+                dt = quantum_sec - (time.monotonic() - t0)
+                if dt > 0:
+                    time.sleep(dt)
+            elif self.ring.available == 0 and self._running:
+                time.sleep(0.0005)
 
     # -- producer ----------------------------------------------------------
 

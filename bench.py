@@ -11,12 +11,15 @@ reference publishes no numbers of its own; see BASELINE.md).
 
 Methodology: uint8 frames are pre-generated DEVICE-RESIDENT (the
 steady-state serving configuration, where ingest DMA overlaps compute;
-H2D cost is characterized separately in benchmarks/latency.py) and the
-full fused frame step is scanned over them; the reported per-frame time is
-the SLOPE between a small and a large scan length, which cancels
-per-dispatch overhead (the TPU tunnel used in CI adds ~5 ms/call and
-dedupes identical dispatches, so naive per-call timing is unreliable —
-chained carries defeat the dedup).
+H2D cost is characterized separately in benchmarks/latency.py) and run
+through the chunk-batched pipeline (runtime.chunked: serial scan only for
+vision/EMA/phases, ONE frame-batched Pallas contraction for the heavy
+synthesis stage); the per-frame lax.scan path is co-measured as
+``scan_path_x_realtime``.  The reported per-frame time is the SLOPE
+between a small and a large chunk length, which cancels per-dispatch
+overhead (the TPU tunnel used in CI adds ~5 ms/call and dedupes identical
+dispatches, so naive per-call timing is unreliable — chained carries
+defeat the dedup).
 
 Environment overrides:
   VAUDIO_BENCH_RES=HxW      frame resolution   (default 1080x1920)
@@ -80,13 +83,20 @@ def main() -> int:
     log(f"bench: backend={backend} device={dev} frame={h}x{w} "
         f"chunks={chunks} pallas={use_pallas} pallas_audio={use_pallas_audio}")
 
-    def measure(ch):
+    def measure(ch, mode="chunked"):
+        """``mode``: 'chunked' = the chunk-batched pipeline (serial scan
+        only for vision/EMA/phases, ONE frame-batched Pallas contraction
+        for the heavy stage — runtime.chunked, measured 3x the scan path
+        at 1080p); 'scan' = the per-frame lax.scan of frame_step (the
+        streaming single-frame building block)."""
         cfg = AuralizerConfig(sample_rate=48000.0, use_pallas=use_pallas,
                               use_pallas_audio=use_pallas_audio,
                               channels=ch)
         consts = SynthConstants.create(cfg)
         window = jnp.asarray(hann_window_norm(cfg.nfft))
         params = default_params(cfg)
+        if mode == "chunked":
+            from vaudio.runtime.chunked import chunk_pipeline
 
         # lax.scan with a static length per chunk size.  (A dynamic-trip-
         # count fori_loop would need only one compile, but compiles
@@ -106,20 +116,28 @@ def main() -> int:
                                      (T, h, w, 3), jnp.uint8)
             jax.block_until_ready(frames)
 
-            @jax.jit
-            def scan_chunk(carry, frames):
-                def body(c, f):
-                    return frame_step(c, f, params, cfg, consts, window)
-                # unroll lets XLA overlap kernels across iterations — the
-                # single-stream step is scheduling-gap-bound (~17% win).
-                return jax.lax.scan(body, carry, frames, unroll=unroll)
+            if mode == "chunked":
+                @jax.jit
+                def scan_chunk(carry, frames):
+                    return chunk_pipeline(carry, frames, params, cfg,
+                                          consts, window)
+            else:
+                @jax.jit
+                def scan_chunk(carry, frames):
+                    def body(c, f):
+                        return frame_step(c, f, params, cfg, consts,
+                                          window)
+                    # unroll lets XLA overlap kernels across iterations —
+                    # the single-stream step is scheduling-gap-bound.
+                    return jax.lax.scan(body, carry, frames,
+                                        unroll=unroll)
 
             carry = init_carry(cfg)
             t0 = time.perf_counter()
             carry, outs = scan_chunk(carry, frames)
             jax.block_until_ready(outs["pcm"])
-            log(f"bench[ch={ch}]: chunk{T} first call (incl. compile) "
-                f"{time.perf_counter() - t0:.1f}s")
+            log(f"bench[ch={ch},{mode}]: chunk{T} first call (incl. "
+                f"compile) {time.perf_counter() - t0:.1f}s")
             t0 = time.perf_counter()
             for i in range(iters):
                 carry, outs = scan_chunk(carry, frames)
@@ -132,15 +150,15 @@ def main() -> int:
         dispatch_ms = t_small - chunks[0] * ms_per_frame
         fps = 1000.0 / ms_per_frame
         rtf = fps / cfg.video_fps
-        log(f"bench[ch={ch}]: chunk{chunks[0]}={t_small:.1f}ms "
+        log(f"bench[ch={ch},{mode}]: chunk{chunks[0]}={t_small:.1f}ms "
             f"chunk{chunks[1]}={t_big:.1f}ms -> {ms_per_frame:.3f} "
             f"ms/frame (per-dispatch overhead ~{dispatch_ms:.1f}ms)")
-        log(f"bench[ch={ch}]: {fps:.0f} frames/s = {rtf:.1f}x realtime "
-            f"@30fps; audio out {fps * cfg.hop_size * ch / 1e6:.2f} "
-            f"Msamples/s")
+        log(f"bench[ch={ch},{mode}]: {fps:.0f} frames/s = {rtf:.1f}x "
+            f"realtime @30fps; audio out "
+            f"{fps * cfg.hop_size * ch / 1e6:.2f} Msamples/s")
         return rtf
 
-    rtf = measure(channels)
+    rtf = measure(channels, "chunked")
     record = {
         "metric": ("realtime_factor_1080p30_to_48kHz_stereo_per_chip"
                    if channels == 2 else
@@ -149,8 +167,9 @@ def main() -> int:
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 10.0, 3),
     }
+    record["scan_path_x_realtime"] = round(measure(channels, "scan"), 2)
     if also_mono:
-        record["mono_x_realtime"] = round(measure(1), 2)
+        record["mono_x_realtime"] = round(measure(1, "chunked"), 2)
     print(json.dumps(record))
     return 0
 

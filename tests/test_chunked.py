@@ -1,0 +1,98 @@
+"""Chunk-batched pipeline equivalence: run_offline_batched must produce
+the same audio and carry as the per-frame scan path (runtime.step), for
+every flag that changes the math."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vaudio.config import AuralizerConfig, LiveParams
+from vaudio.runtime import init_carry, run_offline, run_offline_batched
+
+PARAMS = LiveParams().as_arrays()
+
+
+def clip(rng, t=9, size=64):
+    return rng.uniform(0, 1, (t, size, size, 3)).astype(np.float32)
+
+
+def assert_equivalent(frames, cfg, params=PARAMS, chunk=4, atol=2e-5):
+    a_ref, c_ref, d_ref = run_offline(frames, cfg, dict(params),
+                                      debug=True)
+    a_new, c_new, d_new = run_offline_batched(frames, cfg, dict(params),
+                                              chunk=chunk, debug=True)
+    np.testing.assert_allclose(np.asarray(a_new), np.asarray(a_ref),
+                               atol=atol)
+    np.testing.assert_array_equal(np.asarray(c_new.hues),
+                                  np.asarray(c_ref.hues))
+    np.testing.assert_allclose(np.asarray(c_new.phases),
+                               np.asarray(c_ref.phases), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_new.prev_spectrum),
+                               np.asarray(c_ref.prev_spectrum), atol=atol)
+    np.testing.assert_allclose(np.asarray(c_new.ola_tail),
+                               np.asarray(c_ref.ola_tail), atol=atol)
+    np.testing.assert_allclose(np.asarray(d_new["spectrum"]),
+                               np.asarray(d_ref["spectrum"]), atol=atol)
+
+
+class TestChunkedEquivalence:
+    def test_default_config(self, rng):
+        assert_equivalent(clip(rng), AuralizerConfig())
+
+    def test_uneven_chunks(self, rng):
+        # 9 frames / chunk 4 -> pieces of 4, 4, 1 (remainder recompiles).
+        assert_equivalent(clip(rng, t=9), AuralizerConfig(), chunk=4)
+
+    def test_single_chunk_covers_all(self, rng):
+        assert_equivalent(clip(rng, t=6), AuralizerConfig(), chunk=32)
+
+    def test_stereo(self, rng):
+        assert_equivalent(clip(rng), AuralizerConfig(channels=2))
+
+    def test_filters(self, rng):
+        params = LiveParams(hp_cutoff=500.0, hp_order=2.0,
+                            lp_cutoff=5000.0, lp_order=1.0).as_arrays()
+        assert_equivalent(clip(rng), AuralizerConfig(enable_filters=True),
+                          params=params)
+
+    def test_clean_mode(self, rng):
+        assert_equivalent(clip(rng), AuralizerConfig(quirk_compat=False))
+
+    def test_uint8_frames(self, rng):
+        frames = rng.integers(0, 256, (8, 64, 64, 3), dtype=np.uint8)
+        assert_equivalent(frames, AuralizerConfig())
+
+    def test_yuv_dict_frames(self, rng):
+        t, h, w = 6, 64, 64
+        frames = {
+            "y": rng.integers(16, 235, (t, h, w), dtype=np.uint8),
+            "u": rng.integers(16, 240, (t, h // 2, w // 2), dtype=np.uint8),
+            "v": rng.integers(16, 240, (t, h // 2, w // 2), dtype=np.uint8),
+        }
+        assert_equivalent(frames, AuralizerConfig())
+
+    def test_carry_threads_across_chunks(self, rng):
+        """State crossing chunk boundaries must be identical to an
+        unchunked run (the EMA/AGC/OLA carries)."""
+        frames = clip(rng, t=12)
+        cfg = AuralizerConfig()
+        a1, c1, _ = run_offline_batched(frames, cfg, dict(PARAMS), chunk=3)
+        a2, c2, _ = run_offline_batched(frames, cfg, dict(PARAMS),
+                                        chunk=12)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c1.running_max),
+                                   np.asarray(c2.running_max), atol=1e-6)
+
+    def test_batched_pallas_interpret_matches(self, rng):
+        """use_pallas=True routes through the batched kernel (interpret
+        mode on CPU) and must agree with the jnp contraction."""
+        frames = clip(rng, t=3)
+        cfg = AuralizerConfig()
+        a_j, _, _ = run_offline_batched(frames, cfg, dict(PARAMS),
+                                        use_pallas=False)
+        a_p, _, _ = run_offline_batched(frames, cfg, dict(PARAMS),
+                                        use_pallas=True)
+        np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_j),
+                                   atol=5e-4)

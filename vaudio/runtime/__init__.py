@@ -17,6 +17,11 @@ Execution modes:
 """
 
 from vaudio.runtime.checkpoint import load_state, save_state
+from vaudio.runtime.chunked import (
+    chunk_pipeline,
+    make_chunk_pipeline,
+    run_offline_batched,
+)
 from vaudio.runtime.step import (
     StepCarry,
     frame_step,
@@ -33,4 +38,7 @@ __all__ = [
     "init_carry",
     "make_step",
     "run_offline",
+    "chunk_pipeline",
+    "make_chunk_pipeline",
+    "run_offline_batched",
 ]

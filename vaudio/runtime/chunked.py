@@ -1,0 +1,257 @@
+"""Chunk-batched execution: the same frame->audio math as
+vaudio.runtime.step, restructured so the heavy synthesis stage runs
+BATCHED across frames instead of once per scan iteration.
+
+Motivation (benchmarks/PALLAS_SWEEP.json, TPU v5e): the spectrum
+contraction costs ~36 us/frame inside lax.scan — XLA materializes the
+(bins x partials) peak matrix through HBM every frame — but ONE
+frame-batched Pallas dispatch (vaudio.ops.hann_peak_weighted_sum_batched,
+everything VMEM-resident) does it in ~3.5 us/frame, 10x faster and at VPU
+speed-of-light.  Only the stages with a true serial dependence stay
+sequential:
+
+  pass A (lax.scan): vision -> hue EMA -> phase accumulation
+          (the hue EMA is nonlinear int truncation; phases accumulate);
+  pass B (batched):  per-partial weights, ONE batched peak contraction
+          for all T frames, static phase rotation, HP/LP filter;
+  pass C: spectrum EMA as a cheap elementwise lax.scan, then the audio
+          tail with its scalar recurrences (AGC running max, OLA tail)
+          factored out of the batched math — per-frame *scalars* scan,
+          per-sample work runs batched (one big irfft over all frames).
+
+Numerically this reorders nothing: every op is the same f32 op on the
+same values as frame_step, so outputs match the scan path bit-for-near
+(contraction kernel difference <= 1e-5; see tests/test_chunked.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vaudio.config import AuralizerConfig
+from vaudio.dsp import hann_window_norm, irfft_from_half, sigmoid_normalize
+from vaudio.runtime.step import StepCarry, default_params, init_carry
+from vaudio.synth import (SynthConstants, flatten_partials,
+                          partial_weights, phase_accumulate,
+                          spectral_filter_gain)
+from vaudio.vision import extract_features
+
+
+def _batched_contraction(flat_pf, flat_w, flat_ibw, cfg: AuralizerConfig,
+                         consts: SynthConstants,
+                         use_pallas: Optional[bool]):
+    """(T, NP) partials -> (T, F, K) raw spectra, one dispatch.
+
+    ``use_pallas=None`` auto-selects: the batched Pallas kernel on real
+    accelerator backends (measured 10x the XLA contraction —
+    benchmarks/PALLAS_SWEEP.json), the vmapped jnp contraction on CPU
+    (where interpret-mode Pallas would be slow).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    hann_mult = np.float32(1.0 / cfg.bin_width)
+    if use_pallas:
+        from vaudio.ops import hann_peak_weighted_sum_batched
+        return hann_peak_weighted_sum_batched(
+            jnp.asarray(consts.freqs), flat_pf, flat_ibw * hann_mult,
+            flat_w, num_bins=cfg.num_bins,
+            interpret=jax.default_backend() == "cpu")
+    from vaudio.dsp import hann_sinc_peak_fast
+    freqs = jnp.asarray(consts.freqs)
+
+    def one(pf, scale, w):
+        d = (freqs[:, None] - pf[None, :]) * scale[None, :]
+        W = hann_sinc_peak_fast(d)
+        return jax.lax.dot_general(
+            W, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return jax.vmap(one)(flat_pf, flat_ibw * hann_mult, flat_w)
+
+
+def chunk_pipeline(carry: StepCarry, frames, params: Dict[str, Any],
+                   cfg: AuralizerConfig, consts: SynthConstants, window,
+                   use_pallas: Optional[bool] = None,
+                   debug: bool = False
+                   ) -> Tuple[StepCarry, Dict[str, Any]]:
+    """Process T frames; returns (new_carry, out) with out["pcm"] of shape
+    (T, hop) mono or (T, hop, channels) stereo — the multi-frame
+    equivalent of T frame_step calls.
+
+    ``use_pallas``: None = auto (Pallas on accelerators, jnp on CPU;
+    cfg.use_pallas=True forces it on everywhere)."""
+    if use_pallas is None and cfg.use_pallas:
+        use_pallas = True
+    ch = cfg.channels
+    mixing = jnp.asarray(params["spectrum_mixing"], jnp.float32)
+    T = (frames["y"] if isinstance(frames, dict) else frames).shape[0]
+
+    # ---- pass A: vision + hue EMA + phase accumulation (serial) ----
+    def pass_a(c, frame):
+        hues_prev, phases_prev = c
+        hues, grads, _ = extract_features(frame, hues_prev, mixing, cfg)
+        phases = phase_accumulate(phases_prev, hues, cfg, consts)
+        return (hues, phases), (hues, grads, phases)
+
+    (hues_last, phases_last), (hues_seq, grads_seq, phases_seq) = \
+        jax.lax.scan(pass_a, (carry.hues, carry.phases), frames)
+
+    # ---- pass B: weights + ONE batched contraction + rotation ----
+    def weights_one(hues, grads, phases):
+        pf, w_re, w_im, inv_bw = partial_weights(hues, grads, phases, cfg,
+                                                 consts)
+        return flatten_partials(pf, w_re, w_im, inv_bw, cfg)
+
+    flat_pf, flat_w, flat_ibw = jax.vmap(weights_one)(
+        hues_seq, grads_seq, phases_seq)                 # (T, NP[, K])
+    cur = _batched_contraction(flat_pf, flat_w, flat_ibw, cfg, consts,
+                               use_pallas)               # (T, F, K)
+
+    if ch == 2:
+        cur = jnp.transpose(cur.reshape(T, -1, ch, 2), (0, 2, 1, 3))
+
+    c = jnp.asarray(consts.static_cos)
+    s = jnp.asarray(consts.static_sin)
+    rot = jnp.stack([cur[..., 0] * c - cur[..., 1] * s,
+                     cur[..., 0] * s + cur[..., 1] * c], axis=-1)
+
+    if cfg.enable_filters:
+        fg = spectral_filter_gain(
+            jnp.asarray(consts.freqs),
+            jnp.asarray(params["hp_cutoff"], jnp.float32),
+            jnp.asarray(params["lp_cutoff"], jnp.float32),
+            jnp.asarray(params["hp_order"], jnp.float32),
+            jnp.asarray(params["lp_order"], jnp.float32))
+        rot = rot * fg[:, None]
+
+    # ---- pass C1: spectrum EMA (cheap elementwise scan) ----
+    def ema(prev, r):
+        spec = (prev * mixing + r * (1.0 - mixing)).astype(jnp.float32)
+        return spec, spec
+
+    prev_last, spectra = jax.lax.scan(ema, carry.prev_spectrum, rot)
+
+    # ---- pass C2: audio tail, scalars serial / samples batched ----
+    # One big batched irfft over all frames (and channels).
+    if ch == 1:
+        signals = jax.vmap(
+            lambda sp: irfft_from_half(sp[:, 0], sp[:, 1]))(spectra)
+    else:
+        signals = jax.vmap(jax.vmap(
+            lambda sp: irfft_from_half(sp[:, 0], sp[:, 1])))(spectra)
+
+    # AGC (SoundEngine.swift:412-426): the recurrence touches only the
+    # per-frame PEAK; run the scalar scan on peaks, apply batched.
+    axes = tuple(range(1, signals.ndim))
+    peaks = jnp.max(jnp.abs(signals), axis=axes) + np.float32(1e-9)  # (T,)
+    attack = jnp.asarray(params["attack"], jnp.float32)
+    release = jnp.asarray(params["release"], jnp.float32)
+
+    def agc_scan(rm, p):
+        attacked = attack * p + (1.0 - attack) * rm
+        released = release * p + (1.0 - release) * rm
+        new_max = jnp.where(p > rm, attacked, released)
+        return new_max.astype(jnp.float32), new_max
+
+    running_max_last, new_maxes = jax.lax.scan(agc_scan,
+                                               carry.running_max, peaks)
+    norm_factor = jnp.clip(sigmoid_normalize(peaks, new_maxes), 0.0, 1.0)
+    norm_value = peaks / norm_factor
+    scale = jnp.where(jnp.isfinite(1.0 / norm_value), 1.0 / norm_value,
+                      0.0)                                      # (T,)
+    bshape = (T,) + (1,) * (signals.ndim - 1)
+    normalized = signals * scale.reshape(bshape)
+    normalized = jnp.where(jnp.isfinite(normalized), normalized, 0.0)
+
+    # OLA (SoundEngine.swift:231-254): the windowed frames are pure
+    # per-frame functions of the normalized signal; only the one-frame
+    # shift crosses frames.  Fully batched.
+    hop = cfg.hop_size
+    fpeaks = jnp.max(jnp.abs(normalized), axis=axes)            # (T,)
+    gains = 1.0 / (fpeaks + np.float32(1e-6))
+    windowed = (normalized * gains.reshape(bshape)
+                * window).astype(jnp.float32)                   # (T,.., nfft)
+    prev_tails = jnp.concatenate(
+        [carry.ola_tail[None], windowed[:-1]], axis=0)
+    pcm = (prev_tails[..., hop:] + windowed[..., :hop]).astype(jnp.float32)
+    if ch != 1:
+        pcm = jnp.swapaxes(pcm, 1, 2)          # (T, hop, channels)
+
+    new_carry = StepCarry(hues=hues_last, phases=phases_last,
+                          prev_spectrum=prev_last,
+                          ola_tail=windowed[-1],
+                          running_max=running_max_last)
+    out: Dict[str, Any] = {"pcm": pcm}
+    if debug:
+        out.update(hues=hues_seq, grads=grads_seq, spectrum=spectra)
+    return new_carry, out
+
+
+def make_chunk_pipeline(cfg: AuralizerConfig, debug: bool = False,
+                        use_pallas: Optional[bool] = None, jit: bool = True):
+    """Build ``chunk_step(carry, frames[T, ...], params)`` with constants
+    baked (the chunk-batched counterpart of runtime.make_step)."""
+    consts = SynthConstants.create(cfg)
+    window = jnp.asarray(hann_window_norm(cfg.nfft))
+
+    def step(carry, frames, params):
+        return chunk_pipeline(carry, frames, params, cfg, consts, window,
+                              use_pallas=use_pallas, debug=debug)
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def run_offline_batched(frames, cfg: AuralizerConfig,
+                        params: Dict[str, Any] | None = None,
+                        carry: StepCarry | None = None,
+                        chunk: int = 64, debug: bool = False,
+                        use_pallas: Optional[bool] = None):
+    """Offline sonification through the chunk-batched pipeline.
+
+    Splits the clip into ``chunk``-frame pieces (last piece runs through a
+    separately-compiled remainder pipeline), carrying DSP state across
+    pieces.  Same signature/returns as runtime.run_offline.
+    """
+    if params is None:
+        params = default_params(cfg)
+    if carry is None:
+        carry = init_carry(cfg)
+    frames = jax.tree.map(jnp.asarray, frames)
+    T = (frames["y"] if isinstance(frames, dict) else frames).shape[0]
+
+    consts = SynthConstants.create(cfg)
+    window = jnp.asarray(hann_window_norm(cfg.nfft))
+
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("dbg",))
+    def step(carry, fr, params, dbg):
+        return chunk_pipeline(carry, fr, params, cfg, consts, window,
+                              use_pallas=use_pallas, debug=dbg)
+
+    outs = []
+    start = 0
+    while start < T:
+        end = min(start + chunk, T)
+        piece = jax.tree.map(lambda x: x[start:end], frames)
+        carry, out = step(carry, piece, params, debug)
+        outs.append(out)
+        start = end
+
+    pcm = jnp.concatenate([o["pcm"] for o in outs], axis=0)
+    if cfg.channels == 1:
+        audio = pcm.reshape(-1)
+    else:
+        audio = pcm.reshape(-1, cfg.channels)
+    dbg = {}
+    if debug:
+        for k in outs[0]:
+            if k != "pcm":
+                dbg[k] = jnp.concatenate([o[k] for o in outs], axis=0)
+    return audio, carry, dbg

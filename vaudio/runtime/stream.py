@@ -127,24 +127,12 @@ class StreamingAuralizer:
         self._step = make_step(cfg, debug=debug)
         self._chunk_step = None
         if self.chunk_frames > 1:
-            import functools
-
-            import jax.numpy as jnp
-
-            from vaudio.dsp import hann_window_norm
-            from vaudio.runtime.step import frame_step
-            from vaudio.synth import SynthConstants
-            consts = SynthConstants.create(cfg)
-            window = jnp.asarray(hann_window_norm(cfg.nfft))
-
-            @functools.partial(jax.jit, donate_argnums=(0,))
-            def chunk_step(carry, frames, params):
-                def body(c, f):
-                    return frame_step(c, f, params, cfg, consts, window,
-                                      debug=debug)
-                return jax.lax.scan(body, carry, frames,
-                                    unroll=max(1, scan_unroll))
-            self._chunk_step = chunk_step
+            # The chunk-batched pipeline (runtime.chunked): serial scan
+            # only where the math demands it, one frame-batched Pallas
+            # contraction for the heavy stage — measured 3x the scan
+            # path at 1080p (docs/BENCHMARKS.md round 2).
+            from vaudio.runtime.chunked import make_chunk_pipeline
+            self._chunk_step = make_chunk_pipeline(cfg, debug=debug)
         self._carry: StepCarry = init_carry(cfg)
         # Stereo streams store interleaved samples (frame = hop * channels).
         self.ring = make_ring_buffer(cfg.ring_buffer_frames,

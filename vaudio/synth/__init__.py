@@ -19,9 +19,11 @@ from vaudio.synth.spectrum import (
     flatten_partials,
     partial_weights,
     phase_accumulate,
+    spectral_filter_gain,
 )
 
 __all__ = [
+    "spectral_filter_gain",
     "SynthConstants",
     "build_spectrum",
     "cell_pan_gains",

@@ -70,21 +70,38 @@ class Auralizer:
     # ------------------------------------------------------------------
 
     def sonify(self, frames: Union[np.ndarray, ArraySource, Dict[str, Any]],
-               debug: bool = False):
-        """Sonify a whole decoded clip (lax.scan path).  Returns PCM
-        f32[T*hop]; with ``debug`` returns (pcm, debug_dict).
+               debug: bool = False, mode: str = "auto"):
+        """Sonify a whole decoded clip.  Returns PCM f32[T*hop]; with
+        ``debug`` returns (pcm, debug_dict).
 
         ``frames`` may be a [T,H,W,3] RGB tensor (f32 in [0,1] or uint8),
         an :class:`ArraySource`, or a ``{"y", "u", "v"}`` dict of planar
         uint8 YUV 4:2:0 tensors (each [T, ...]) for the device-side
-        conversion path."""
+        conversion path.
+
+        ``mode``: ``"chunked"`` = the chunk-batched pipeline (frame-
+        batched Pallas synthesis, ~3x the scan throughput at 1080p,
+        bit-identical audio — runtime.chunked); ``"scan"`` = the
+        per-frame lax.scan; ``"auto"`` (default) picks chunked for clips
+        of >= 8 frames."""
         if isinstance(frames, ArraySource):
             frames = frames.tensor()
         if not isinstance(frames, dict):
             frames = np.asarray(frames)
-        audio, _carry, dbg = run_offline(frames, self.config,
-                                         self.params.as_arrays(),
-                                         debug=debug)
+        if mode not in ("auto", "chunked", "scan"):
+            raise ValueError(f"unknown sonify mode {mode!r} "
+                             f"(expected auto, chunked or scan)")
+        n = (frames["y"] if isinstance(frames, dict) else frames).shape[0]
+        if mode == "auto":
+            mode = "chunked" if n >= 8 else "scan"
+        if mode == "chunked":
+            from vaudio.runtime import run_offline_batched
+            audio, _carry, dbg = run_offline_batched(
+                frames, self.config, self.params.as_arrays(), debug=debug)
+        else:
+            audio, _carry, dbg = run_offline(frames, self.config,
+                                             self.params.as_arrays(),
+                                             debug=debug)
         audio = np.asarray(audio)
         return (audio, {k: np.asarray(v) for k, v in dbg.items()}) \
             if debug else audio

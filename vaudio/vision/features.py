@@ -68,17 +68,29 @@ def rgb_to_hsi(rgb):
 # Mip pyramid
 # ---------------------------------------------------------------------------
 
-def _mip_plane(x, level: int, quantize: bool):
-    for _ in range(level):
-        hh, ww = x.shape[0] // 2, x.shape[1] // 2
-        # Odd dims: drop the last row/col before pooling.  Metal's mip chain
-        # floor-halves each level (so our dims match d>>level exactly); its
-        # weighted 3-tap filter at odd edges is approximated by the crop —
-        # a one-texel boundary difference, documented in docs/PARITY.md.
-        x = x[:hh * 2, :ww * 2].reshape(hh, 2, ww, 2).mean(axis=(1, 3))
-        if quantize:
-            x = jnp.round(x * 255.0) / 255.0
-    return x
+def _pool_one_level(planes):
+    """(C, H, W) -> (C, H//2, W//2) 2x2 mean pool as two banded matmuls.
+
+    One mip level of the chain.  Odd dims: the last row/col is dropped
+    (the banded matrix only covers full 2-blocks) — Metal's mip chain
+    floor-halves each level, so dims match d>>1 exactly; its weighted
+    3-tap filter at odd edges is approximated by the crop — a one-texel
+    boundary difference, documented in docs/PARITY.md.
+
+    Same MXU-streaming rationale as the one-shot path below: the
+    reshape-and-mean formulation splits the lane axis and relayouts at
+    ~100x the memory-bound cost.
+    """
+    c, h, w = planes.shape
+    pr = jnp.asarray(_pool_matrix(h, 1))
+    rows = jax.lax.dot_general(
+        planes, pr, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (c, w, h//2)
+    rows = jnp.swapaxes(rows, 1, 2)                   # (c, h//2, w)
+    pc = jnp.asarray(_pool_matrix(w, 1))
+    return jax.lax.dot_general(
+        rows, pc, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (c, h//2, w//2)
 
 
 @functools.lru_cache(maxsize=32)
@@ -124,11 +136,17 @@ def mip_downsample_planes(planes, level: int, quantize: bool = False,
     if (h >> level) == 0 or (w >> level) == 0:
         raise ValueError(f"frame dims ({h},{w}) too small for mip {level}")
     if quantize:
+        # Strict-parity path: quantize every level to the 8-bit grid like
+        # a bgra8Unorm mip chain (VisionEngine.swift:137-147).  The
+        # inter-level rounding is nonlinear, so the levels can't fuse
+        # into one matmul — but each level is still the banded-matmul
+        # pool, keeping the knob usable at production resolutions.
         planes = planes.astype(jnp.float32)
         if scale != 1.0:
             planes = planes * np.float32(scale)
-        return jnp.stack([_mip_plane(planes[ci], level, True)
-                          for ci in range(c)])
+        for _ in range(level):
+            planes = jnp.round(_pool_one_level(planes) * 255.0) / 255.0
+        return planes
     if level == 0:
         planes = planes.astype(jnp.float32)
         return planes * np.float32(scale) if scale != 1.0 else planes

@@ -46,8 +46,14 @@ def main():
           file=sys.stderr)
 
     def frames_for(T, seed):
-        fr = jax.random.bits(jax.random.PRNGKey(seed), (T, h, w, 3),
-                             jnp.uint8)
+        # Generate in <=8-frame slices: threefry's u32 intermediates are
+        # 4x the u8 output and OOM at 4K x 64 frames in one shot.
+        parts = []
+        for i in range(0, T, 8):
+            n = min(8, T - i)
+            parts.append(jax.random.bits(jax.random.PRNGKey(seed + i),
+                                         (n, h, w, 3), jnp.uint8))
+        fr = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         jax.block_until_ready(fr)
         return fr
 

@@ -63,10 +63,43 @@ def main():
     ms_per_batch_frame = (t_big - t_small) / 6
     agg_fps = n_streams * 1000.0 / ms_per_batch_frame
     per_stream_rtf = (1000.0 / ms_per_batch_frame) / cfg.video_fps
-    print(f"{n_streams} streams @ {h}x{w}: "
+    print(f"[scan]    {n_streams} streams @ {h}x{w}: "
           f"{ms_per_batch_frame:.3f} ms/batched-frame, "
           f"aggregate {agg_fps:.0f} frames/s, "
           f"per-stream {per_stream_rtf:.1f}x realtime")
+
+    # Chunk-batched variant: vmap(chunk_pipeline) over streams — each
+    # stream's synthesis runs as one frame-batched Pallas contraction.
+    from vaudio.runtime.chunked import chunk_pipeline
+
+    def bench_chunked_T(T):
+        frames = jax.random.bits(jax.random.PRNGKey(1),
+                                 (n_streams, T, h, w, 3), jnp.uint8)
+        jax.block_until_ready(frames)
+
+        @jax.jit
+        def run(carry, frames):
+            step = jax.vmap(
+                lambda cc, fr: chunk_pipeline(cc, fr, params, cfg, consts,
+                                              window),
+                in_axes=(0, 0))
+            return step(carry, frames)
+
+        carry = init_carry_batch(cfg, n_streams)
+        carry, outs = run(carry, frames)
+        jax.block_until_ready(outs["pcm"])
+        t0 = time.perf_counter()
+        for i in range(iters):
+            carry, outs = run(carry, frames)
+        jax.block_until_ready(outs["pcm"])
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    t_small, t_big = bench_chunked_T(2), bench_chunked_T(8)
+    ms_c = (t_big - t_small) / 6
+    print(f"[chunked] {n_streams} streams @ {h}x{w}: "
+          f"{ms_c:.3f} ms/batched-frame, "
+          f"aggregate {n_streams * 1000.0 / ms_c:.0f} frames/s, "
+          f"per-stream {(1000.0 / ms_c) / cfg.video_fps:.1f}x realtime")
 
 
 if __name__ == "__main__":

@@ -114,6 +114,36 @@ class TestParallelStep:
         assert "all_reduce" in hlo or "all-reduce" in hlo
 
 
+class TestParallelChunked:
+    def test_chunked_dp_matches_offline(self, frames8):
+        """The DP x chunk-batched pipeline (one Pallas contraction per
+        stream-chunk) must match the per-stream scan exactly."""
+        mesh = make_stream_mesh(8, 1)
+        audio_p, final = run_offline_parallel(frames8, CFG, mesh, PARAMS,
+                                              pipeline="chunked")
+        audio_p = np.asarray(audio_p)
+        assert audio_p.shape == (8, 3 * 2048)
+        for s in (0, 7):
+            a_ref, _, _ = run_offline(frames8[s], CFG, PARAMS)
+            np.testing.assert_allclose(audio_p[s], np.asarray(a_ref),
+                                       atol=3e-4)
+
+    def test_auto_picks_chunked_on_dp_mesh(self, frames8):
+        mesh = make_stream_mesh(8, 1)
+        a1, _ = run_offline_parallel(frames8, CFG, mesh, PARAMS,
+                                     pipeline="auto")
+        a2, _ = run_offline_parallel(frames8, CFG, mesh, PARAMS,
+                                     pipeline="chunked")
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   atol=1e-6)
+
+    def test_chunked_rejects_tp_mesh(self):
+        from vaudio.parallel import make_parallel_chunk_step
+        mesh = make_stream_mesh(4, 2)
+        with pytest.raises(ValueError, match="DP-only"):
+            make_parallel_chunk_step(CFG, mesh)
+
+
 class TestOfflineParallel:
     def test_matches_offline_per_stream(self, frames8):
         mesh = make_stream_mesh(4, 2)

@@ -37,6 +37,50 @@ class TestPanLaw:
         np.testing.assert_allclose(pan[0], pan[4])
 
 
+class TestLiveStereoWidth:
+    def test_width_gains(self):
+        import jax.numpy as jnp
+
+        from vaudio.synth import cell_pan_gains, live_pan_gains
+        cfg = AuralizerConfig(channels=2)
+        # width 1 == the static column pan law.
+        g1 = np.asarray(live_pan_gains(cfg, jnp.float32(1.0)))
+        np.testing.assert_allclose(g1, cell_pan_gains(cfg), atol=1e-6)
+        # width 0 == dead center, equal power.
+        g0 = np.asarray(live_pan_gains(cfg, jnp.float32(0.0)))
+        np.testing.assert_allclose(g0, np.sqrt(0.5), atol=1e-6)
+        # width > 1 clips to hard L/R at the edges.
+        g2 = np.asarray(live_pan_gains(cfg, jnp.float32(3.0)))
+        np.testing.assert_allclose(g2[0], [1.0, 0.0], atol=1e-6)
+
+    def test_width_zero_collapses_image(self, rng):
+        """An off-center hue field must produce L == R at width 0 and
+        L != R at width 1 — same compiled step, different traced param."""
+        from vaudio.config import LiveParams
+        from vaudio.runtime import run_offline
+        frame = np.zeros((64, 64, 3), np.float32)
+        frame[:, 48:] = [1.0, 0.1, 0.1]
+        frames = np.broadcast_to(frame, (4, 64, 64, 3))
+        cfg = AuralizerConfig(channels=2)
+        a_w1, _, _ = run_offline(
+            frames, cfg, LiveParams(stereo_width=1.0).as_arrays())
+        a_w0, _, _ = run_offline(
+            frames, cfg, LiveParams(stereo_width=0.0).as_arrays())
+        a_w1, a_w0 = np.asarray(a_w1), np.asarray(a_w0)
+        np.testing.assert_allclose(a_w0[:, 0], a_w0[:, 1], atol=1e-6)
+        assert np.abs(a_w1[:, 0] - a_w1[:, 1]).max() > 1e-3
+
+    def test_width_through_chunked(self, rng):
+        from vaudio.config import LiveParams
+        from vaudio.runtime import run_offline_batched
+        frames = rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32)
+        cfg = AuralizerConfig(channels=2)
+        p = LiveParams(stereo_width=0.0).as_arrays()
+        audio, _, _ = run_offline_batched(frames, cfg, p)
+        audio = np.asarray(audio)
+        np.testing.assert_allclose(audio[:, 0], audio[:, 1], atol=1e-6)
+
+
 class TestStereoSpectrum:
     def make_state(self, rng, cfg):
         hues = rng.integers(0, 361, 16).astype(np.int32)

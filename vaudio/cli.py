@@ -35,6 +35,9 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--spectrum-mixing", type=float, default=0.9)
     p.add_argument("--attack", type=float, default=1.0)
     p.add_argument("--release", type=float, default=1.0)
+    p.add_argument("--stereo-width", type=float, default=1.0,
+                   help="pan-law width for --channels 2: 1 = full column "
+                        "pan, 0 = dual mono, >1 widened")
 
 
 def _build_config(args):
@@ -46,7 +49,8 @@ def _build_config(args):
                           channels=args.channels,
                           enable_filters=args.filters)
     params = LiveParams(attack=args.attack, release=args.release,
-                        spectrum_mixing=args.spectrum_mixing)
+                        spectrum_mixing=args.spectrum_mixing,
+                        stereo_width=args.stereo_width)
     return cfg, params
 
 

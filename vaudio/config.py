@@ -186,6 +186,11 @@ class LiveParams:
     lp_cutoff: float = 18000.0
     hp_order: float = 0.0
     lp_order: float = 0.0
+    # Stereo extension (no reference equivalent — its output is mono):
+    # scales every cell's pan angle about center. 1 = the full column pan
+    # law, 0 = dual mono, >1 widened (clipped to hard L/R). Only used when
+    # AuralizerConfig.channels == 2 (synth.live_pan_gains).
+    stereo_width: float = 1.0
 
     def as_arrays(self):
         """Flatten to a dict of float32 numpy scalars for feeding a jit."""

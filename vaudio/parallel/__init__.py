@@ -20,6 +20,7 @@ decomposition of the synthesis contraction.
 from vaudio.parallel.sharding import (
     init_carry_batch,
     make_batched_step,
+    make_parallel_chunk_step,
     make_parallel_step,
     make_stream_mesh,
     run_offline_parallel,
@@ -28,6 +29,7 @@ from vaudio.parallel.sharding import (
 __all__ = [
     "init_carry_batch",
     "make_batched_step",
+    "make_parallel_chunk_step",
     "make_parallel_step",
     "make_stream_mesh",
     "run_offline_parallel",

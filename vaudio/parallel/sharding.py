@@ -104,8 +104,10 @@ def _tp_frame_step(carry: StepCarry, frame, params, cfg: AuralizerConfig,
     # local cell range; the full-spectrum sum is ONE psum riding ICI.
     pfreq, w_re, w_im, inv_bw = partial_weights(
         hues, grads, phases, cfg, consts, cell_slice=cell_slice)
+    from vaudio.synth import live_pan_from_params
     flat_pf, flat_w, flat_ibw = flatten_partials(
-        pfreq, w_re, w_im, inv_bw, cfg, cell_slice=cell_slice)
+        pfreq, w_re, w_im, inv_bw, cfg, cell_slice=cell_slice,
+        pan=live_pan_from_params(cfg, params))
     local = contract_spectrum(flat_pf, flat_w, flat_ibw, cfg, consts)
 
     cur = jax.lax.psum(local, "cell")                     # THE collective
@@ -158,14 +160,58 @@ def make_parallel_step(cfg: AuralizerConfig, mesh: Mesh,
     return sharded
 
 
+def make_parallel_chunk_step(cfg: AuralizerConfig, mesh: Mesh,
+                             debug: bool = False, jit: bool = True):
+    """DP-sharded chunk-batched step: streams sharded over 'stream', each
+    shard running the chunk-batched pipeline (runtime.chunked — ONE
+    frame-batched Pallas contraction per stream-chunk) on its local
+    streams.  The highest-throughput multi-chip shape: embarrassingly
+    parallel over ICI with zero collectives.
+
+    Requires the mesh's 'cell' axis to be 1 — the batched contraction is
+    not cell-sharded (use make_parallel_step for latency-oriented TP).
+
+    Returns ``step(carry[S,...], frames[S, T, ...], params)`` ->
+    (carry, out) with out["pcm"] of shape (S, T, hop[, channels]).
+    """
+    if mesh.shape.get("cell", 1) != 1:
+        raise ValueError(
+            "the chunk-batched parallel step is DP-only; build the mesh "
+            f"with n_cell=1 (got cell={mesh.shape['cell']}) or use "
+            "make_parallel_step for tensor parallelism")
+    from vaudio.runtime.chunked import chunk_pipeline
+    consts = SynthConstants.create(cfg)
+    window = jnp.asarray(hann_window_norm(cfg.nfft))
+
+    def one(carry, frames, params):
+        return chunk_pipeline(carry, frames, params, cfg, consts, window,
+                              debug=debug)
+
+    vstep = jax.vmap(one, in_axes=(0, 0, None))
+    sharded = jax.shard_map(
+        vstep, mesh=mesh,
+        in_specs=(P("stream"), P("stream"), P()),
+        out_specs=(P("stream"), P("stream")),
+        check_vma=False,
+    )
+    if jit:
+        sharded = jax.jit(sharded, donate_argnums=(0,))
+    return sharded
+
+
 def run_offline_parallel(frames, cfg: AuralizerConfig, mesh: Mesh,
-                         params=None, debug: bool = False):
+                         params=None, debug: bool = False,
+                         pipeline: str = "auto"):
     """Sonify a batch of clips over the mesh.
 
     Args:
       frames: f32[S, T, H, W, 3] — S streams of T frames.
+      pipeline: ``"chunked"`` = the DP-only chunk-batched pipeline (one
+        frame-batched Pallas contraction per stream — the throughput
+        shape); ``"scan"`` = per-frame step under the full DP+TP mesh;
+        ``"auto"`` picks chunked when the mesh has no cell axis to feed.
     Returns:
-      (audio f32[S, T*hop], final carry)
+      (audio f32[S, T*hop] / f32[S, T*hop, ch], final carry)
     """
     from vaudio.runtime.step import default_params
     if params is None:
@@ -173,7 +219,10 @@ def run_offline_parallel(frames, cfg: AuralizerConfig, mesh: Mesh,
     frames = jnp.asarray(frames)
     n_streams = frames.shape[0]
     carry = init_carry_batch(cfg, n_streams)
-    step = make_parallel_step(cfg, mesh, debug=debug, jit=False)
+    if pipeline not in ("auto", "chunked", "scan"):
+        raise ValueError(f"unknown pipeline {pipeline!r}")
+    if pipeline == "auto":
+        pipeline = "chunked" if mesh.shape.get("cell", 1) == 1 else "scan"
 
     stream_sharding = NamedSharding(mesh, P("stream"))
     frames = jax.device_put(
@@ -181,17 +230,24 @@ def run_offline_parallel(frames, cfg: AuralizerConfig, mesh: Mesh,
     carry = jax.device_put(
         carry, jax.tree.map(lambda _: stream_sharding, carry))
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def scan_fn(carry, frames, params):
-        def body(c, fr):   # fr: (S, H, W, 3)
-            return step(c, fr, params)
-        return jax.lax.scan(body, carry, jnp.swapaxes(frames, 0, 1))
-
-    final, outs = scan_fn(carry, frames, params)
-    pcm = outs["pcm"]             # (T, S, hop) or (T, S, hop, ch)
-    audio = jnp.swapaxes(pcm, 0, 1)
-    if cfg.channels == 1:
-        audio = audio.reshape(n_streams, -1)
+    if pipeline == "chunked":
+        step = make_parallel_chunk_step(cfg, mesh, debug=debug)
+        final, outs = step(carry, frames, params)
     else:
-        audio = audio.reshape(n_streams, -1, cfg.channels)
+        step = make_parallel_step(cfg, mesh, debug=debug, jit=False)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def scan_fn(carry, frames, params):
+            def body(c, fr):   # fr: (S, H, W, 3)
+                return step(c, fr, params)
+            return jax.lax.scan(body, carry, jnp.swapaxes(frames, 0, 1))
+
+        final, outs = scan_fn(carry, frames, params)
+    pcm = outs["pcm"]
+    if pipeline == "scan":        # (T, S, hop[, ch]) -> (S, T, hop[, ch])
+        pcm = jnp.swapaxes(pcm, 0, 1)
+    if cfg.channels == 1:
+        audio = pcm.reshape(n_streams, -1)
+    else:
+        audio = pcm.reshape(n_streams, -1, cfg.channels)
     return audio, final

@@ -102,10 +102,13 @@ def chunk_pipeline(carry: StepCarry, frames, params: Dict[str, Any],
         jax.lax.scan(pass_a, (carry.hues, carry.phases), frames)
 
     # ---- pass B: weights + ONE batched contraction + rotation ----
+    from vaudio.synth import live_pan_from_params
+    pan = live_pan_from_params(cfg, params)   # shared across frames
+
     def weights_one(hues, grads, phases):
         pf, w_re, w_im, inv_bw = partial_weights(hues, grads, phases, cfg,
                                                  consts)
-        return flatten_partials(pf, w_re, w_im, inv_bw, cfg)
+        return flatten_partials(pf, w_re, w_im, inv_bw, cfg, pan=pan)
 
     flat_pf, flat_w, flat_ibw = jax.vmap(weights_one)(
         hues_seq, grads_seq, phases_seq)                 # (T, NP[, K])

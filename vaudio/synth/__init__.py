@@ -17,6 +17,8 @@ from vaudio.synth.spectrum import (
     contract_spectrum,
     finalize_spectrum,
     flatten_partials,
+    live_pan_from_params,
+    live_pan_gains,
     partial_weights,
     phase_accumulate,
     spectral_filter_gain,
@@ -24,6 +26,8 @@ from vaudio.synth.spectrum import (
 
 __all__ = [
     "spectral_filter_gain",
+    "live_pan_from_params",
+    "live_pan_gains",
     "SynthConstants",
     "build_spectrum",
     "cell_pan_gains",

@@ -231,6 +231,14 @@ def partial_weights(hues, grads, phases, cfg: AuralizerConfig,
     return pfreq, w_re, w_im, 1.0 / bw
 
 
+def cell_pan_angles(cfg: AuralizerConfig) -> np.ndarray:
+    """Per-cell pan angle theta in [0, pi/2] by 4x4 grid column: column 0
+    hard left (0), column grid-1 hard right (pi/2)."""
+    cols = np.arange(cfg.num_cells) % cfg.grid_size
+    return (cols / max(cfg.grid_size - 1, 1) * (np.pi / 2.0)
+            ).astype(np.float32)
+
+
 def cell_pan_gains(cfg: AuralizerConfig) -> np.ndarray:
     """Equal-power stereo pan per cell, by 4x4 grid column (stereo
     extension — the reference output is mono, SoundEngine.swift:165).
@@ -238,9 +246,36 @@ def cell_pan_gains(cfg: AuralizerConfig) -> np.ndarray:
     Returns f32[num_cells, 2] (gL, gR); column 0 hard left, column
     grid-1 hard right.
     """
-    cols = np.arange(cfg.num_cells) % cfg.grid_size
-    theta = cols / max(cfg.grid_size - 1, 1) * (np.pi / 2.0)
+    theta = cell_pan_angles(cfg)
     return np.stack([np.cos(theta), np.sin(theta)], axis=1).astype(np.float32)
+
+
+def live_pan_gains(cfg: AuralizerConfig, stereo_width):
+    """Width-scaled equal-power pan gains (live control, traced — changing
+    the width never recompiles).
+
+    ``stereo_width`` scales every cell's pan angle about center:
+    theta' = pi/4 + width * (theta - pi/4).  width 1 = the full column pan
+    law (cell_pan_gains), 0 = all cells dead center (dual mono at equal
+    power), >1 = widened beyond the column law (clipped to hard L/R).
+
+    Returns f32[num_cells, 2].
+    """
+    theta = jnp.asarray(cell_pan_angles(cfg))
+    quarter = np.float32(np.pi / 4.0)
+    w = jnp.asarray(stereo_width, jnp.float32)
+    eff = jnp.clip(quarter + w * (theta - quarter), 0.0,
+                   np.float32(np.pi / 2.0))
+    return jnp.stack([jnp.cos(eff), jnp.sin(eff)], axis=1)
+
+
+def live_pan_from_params(cfg: AuralizerConfig, params):
+    """Traced pan gains when the params dict carries a ``stereo_width``
+    (LiveParams), else None (use the baked column pan law)."""
+    if cfg.channels == 2 and params is not None \
+            and "stereo_width" in params:
+        return live_pan_gains(cfg, params["stereo_width"])
+    return None
 
 
 def spectral_filter_gain(freqs, hp_cutoff, lp_cutoff, hp_order, lp_order):
@@ -263,14 +298,16 @@ def spectral_filter_gain(freqs, hp_cutoff, lp_cutoff, hp_order, lp_order):
 
 
 def flatten_partials(pfreq, w_re, w_im, inv_bw, cfg: AuralizerConfig,
-                     cell_slice=None):
+                     cell_slice=None, pan=None):
     """Stage 1.5: flatten per-cell partials into contraction operands.
 
     Folds the stereo pan split (cfg.channels == 2) into the weight matrix,
     so the heavy (F x partials) contraction is SHARED between channels:
     each partial's complex weight becomes [gL*re, gL*im, gR*re, gR*im].
     ``cell_slice=(start, count)`` slices the pan gains to the local cell
-    range (the tensor-parallel path).
+    range (the tensor-parallel path).  ``pan`` overrides the static column
+    pan law with traced gains (the live stereo_width control,
+    :func:`live_pan_gains`).
 
     Returns (flat_pf f32[NP], flat_w f32[NP, 2*channels], flat_ibw f32[NP]).
     """
@@ -279,7 +316,8 @@ def flatten_partials(pfreq, w_re, w_im, inv_bw, cfg: AuralizerConfig,
     flat_w = jnp.stack([w_re.reshape(nc * P), w_im.reshape(nc * P)], axis=1)
     flat_ibw = jnp.broadcast_to(inv_bw[:, None], (nc, P)).reshape(nc * P)
     if cfg.channels == 2:
-        pan = jnp.asarray(cell_pan_gains(cfg))               # (16, 2)
+        if pan is None:
+            pan = jnp.asarray(cell_pan_gains(cfg))           # (16, 2)
         if cell_slice is not None:
             start, count = cell_slice
             pan = jax.lax.dynamic_slice_in_dim(pan, start, count)
@@ -372,8 +410,9 @@ def build_spectrum(hues, grads, phases, prev_spectrum, spectrum_mixing,
 
     pfreq, w_re, w_im, inv_bw = partial_weights(hues, grads, phases, cfg,
                                                 consts)
-    flat_pf, flat_w, flat_ibw = flatten_partials(pfreq, w_re, w_im, inv_bw,
-                                                 cfg)
+    flat_pf, flat_w, flat_ibw = flatten_partials(
+        pfreq, w_re, w_im, inv_bw, cfg,
+        pan=live_pan_from_params(cfg, filter_params))
     if use_pallas:
         from vaudio.ops.spectrum_kernel import spectrum_pallas
         cur = spectrum_pallas(flat_pf, flat_w, flat_ibw, cfg, consts)

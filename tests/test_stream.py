@@ -274,7 +274,8 @@ class TestSoak:
         s.raise_if_failed()
         stop.set()
         c.join(timeout=5)
-        assert s.metrics.frames_processed == 15  # 150 frames / 10 per chunk
+        assert s.metrics.frames_processed == 150
+        assert s.metrics.dispatches == 15        # 150 frames / 10 per chunk
         # Drain whatever the paced consumer didn't reach.
         tail = s.pull(s.ring.available * cfg.hop_size)
         assert np.all(np.isfinite(tail))

@@ -179,6 +179,7 @@ class Auralizer:
             "total_latency_p50_ms": m.latency_percentile(50) + hw,
             "achieved_fps": m.achieved_fps,
             "frames_processed": m.frames_processed,
+            "dispatches": m.dispatches,
             "buffer_fill": ring.available,
             "warmed_up": bool(getattr(ring, "warmed_up", True)),
             "dropped_frames": getattr(ring, "dropped_frames", 0),

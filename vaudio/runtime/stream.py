@@ -41,13 +41,15 @@ class StreamMetrics:
     def __init__(self):
         self._lock = threading.Lock()
         self._latencies_ms: list[float] = []
-        self.frames_processed = 0
+        self.frames_processed = 0    # video frames through the device
+        self.dispatches = 0          # device calls (chunks count once)
         self.start_time: Optional[float] = None
         self.end_time: Optional[float] = None
 
-    def record(self, latency_ms: float):
+    def record(self, latency_ms: float, n_frames: int = 1):
         with self._lock:
-            self.frames_processed += 1
+            self.frames_processed += n_frames
+            self.dispatches += 1
             self._latencies_ms.append(latency_ms)
             if len(self._latencies_ms) > 1024:
                 del self._latencies_ms[:512]
@@ -282,7 +284,7 @@ class StreamingAuralizer:
             for row in pcm:
                 self.ring.write(row)
             latency_ms = (time.monotonic() - t_capture) * 1000.0
-            self.metrics.record(latency_ms)
+            self.metrics.record(latency_ms, n_hops)
             self._log_metrics(latency_ms, n_hops)
             if self.debug:
                 self.debug_state = {

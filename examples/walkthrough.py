@@ -70,6 +70,30 @@ def main(outdir="/tmp/vaudio_walkthrough"):
     st.sonify_to_wav(frames[:10], st_wav)
     print(f"[stereo] {st_wav}: band-passed, column-panned")
 
+    # --- 7. live stereo width (traced pan control, no recompiles) ---
+    wide = Auralizer(config=AuralizerConfig(channels=2),
+                     params=LiveParams(stereo_width=0.0))
+    mono_img = wide.sonify(frames[:10])
+    assert np.allclose(mono_img[:, 0], mono_img[:, 1], atol=1e-6)
+    print(f"[width] stereo_width=0 -> dual mono verified "
+          f"({mono_img.shape})")
+
+    # --- 8. render the debug surface to PNGs (vaudio debug CLI) ---
+    from vaudio.utils.render import render_debug_surface
+    info = aur.inspect_frame(frames[-1])
+    written = render_debug_surface(info, aur.config,
+                                   os.path.join(outdir, "debug"),
+                                   spectrum=dbg["spectrum"][-1])
+    print(f"[render] {len(written)} debug artifacts "
+          f"(heatmaps / hue matrix / spectrum)")
+
+    # --- 9. chunk-batched offline mode (the throughput pipeline) ---
+    fast = aur.sonify(frames, mode="chunked")
+    slow = aur.sonify(frames, mode="scan")
+    print(f"[chunked] max |chunked - scan| = "
+          f"{np.abs(fast - slow).max():.2e} (same math, batched Pallas "
+          f"synthesis)")
+
     print("walkthrough complete:", sorted(os.listdir(outdir)))
 
 

@@ -35,8 +35,9 @@ def main():
     res = os.environ.get("VAUDIO_BENCH_RES", "1080x1920")
     h, w = (int(x) for x in res.split("x"))
     channels = int(os.environ.get("VAUDIO_BENCH_CHANNELS", "2"))
-    T_LO, T_HI = 16, 64
-    iters = int(os.environ.get("VAUDIO_BENCH_ITERS", "8"))
+    chunks = os.environ.get("VAUDIO_BENCH_CHUNKS", "32,128")
+    T_LO, T_HI = (int(x) for x in chunks.split(","))
+    iters = int(os.environ.get("VAUDIO_BENCH_ITERS", "12"))
 
     cfg = AuralizerConfig(sample_rate=48000.0, channels=channels)
     consts = SynthConstants.create(cfg)

@@ -40,7 +40,8 @@ from vaudio.runtime.step import StepCarry, default_params, init_carry
 from vaudio.synth import (SynthConstants, flatten_partials,
                           partial_weights, phase_accumulate,
                           spectral_filter_gain)
-from vaudio.vision import extract_features
+from vaudio.vision import frame_stats, hist_max_and_arg, \
+    update_hues_from_stats
 
 
 def _batched_contraction(flat_pf, flat_w, flat_ibw, cfg: AuralizerConfig,
@@ -91,15 +92,27 @@ def chunk_pipeline(carry: StepCarry, frames, params: Dict[str, Any],
     mixing = jnp.asarray(params["spectrum_mixing"], jnp.float32)
     T = (frames["y"] if isinstance(frames, dict) else frames).shape[0]
 
-    # ---- pass A: vision + hue EMA + phase accumulation (serial) ----
-    def pass_a(c, frame):
-        hues_prev, phases_prev = c
-        hues, grads, _ = extract_features(frame, hues_prev, mixing, cfg)
-        phases = phase_accumulate(phases_prev, hues, cfg, consts)
-        return (hues, phases), (hues, grads, phases)
+    # ---- pass A: vision stats BATCHED over all frames (per-frame
+    # independent: mip/HSI/histogram/grad matmuls get a T-deep batch on
+    # the MXU); only the hue EMA + phase accumulation — 16 ints + a
+    # (16, 32) add per frame — stay in a (tiny) serial scan. ----
+    def stats_one(frame):
+        hist, grads, _ = frame_stats(frame, cfg)
+        return hist, grads
 
-    (hues_last, phases_last), (hues_seq, grads_seq, phases_seq) = \
-        jax.lax.scan(pass_a, (carry.hues, carry.phases), frames)
+    hists, grads_seq = jax.vmap(stats_one)(frames)     # (T,16,360),(T,16,4)
+    max_vals, args = hist_max_and_arg(hists)           # (T, 16) each
+
+    def pass_a(c, x):
+        hues_prev, phases_prev = c
+        mx, ag = x
+        hues = update_hues_from_stats(mx, ag, hues_prev, mixing, cfg)
+        phases = phase_accumulate(phases_prev, hues, cfg, consts)
+        return (hues, phases), (hues, phases)
+
+    (hues_last, phases_last), (hues_seq, phases_seq) = \
+        jax.lax.scan(pass_a, (carry.hues, carry.phases),
+                     (max_vals, args))
 
     # ---- pass B: weights + ONE batched contraction + rotation ----
     from vaudio.synth import live_pan_from_params

@@ -17,23 +17,29 @@ live Metal kernels in Metal Functions/convolveFeatures.metal:
 from vaudio.vision.features import (
     cell_gradient_stats,
     extract_features,
+    frame_stats,
+    hist_max_and_arg,
     feature_stencil,
     hue_histogram,
     mip_downsample,
     rgb_to_hsi,
     rotate_cw,
     update_hues,
+    update_hues_from_stats,
     yuv420_mip_to_rgb_planes,
 )
 
 __all__ = [
     "cell_gradient_stats",
     "extract_features",
+    "frame_stats",
+    "hist_max_and_arg",
     "feature_stencil",
     "hue_histogram",
     "mip_downsample",
     "rgb_to_hsi",
     "rotate_cw",
     "update_hues",
+    "update_hues_from_stats",
     "yuv420_mip_to_rgb_planes",
 ]

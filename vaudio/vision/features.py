@@ -357,28 +357,46 @@ def hue_histogram(hsi_rot, cfg: AuralizerConfig, method: str = "matmul"):
                                 method=method)
 
 
+def hist_max_and_arg(hist):
+    """Per-cell (max count, argmax bin) with the LAST-maximum tie-break of
+    Swift's ``max(by:)`` (VisionEngine.swift:264: it replaces the running
+    result whenever the candidate is not strictly less, so equal max
+    counts resolve to the highest bin) — an argmax over the reversed bin
+    axis.  Batchable: hist may carry leading axes.
+    """
+    bins = hist.shape[-1]
+    max_val = jnp.max(hist, axis=-1)
+    arg = (bins - 1 - jnp.argmax(hist[..., ::-1], axis=-1)
+           ).astype(jnp.float32)
+    return max_val, arg
+
+
+def update_hues_from_stats(max_val, arg, prev_hues, mixing,
+                           cfg: AuralizerConfig):
+    """The EMA/gate recurrence of the hue update, on precomputed per-cell
+    histogram stats — the only serial piece of the vision pass (the
+    chunk-batched pipeline scans just this over frames)."""
+    mixed = prev_hues.astype(jnp.float32) * mixing + arg * (1.0 - mixing)
+    new = mixed.astype(jnp.int32)  # truncation, as Swift Int32(Float)
+    return jnp.where(max_val > np.float32(cfg.hist_count_gate), new,
+                     prev_hues).astype(jnp.int32)
+
+
 def update_hues(hist, prev_hues, mixing, cfg: AuralizerConfig):
     """Per-cell dominant-hue argmax, gated and EMA-smoothed.
 
     Reproduces the CPU reduction at VisionEngine.swift:255-271: for each
     cell, if max count > 20, the new hue is
     ``int32(prev*mix + argmax*(1-mix))`` (truncating), else unchanged.
-    LAST-maximum tie-break matches Swift's ``max(by:)`` (it replaces the
-    running result whenever the candidate is not strictly less, so equal
-    max counts resolve to the highest bin) — implemented as an argmax over
-    the reversed bin axis.
+    LAST-maximum tie-break matches Swift's ``max(by:)`` — see
+    :func:`hist_max_and_arg`.
 
     Args:
       hist: f32[cells, bins]; prev_hues: i32[cells]; mixing: f32 scalar.
     Returns: i32[cells].
     """
-    bins = hist.shape[1]
-    max_val = jnp.max(hist, axis=1)
-    arg = (bins - 1 - jnp.argmax(hist[:, ::-1], axis=1)).astype(jnp.float32)
-    mixed = prev_hues.astype(jnp.float32) * mixing + arg * (1.0 - mixing)
-    new = mixed.astype(jnp.int32)  # truncation, as Swift Int32(Float)
-    return jnp.where(max_val > np.float32(cfg.hist_count_gate), new,
-                     prev_hues).astype(jnp.int32)
+    max_val, arg = hist_max_and_arg(hist)
+    return update_hues_from_stats(max_val, arg, prev_hues, mixing, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -497,21 +515,12 @@ def yuv420_mip_to_rgb_planes(y, u, v, cfg: AuralizerConfig,
     return jnp.clip(jnp.stack([r, g, b]), 0.0, 1.0)
 
 
-def extract_features(frame, prev_hues, mixing, cfg: AuralizerConfig,
-                     compute_debug_maps: bool = False):
-    """Full L2 pass: frame -> (hues i32[16], grads f32[16,4], debug dict).
-
-    One fused graph replacing the reference's two command buffers + two CPU
-    reduction loops (VisionEngine.swift:91-316).
-
-    Args:
-      frame: f32[H, W, 3] RGB in [0,1], u8[H, W, 3] RGB, or a dict
-        ``{"y", "u", "v"}`` of planar uint8 YUV 4:2:0 (camera-native).
-      prev_hues: i32[16] carried hue state.
-      mixing: f32 scalar EMA coefficient (VisionEngine.spectrumMixing).
-      compute_debug_maps: also return the hue/saturation/intensity mode maps
-        the reference exposes on its debug screen (rotated layout, matching
-        the Metal buffers).
+def frame_stats(frame, cfg: AuralizerConfig,
+                compute_debug_maps: bool = False):
+    """The stateless part of the vision pass: frame -> (hist f32[16,360],
+    grads f32[16,4], debug dict).  Per-frame independent, so the
+    chunk-batched pipeline vmaps it over whole frame chunks — only the
+    hue EMA (:func:`update_hues_from_stats`) is a serial recurrence.
     """
     if isinstance(frame, dict):
         mip = yuv420_mip_to_rgb_planes(jnp.asarray(frame["y"]),
@@ -528,8 +537,6 @@ def extract_features(frame, prev_hues, mixing, cfg: AuralizerConfig,
     h, s, i = rgb_to_hsi_planes(mip[0], mip[1], mip[2])
 
     hist = hue_histogram_planes(h, s, i, cfg)
-    hues = update_hues(hist, prev_hues, mixing, cfg)
-
     imodes = feature_stencil_plane(i)                     # (4, hm, wm)
     grads = cell_gradient_stats_planes(imodes, cfg)
 
@@ -546,4 +553,26 @@ def extract_features(frame, prev_hues, mixing, cfg: AuralizerConfig,
             intensity_map=rot_pack(imodes),
             mip_hsi=jnp.stack([h, s, i], axis=-1),
         )
+    return hist, grads, debug
+
+
+def extract_features(frame, prev_hues, mixing, cfg: AuralizerConfig,
+                     compute_debug_maps: bool = False):
+    """Full L2 pass: frame -> (hues i32[16], grads f32[16,4], debug dict).
+
+    One fused graph replacing the reference's two command buffers + two CPU
+    reduction loops (VisionEngine.swift:91-316).
+
+    Args:
+      frame: f32[H, W, 3] RGB in [0,1], u8[H, W, 3] RGB, or a dict
+        ``{"y", "u", "v"}`` of planar uint8 YUV 4:2:0 (camera-native).
+      prev_hues: i32[16] carried hue state.
+      mixing: f32 scalar EMA coefficient (VisionEngine.spectrumMixing).
+      compute_debug_maps: also return the hue/saturation/intensity mode maps
+        the reference exposes on its debug screen (rotated layout, matching
+        the Metal buffers).
+    """
+    hist, grads, debug = frame_stats(frame, cfg,
+                                     compute_debug_maps=compute_debug_maps)
+    hues = update_hues(hist, prev_hues, mixing, cfg)
     return hues, grads, debug

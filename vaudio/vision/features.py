@@ -309,7 +309,9 @@ def hue_histogram_planes(h, s, i, cfg: AuralizerConfig,
     * ``matmul`` (default): hist = cell_onehot^T @ bin_onehot — one
       (cells x pixels) @ (pixels x bins) MXU contraction; the outer product
       of two one-hot encodings summed over pixels IS the joint histogram.
-      One-hots are built in bfloat16 (exact for 0/1) with f32 accumulation.
+      One-hots are built in int8 (exact for 0/1) with i32 accumulation —
+      half the materialized bytes of a bf16 one-hot and the int8 MXU rate;
+      counts <= pixels fit i32 exactly.
     * ``scatter``: XLA scatter-add on a flat (cells*bins) table.
 
     Pixels are gated on ``S > 0 and I > 0.1`` (convolveFeatures.metal:154);
@@ -329,17 +331,16 @@ def hue_histogram_planes(h, s, i, cfg: AuralizerConfig,
 
     p = hm * wm
     if method == "matmul":
-        gate_f = gate.reshape(p)
+        gate_i = gate.reshape(p, 1).astype(jnp.int8)
         cell_oh = jax.nn.one_hot(cell_idx.reshape(p), cells,
-                                 dtype=jnp.bfloat16)
-        cell_oh = cell_oh * gate_f.reshape(p, 1).astype(jnp.bfloat16)
+                                 dtype=jnp.int8) * gate_i
         bin_oh = jax.nn.one_hot(bin_idx.reshape(p), bins,
-                                dtype=jnp.bfloat16)
+                                dtype=jnp.int8)
         return jax.lax.dot_general(
             cell_oh, bin_oh,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
     elif method == "scatter":
         flat = (cell_idx * bins + bin_idx).reshape(-1)
         upd = gate.reshape(-1).astype(jnp.float32)

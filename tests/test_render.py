@@ -109,8 +109,14 @@ class TestDebugCli:
         # 12 heatmaps + hue matrix + spectrum + waveform + grid json
         assert len([n for n in names if n.startswith("heatmap_")]) == 12
         for required in ("hue_matrix.png", "spectrum.png", "waveform.png",
-                         "grid_overlay.json"):
+                         "grid_overlay.json", "index.html"):
             assert required in names
+        # The HTML page must reference only images that exist.
+        import re
+        html = open(os.path.join(out, "index.html")).read()
+        refs = re.findall(r'src="([^"]+)"', html)
+        assert len(refs) == 15
+        assert all(os.path.exists(os.path.join(out, r)) for r in refs)
         # Images are non-trivial (not a constant field).
         hue_img = read_png(os.path.join(out, "hue_matrix.png"))
         assert hue_img.std() > 0

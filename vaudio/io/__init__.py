@@ -24,6 +24,7 @@ Sinks:
 
 from vaudio.io.sources import (
     ArraySource,
+    CameraSource,
     RawVideoSource,
     VideoFileSource,
     Yuv420FileSource,
@@ -38,6 +39,7 @@ from vaudio.io.sinks import read_wav, write_wav
 
 __all__ = [
     "ArraySource",
+    "CameraSource",
     "RawVideoSource",
     "VideoFileSource",
     "Yuv420FileSource",

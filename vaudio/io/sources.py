@@ -182,6 +182,28 @@ class RawVideoSource:
                     yield yuv420_to_rgb(y, u, v, self.studio_swing)
 
 
+class CameraSource(RawVideoSource):
+    """Live capture-device source — the framework's CameraModel
+    (CameraModel.swift:12-37: AVCaptureSession on the built-in camera,
+    started by the UI and feeding the vision engine).
+
+    On Linux the camera is a V4L2 node delivering raw frames; point this
+    at ``/dev/video0`` (configure the device for a raw pixel format with
+    ``v4l2-ctl --set-fmt-video`` or have a capture process feed a FIFO).
+    Defaults match common webcams: NV12, device-side YUV conversion (half
+    the ingest bytes), endless stream (stop via ``max_frames`` or
+    ``Auralizer.stop()``).
+    """
+
+    def __init__(self, device: str = "/dev/video0", width: int = 1920,
+                 height: int = 1080, pix_fmt: str = "nv12",
+                 fps: float = 30.0, max_frames: Optional[int] = None):
+        super().__init__(device, width=width, height=height,
+                         pix_fmt=pix_fmt, fps=fps,
+                         raw=pix_fmt in ("i420", "nv12"),
+                         max_frames=max_frames)
+
+
 class Yuv420FileSource(RawVideoSource):
     """Raw YUV 4:2:0 file/stream source (the codec-free camera formats) —
     a :class:`RawVideoSource` restricted to the YUV pixel formats, kept as

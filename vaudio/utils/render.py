@@ -213,12 +213,76 @@ def render_debug_surface(inspect_out: Dict[str, np.ndarray],
         put("waveform", waveform_image(pcm))
 
     # The numeric grid overlay (DebuggingView.swift:138-171) as data.
+    grid = {
+        "hues": np.asarray(inspect_out["hues"]).tolist(),
+        "grads": {mode: np.asarray(inspect_out["grads"])[:, m].tolist()
+                  for m, mode in enumerate(MODE_NAMES)},
+    }
     grid_path = os.path.join(out_dir, "grid_overlay.json")
     with open(grid_path, "w") as f:
-        json.dump({
-            "hues": np.asarray(inspect_out["hues"]).tolist(),
-            "grads": {mode: np.asarray(inspect_out["grads"])[:, m].tolist()
-                      for m, mode in enumerate(MODE_NAMES)},
-        }, f, indent=2)
+        json.dump(grid, f, indent=2)
     written["grid_overlay"] = grid_path
+
+    written["index"] = write_debug_html(out_dir, written, grid)
     return written
+
+
+def write_debug_html(out_dir: str, written: Dict[str, str],
+                     grid: Dict) -> str:
+    """Assemble the rendered artifacts into one ``index.html`` — the
+    single-page equivalent of the reference's debug screen (heatmap +
+    pickers + grid overlay + hue matrix + spectrum + waveform on one
+    SwiftUI view, Views/DebuggingView.swift:37-93).  Pure stdlib; images
+    referenced by relative path."""
+    def img(name, width=None):
+        if name not in written:
+            return ""
+        w = f' width="{width}"' if width else ""
+        return (f'<figure><img src="{os.path.basename(written[name])}"'
+                f'{w}><figcaption>{name}</figcaption></figure>')
+
+    heat_rows = []
+    for ch in CHANNEL_NAMES:
+        cells = "".join(img(f"heatmap_{ch}_{m}", 220) for m in MODE_NAMES)
+        if cells:
+            heat_rows.append(f"<h3>{ch}</h3><div class='row'>{cells}</div>")
+
+    g = int(np.sqrt(len(grid["hues"]))) or 4
+    def table(vals, fmt):
+        rows = []
+        for r in range(g):
+            tds = "".join(f"<td>{fmt(v)}</td>"
+                          for v in vals[r * g:(r + 1) * g])
+            rows.append(f"<tr>{tds}</tr>")
+        return "<table>" + "".join(rows) + "</table>"
+
+    grad_tables = "".join(
+        f"<h4>{mode}</h4>" + table(grid["grads"][mode],
+                                   lambda v: f"{v:.3f}")
+        for mode in MODE_NAMES if mode in grid["grads"])
+
+    html = f"""<!doctype html><meta charset="utf-8">
+<title>vaudio debug surface</title>
+<style>
+ body {{ background:#111; color:#ddd; font:14px system-ui; margin:2em; }}
+ .row {{ display:flex; gap:12px; flex-wrap:wrap; }}
+ figure {{ margin:0; }} figcaption {{ color:#888; font-size:11px; }}
+ img {{ image-rendering:pixelated; border:1px solid #333; }}
+ table {{ border-collapse:collapse; margin:4px 0; }}
+ td {{ border:1px solid #333; padding:3px 8px; font-family:monospace; }}
+</style>
+<h1>vaudio debug surface</h1>
+<h2>Dominant hues (4x4)</h2>
+<div class="row">{img('hue_matrix')}
+<div>{table(grid['hues'], lambda v: int(v))}</div></div>
+<h2>Spectrum / waveform</h2>
+<div class="row">{img('spectrum')}{img('waveform')}</div>
+<h2>Per-pixel mode heatmaps (green +, red -)</h2>
+{''.join(heat_rows)}
+<h2>Grid overlay (per-cell gradient stats)</h2>
+{grad_tables}
+"""
+    path = os.path.join(out_dir, "index.html")
+    with open(path, "w") as f:
+        f.write(html)
+    return path

@@ -156,10 +156,12 @@ class TestCLI:
         env = dict(os.environ, JAX_PLATFORMS="cpu",
                    JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
                    PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
+        # Generous timeout: the subprocess compiles its own jit while the
+        # surrounding suite may be saturating this host's single core.
         return subprocess.run(
             [sys.executable, "-m", "vaudio", *args],
             capture_output=True, text=True, env=env, cwd="/root/repo",
-            timeout=300)
+            timeout=900)
 
     def test_info(self):
         r = self._run("info")

@@ -34,7 +34,8 @@ from vaudio.dsp import hann_window_norm
 from vaudio.runtime.step import StepCarry, frame_step, init_carry, \
     synth_audio
 from vaudio.synth import SynthConstants, contract_spectrum, \
-    finalize_spectrum, flatten_partials, partial_weights, phase_accumulate
+    finalize_spectrum, flatten_partials, live_pan_from_params, \
+    partial_weights, phase_accumulate
 from vaudio.vision import extract_features
 
 
@@ -104,7 +105,6 @@ def _tp_frame_step(carry: StepCarry, frame, params, cfg: AuralizerConfig,
     # local cell range; the full-spectrum sum is ONE psum riding ICI.
     pfreq, w_re, w_im, inv_bw = partial_weights(
         hues, grads, phases, cfg, consts, cell_slice=cell_slice)
-    from vaudio.synth import live_pan_from_params
     flat_pf, flat_w, flat_ibw = flatten_partials(
         pfreq, w_re, w_im, inv_bw, cfg, cell_slice=cell_slice,
         pan=live_pan_from_params(cfg, params))

@@ -38,8 +38,8 @@ from vaudio.config import AuralizerConfig
 from vaudio.dsp import hann_window_norm, irfft_from_half, sigmoid_normalize
 from vaudio.runtime.step import StepCarry, default_params, init_carry
 from vaudio.synth import (SynthConstants, flatten_partials,
-                          partial_weights, phase_accumulate,
-                          spectral_filter_gain)
+                          live_pan_from_params, partial_weights,
+                          phase_accumulate, spectral_filter_gain)
 from vaudio.vision import frame_stats, hist_max_and_arg, \
     update_hues_from_stats
 
@@ -115,7 +115,6 @@ def chunk_pipeline(carry: StepCarry, frames, params: Dict[str, Any],
                      (max_vals, args))
 
     # ---- pass B: weights + ONE batched contraction + rotation ----
-    from vaudio.synth import live_pan_from_params
     pan = live_pan_from_params(cfg, params)   # shared across frames
 
     def weights_one(hues, grads, phases):

@@ -17,6 +17,11 @@ Usage: python benchmarks/soak.py
   VAUDIO_SOAK_FRAMES=N      total frames (default 100000)
   VAUDIO_SOAK_BUDGET_S=S    wall-clock bound, 0 = none (default 0)
   VAUDIO_SOAK_CHUNK=T       frames per device dispatch (default 2000)
+  VAUDIO_SOAK_SIZE=S        frame side (default 256 — large enough that
+                            cells pass the count>20 hue gate, so the hue
+                            EMA and full synthesis run; 64 keeps the
+                            CPU-bounded CI variant cheap)
+  VAUDIO_SOAK_OUT=path      write the summary JSON artifact
 
 Exits non-zero on the first health violation; prints one JSON line.
 """
@@ -32,7 +37,7 @@ import numpy as np
 
 
 def run_soak(total_frames: int = 100_000, budget_s: float = 0.0,
-             chunk: int = 2000, size: int = 64, seed: int = 0,
+             chunk: int = 2000, size: int = 256, seed: int = 0,
              log=print) -> dict:
     """Run the soak; returns the summary dict (raises AssertionError on a
     health violation)."""
@@ -105,10 +110,14 @@ def run_soak(total_frames: int = 100_000, budget_s: float = 0.0,
         "audio_seconds": round(done * cfg.hop_size / cfg.sample_rate, 1),
         "wall_s": round(dt, 1),
         "fps": round(timed / dt, 1) if dt > 0 else None,
-        "agc_envelope_max": round(max_envelope, 4),
+        "agc_envelope_max": float(f"{max_envelope:.4g}"),
         "ok": True,
     }
     log(json.dumps(summary))
+    out_path = os.environ.get("VAUDIO_SOAK_OUT", "")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(summary, f, indent=2)
     return summary
 
 
@@ -117,4 +126,5 @@ if __name__ == "__main__":
         total_frames=int(os.environ.get("VAUDIO_SOAK_FRAMES", "100000")),
         budget_s=float(os.environ.get("VAUDIO_SOAK_BUDGET_S", "0")),
         chunk=int(os.environ.get("VAUDIO_SOAK_CHUNK", "2000")),
+        size=int(os.environ.get("VAUDIO_SOAK_SIZE", "256")),
     )

@@ -221,6 +221,42 @@ class TestChunkedStreaming:
         assert s.ring.available == 8
 
 
+class TestStreamRobustness:
+    def test_resolution_change_mid_stream(self):
+        """A source that changes frame size mid-stream: the jitted step
+        retraces per shape and the stream keeps flowing (ROADMAP's
+        'unmanaged but works' behavior, now pinned by a test)."""
+        cfg = AuralizerConfig(mip_level=2)
+        s = StreamingAuralizer(cfg)
+
+        def source():
+            for _ in range(3):
+                yield np.full((64, 64, 3), [0.9, 0.1, 0.1], np.float32)
+            for _ in range(3):
+                yield np.full((128, 96, 3), [0.1, 0.9, 0.1], np.float32)
+
+        s.run_until_exhausted(source(), timeout=240)
+        s.raise_if_failed()
+        assert s.metrics.frames_processed == 6
+        pcm = s.pull(6 * 2048)
+        assert np.all(np.isfinite(pcm)) and np.abs(pcm).max() > 0
+
+    def test_bad_frame_fails_loudly(self):
+        """A malformed frame mid-stream must surface via raise_if_failed,
+        not silently kill the producer (the loud-degradation contract)."""
+        s = StreamingAuralizer(AuralizerConfig(mip_level=2))
+
+        def source():
+            yield np.full((64, 64, 3), 0.5, np.float32)
+            yield np.zeros((64, 64), np.float32)      # missing channels
+
+        with pytest.raises(RuntimeError, match="stream producer failed"):
+            s.run_until_exhausted(source(), timeout=240)
+        # And the error stays queryable afterwards.
+        with pytest.raises(RuntimeError, match="stream producer failed"):
+            s.raise_if_failed()
+
+
 class TestMetricsLog:
     def test_jsonl_records(self, tmp_path):
         import json

@@ -33,15 +33,51 @@ def fifo(tmp_path):
 
 
 class TestRawVideoSource:
-    def test_rgb24_from_fifo(self, fifo, rng):
+    @pytest.mark.parametrize("native", [False, True],
+                             ids=["python", "native"])
+    def test_rgb24_from_fifo(self, fifo, rng, native):
         h, w, n = 16, 24, 5
         frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
         t = _feed_fifo(fifo, frames.tobytes())
-        src = RawVideoSource(fifo, width=w, height=h, pix_fmt="rgb24")
+        src = RawVideoSource(fifo, width=w, height=h, pix_fmt="rgb24",
+                             native=native)
         got = list(src.frames())
         t.join(timeout=5)
         assert len(got) == n
         np.testing.assert_array_equal(np.stack(got), frames)
+
+    @pytest.mark.parametrize("native", [False, True],
+                             ids=["python", "native"])
+    def test_max_frames_exact_delivery(self, fifo, rng, native):
+        """Exactly max_frames delivered to a FIFO must not block on the
+        never-arriving frame N+1 (the check precedes the pull)."""
+        h, w, n = 8, 8, 3
+        payload = rng.integers(0, 256, (n, h, w, 3),
+                               dtype=np.uint8).tobytes()
+        t = _feed_fifo(fifo, payload)
+        src = RawVideoSource(fifo, width=w, height=h, max_frames=n,
+                             native=native)
+        got = list(src.frames())
+        t.join(timeout=5)
+        assert len(got) == n
+
+    def test_native_reader_direct(self, fifo, rng):
+        """The C++ reader's own surface: bytes iterator + read-ahead."""
+        from vaudio.io import NativeFrameReader
+        payload = rng.integers(0, 256, 4 * 192, dtype=np.uint8).tobytes()
+        t = _feed_fifo(fifo, payload)
+        r = NativeFrameReader(fifo, frame_bytes=192, n_buffers=2)
+        got = list(r.frames_bytes())
+        t.join(timeout=5)
+        assert len(got) == 4
+        assert b"".join(got) == payload
+        assert r.frames_read == 4
+        r.close()
+
+    def test_native_reader_missing_path(self):
+        from vaudio.io import NativeFrameReader
+        with pytest.raises(FileNotFoundError):
+            NativeFrameReader("/nonexistent/x", frame_bytes=16)
 
     def test_i420_raw_planes_from_fifo(self, fifo, rng):
         h, w = 16, 16

@@ -25,6 +25,7 @@ Sinks:
 from vaudio.io.sources import (
     ArraySource,
     CameraSource,
+    NativeFrameReader,
     RawVideoSource,
     VideoFileSource,
     Yuv420FileSource,
@@ -40,6 +41,7 @@ from vaudio.io.sinks import read_wav, write_wav
 __all__ = [
     "ArraySource",
     "CameraSource",
+    "NativeFrameReader",
     "RawVideoSource",
     "VideoFileSource",
     "Yuv420FileSource",

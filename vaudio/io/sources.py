@@ -83,6 +83,68 @@ def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
+class NativeFrameReader:
+    """ctypes binding to the C++ double-buffered frame reader
+    (native/framereader.cpp): a background thread reads fixed-size raw
+    frames from a file/FIFO/device node into a bounded buffer pool, so
+    the consumer's device dispatch overlaps the next frame's I/O — the
+    native equivalent of the reference's capture-delegate thread
+    (VisionEngine.swift:55-75).
+
+    Iterate :meth:`frames_bytes` for per-frame ``bytes`` (one copy out of
+    the pool slot; the slot is recycled immediately).
+    """
+
+    def __init__(self, path: str, frame_bytes: int, n_buffers: int = 4,
+                 timeout_ms: Optional[int] = None):
+        """``timeout_ms``: per-frame wait bound; None (default) blocks
+        indefinitely — a live capture source legitimately waits for its
+        producer to connect (the reference's capture delegate simply
+        idles until frames arrive)."""
+        from vaudio.runtime.ringbuffer import _load_native
+        lib = _load_native()
+        if lib is None or not hasattr(lib, "va_fr_open"):
+            raise RuntimeError("native frame reader unavailable")
+        self._lib = lib
+        self._h = lib.va_fr_open(path.encode(), frame_bytes, n_buffers)
+        if not self._h:
+            raise FileNotFoundError(f"cannot open {path!r}")
+        self.frame_bytes = frame_bytes
+        self.timeout_ms = timeout_ms
+
+    def frames_bytes(self) -> Iterator[bytes]:
+        import ctypes
+        while True:
+            slot = self._lib.va_fr_next(
+                self._h, self.timeout_ms if self.timeout_ms else 1000)
+            if slot == -1:
+                return                     # stream done and drained
+            if slot == -2:
+                if self.timeout_ms is None:
+                    continue               # block until frames arrive
+                raise TimeoutError(
+                    f"no frame within {self.timeout_ms} ms")
+            ptr = self._lib.va_fr_buffer(self._h, slot)
+            data = ctypes.string_at(ptr, self.frame_bytes)
+            self._lib.va_fr_release(self._h, slot)
+            yield data
+
+    @property
+    def frames_read(self) -> int:
+        return self._lib.va_fr_frames_read(self._h)
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.va_fr_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 def parse_yuv420(buf: bytes, height: int, width: int, fmt: str = "i420"):
     """Split one raw YUV 4:2:0 frame into (y, u, v) uint8 planes.
 
@@ -126,7 +188,13 @@ class RawVideoSource:
     def __init__(self, path: str, width: int, height: int,
                  pix_fmt: str = "rgb24", fps: float = 30.0,
                  studio_swing: bool = True, raw: bool = False,
-                 max_frames: Optional[int] = None):
+                 max_frames: Optional[int] = None,
+                 native: Optional[bool] = None):
+        """``native``: use the C++ double-buffered reader
+        (:class:`NativeFrameReader` — a background thread overlaps frame
+        I/O with the consumer's device dispatch).  None = auto (native
+        when the library loads, silent Python fallback otherwise);
+        True = required; False = pure Python."""
         if pix_fmt not in ("rgb24", "i420", "nv12"):
             raise ValueError(f"unknown pix_fmt {pix_fmt!r} "
                              f"(expected rgb24, i420 or nv12)")
@@ -139,6 +207,7 @@ class RawVideoSource:
         self.studio_swing = studio_swing
         self.raw = raw
         self.max_frames = max_frames
+        self.native = native
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -163,13 +232,41 @@ class RawVideoSource:
             got += len(chunk)
         return b"".join(chunks)
 
+    def _frame_bytes_iter(self) -> Iterator[bytes]:
+        """Raw frame payloads — the native read-ahead reader when
+        available, else the Python exact-read loop."""
+        if self.native is not False:
+            reader = None
+            try:
+                reader = NativeFrameReader(self.path, self.frame_bytes)
+            except FileNotFoundError:
+                raise
+            except Exception:
+                if self.native:
+                    raise
+            if reader is not None:
+                try:
+                    yield from reader.frames_bytes()
+                finally:
+                    reader.close()
+                return
+        with open(self.path, "rb", buffering=0) as f:
+            while True:
+                buf = self._read_exact(f, self.frame_bytes)
+                if len(buf) < self.frame_bytes:
+                    break
+                yield buf
+
     def frames(self) -> Iterator[np.ndarray]:
         h, w = self._h, self._w
         n = 0
-        with open(self.path, "rb", buffering=0) as f:
+        it = self._frame_bytes_iter()
+        try:
+            # max_frames is checked BEFORE pulling: a live source that
+            # delivered exactly max_frames must not block on frame N+1.
             while self.max_frames is None or n < self.max_frames:
-                buf = self._read_exact(f, self.frame_bytes)
-                if len(buf) < self.frame_bytes:
+                buf = next(it, None)
+                if buf is None:
                     break
                 n += 1
                 if self.pix_fmt == "rgb24":
@@ -180,6 +277,8 @@ class RawVideoSource:
                     yield {"y": y, "u": u, "v": v}
                 else:
                     yield yuv420_to_rgb(y, u, v, self.studio_swing)
+        finally:
+            it.close()
 
 
 class CameraSource(RawVideoSource):

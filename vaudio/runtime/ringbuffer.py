@@ -65,6 +65,20 @@ def _load_native() -> Optional[ctypes.CDLL]:
         lib.va_rb_underruns.argtypes = [ctypes.c_void_p]
         lib.va_rb_warmed.restype = ctypes.c_int
         lib.va_rb_warmed.argtypes = [ctypes.c_void_p]
+        # Frame-reader entry points (native/framereader.cpp).
+        lib.va_fr_open.restype = ctypes.c_void_p
+        lib.va_fr_open.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                   ctypes.c_int]
+        lib.va_fr_buffer.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.va_fr_buffer.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.va_fr_next.restype = ctypes.c_int
+        lib.va_fr_next.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.va_fr_release.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.va_fr_frames_read.restype = ctypes.c_int64
+        lib.va_fr_frames_read.argtypes = [ctypes.c_void_p]
+        lib.va_fr_done.restype = ctypes.c_int
+        lib.va_fr_done.argtypes = [ctypes.c_void_p]
+        lib.va_fr_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 

@@ -159,3 +159,65 @@ class TestOfflineParallel:
         mesh = make_stream_mesh(8, 1)
         audio_p, final = run_offline_parallel(frames8, CFG, mesh, PARAMS)
         assert np.asarray(final.hues).shape == (8, 16)
+
+
+class TestMultiHost:
+    """Multi-host ingest layer (vaudio.parallel.multihost), exercised
+    single-process on the virtual mesh — the same code path real
+    deployments run, with process_count == 1."""
+
+    def test_local_slice_covers_all_single_process(self):
+        from vaudio.parallel import local_stream_slice, make_multihost_mesh
+        mesh = make_multihost_mesh()
+        sl = local_stream_slice(mesh, 16)
+        assert (sl.start, sl.stop) == (0, 16)
+        with pytest.raises(ValueError, match="divisible"):
+            local_stream_slice(mesh, 9)
+
+    def test_distribute_local_frames_sharding(self, frames8):
+        from vaudio.parallel import (distribute_local_frames,
+                                     make_multihost_mesh)
+        mesh = make_multihost_mesh()
+        arr = distribute_local_frames(mesh, frames8, 8)
+        assert arr.shape == frames8.shape
+        # One stream row per device.
+        starts = sorted(int(s.index[0].start or 0)
+                        for s in arr.addressable_shards)
+        assert starts == list(range(8))
+        with pytest.raises(ValueError, match="owns"):
+            distribute_local_frames(mesh, frames8[:4], 8)
+
+    def test_multihost_matches_offline(self, frames8):
+        from vaudio.parallel import MultiHostAuralizer
+        mh = MultiHostAuralizer(CFG, n_streams=8, params=PARAMS)
+        assert mh.n_local_streams == 8
+        pcm = mh.step(frames8)          # one 3-frame chunk per stream
+        local = mh.local_audio(pcm)
+        assert local.shape == (8, 3 * 2048)
+        for s in (0, 7):
+            a_ref, _, _ = run_offline(frames8[s], CFG, PARAMS)
+            np.testing.assert_allclose(local[s], np.asarray(a_ref),
+                                       atol=3e-4)
+
+    def test_multihost_carry_persists_across_chunks(self, frames8):
+        from vaudio.parallel import MultiHostAuralizer
+        mh = MultiHostAuralizer(CFG, n_streams=8, params=PARAMS)
+        a1 = mh.local_audio(mh.step(frames8))
+        a2 = mh.local_audio(mh.step(frames8))
+        full, _, _ = run_offline(
+            np.concatenate([frames8[0], frames8[0]]), CFG, PARAMS)
+        np.testing.assert_allclose(
+            np.concatenate([a1[0], a2[0]]), np.asarray(full), atol=3e-4)
+
+    def test_init_distributed_single_process_noop(self):
+        from vaudio.parallel import init_distributed
+        assert init_distributed() == jax.process_count() == 1
+
+    def test_stereo_multihost(self, frames8):
+        import dataclasses
+        from vaudio.parallel import MultiHostAuralizer
+        cfg = dataclasses.replace(CFG, channels=2)
+        mh = MultiHostAuralizer(cfg, n_streams=8, params=PARAMS)
+        local = mh.local_audio(mh.step(frames8))
+        assert local.shape == (8, 3 * 2048, 2)
+        assert np.all(np.isfinite(local))

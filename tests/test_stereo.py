@@ -81,6 +81,51 @@ class TestLiveStereoWidth:
         np.testing.assert_allclose(audio[:, 0], audio[:, 1], atol=1e-6)
 
 
+class TestLivePanAngles:
+    """Per-cell pan-angle live control (LiveParams.pan_angles): a traced
+    (num_cells,) angle vector replacing the static column pan law."""
+
+    def test_angle_override_gains(self):
+        from vaudio.synth import live_pan_gains
+        cfg = AuralizerConfig(channels=2)
+        # All cells hard left.
+        g = np.asarray(live_pan_gains(
+            cfg, jnp.float32(1.0), angles=np.zeros(16, np.float32)))
+        np.testing.assert_allclose(g[:, 0], 1.0, atol=1e-6)
+        np.testing.assert_allclose(g[:, 1], 0.0, atol=1e-7)
+        # Width 0 collapses any override back to center.
+        g0 = np.asarray(live_pan_gains(
+            cfg, jnp.float32(0.0), angles=np.zeros(16, np.float32)))
+        np.testing.assert_allclose(g0, np.sqrt(0.5), atol=1e-6)
+
+    def test_as_arrays_includes_angles(self):
+        p = LiveParams(pan_angles=np.zeros(16))
+        arrs = p.as_arrays()
+        assert arrs["pan_angles"].shape == (16,)
+        assert arrs["pan_angles"].dtype == np.float32
+        assert "pan_angles" not in LiveParams().as_arrays()
+
+    def test_hard_left_override_end_to_end(self, rng):
+        frames = rng.uniform(0, 1, (3, 64, 64, 3)).astype(np.float32)
+        cfg = AuralizerConfig(channels=2)
+        p = LiveParams(pan_angles=np.zeros(16, np.float32)).as_arrays()
+        audio, _, _ = run_offline(frames, cfg, p)
+        audio = np.asarray(audio)
+        assert np.abs(audio[:, 0]).max() > 1e-4       # left has signal
+        np.testing.assert_allclose(audio[:, 1], 0.0, atol=1e-7)
+
+    def test_override_through_chunked_matches_scan(self, rng):
+        from vaudio.runtime import run_offline_batched
+        frames = rng.uniform(0, 1, (6, 64, 64, 3)).astype(np.float32)
+        cfg = AuralizerConfig(channels=2)
+        angles = rng.uniform(0, np.pi / 2, 16).astype(np.float32)
+        p = LiveParams(pan_angles=angles).as_arrays()
+        a_scan, _, _ = run_offline(frames, cfg, p)
+        a_chunk, _, _ = run_offline_batched(frames, cfg, p, chunk=4)
+        np.testing.assert_allclose(np.asarray(a_scan),
+                                   np.asarray(a_chunk), atol=2e-5)
+
+
 class TestStereoSpectrum:
     def make_state(self, rng, cfg):
         hues = rng.integers(0, 361, 16).astype(np.int32)

@@ -38,6 +38,11 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--stereo-width", type=float, default=1.0,
                    help="pan-law width for --channels 2: 1 = full column "
                         "pan, 0 = dual mono, >1 widened")
+    p.add_argument("--pan-angles", type=str, default=None,
+                   help="comma-separated per-cell pan angles in [0, pi/2] "
+                        "(num_cells values, row-major; 0 = hard left, "
+                        "pi/2 = hard right) replacing the column pan law "
+                        "for --channels 2")
 
 
 def _build_config(args):
@@ -48,9 +53,18 @@ def _build_config(args):
                           use_pallas=args.pallas,
                           channels=args.channels,
                           enable_filters=args.filters)
+    pan_angles = None
+    if getattr(args, "pan_angles", None):
+        pan_angles = np.asarray(
+            [float(v) for v in args.pan_angles.split(",")], np.float32)
+        if pan_angles.shape != (cfg.num_cells,):
+            raise SystemExit(
+                f"--pan-angles needs {cfg.num_cells} comma-separated "
+                f"values, got {pan_angles.size}")
     params = LiveParams(attack=args.attack, release=args.release,
                         spectrum_mixing=args.spectrum_mixing,
-                        stereo_width=args.stereo_width)
+                        stereo_width=args.stereo_width,
+                        pan_angles=pan_angles)
     return cfg, params
 
 

@@ -191,13 +191,29 @@ class LiveParams:
     # law, 0 = dual mono, >1 widened (clipped to hard L/R). Only used when
     # AuralizerConfig.channels == 2 (synth.live_pan_gains).
     stereo_width: float = 1.0
+    # Optional per-cell pan-angle override: a (num_cells,) array of angles
+    # in [0, pi/2] (0 = hard left, pi/2 = hard right) replacing the static
+    # column pan law as the base that stereo_width scales about.  None (the
+    # default) keeps the column law.  Like every live param the VALUES are
+    # traced (change per frame, no recompile); flipping between None and an
+    # array changes the jit signature and re-traces once.
+    pan_angles: object = None
 
     def as_arrays(self):
-        """Flatten to a dict of float32 numpy scalars for feeding a jit."""
-        return {
-            f.name: np.float32(getattr(self, f.name))
-            for f in dataclasses.fields(self)
-        }
+        """Flatten to a dict of float32 numpy values for feeding a jit.
+
+        Scalar fields become numpy float32 scalars; array-valued fields
+        (``pan_angles``) become float32 arrays; fields left at ``None`` are
+        omitted so the jit signature only carries what is actually used.
+        """
+        out = {}
+        for f in dataclasses.fields(self):
+            value = getattr(self, f.name)
+            if value is None:
+                continue
+            arr = np.asarray(value, dtype=np.float32)
+            out[f.name] = arr if arr.ndim else np.float32(arr)
+        return out
 
 
 DEFAULT_CONFIG = AuralizerConfig()

@@ -9,7 +9,9 @@ The reference is single-process/single-GPU; its only scale axis is
   ``('stream', 'cell')`` mesh: data parallelism across streams riding ICI,
   plus tensor parallelism inside the synthesis (the 16 synthesis cells are
   sharded over ``'cell'`` and their spectra combined with a ``psum``);
-* :func:`run_offline_parallel` — scan the sharded step over a batched clip.
+* :func:`run_offline_parallel` — scan the sharded step over a batched clip;
+* :mod:`vaudio.parallel.multihost` — per-host stream ingest for meshes
+  that span processes (streams DP over DCN, frame bytes stay host-local).
 
 No cross-stream communication exists in the workload, so the ``'stream'``
 axis needs no collectives — exactly the embarrassingly-parallel layout the
@@ -17,6 +19,13 @@ survey prescribes; the ``'cell'`` axis demonstrates the model-parallel
 decomposition of the synthesis contraction.
 """
 
+from vaudio.parallel.multihost import (
+    MultiHostAuralizer,
+    distribute_local_frames,
+    init_distributed,
+    local_stream_slice,
+    make_multihost_mesh,
+)
 from vaudio.parallel.sharding import (
     init_carry_batch,
     make_batched_step,
@@ -27,8 +36,13 @@ from vaudio.parallel.sharding import (
 )
 
 __all__ = [
+    "MultiHostAuralizer",
+    "distribute_local_frames",
     "init_carry_batch",
+    "init_distributed",
+    "local_stream_slice",
     "make_batched_step",
+    "make_multihost_mesh",
     "make_parallel_chunk_step",
     "make_parallel_step",
     "make_stream_mesh",

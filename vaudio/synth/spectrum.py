@@ -250,18 +250,25 @@ def cell_pan_gains(cfg: AuralizerConfig) -> np.ndarray:
     return np.stack([np.cos(theta), np.sin(theta)], axis=1).astype(np.float32)
 
 
-def live_pan_gains(cfg: AuralizerConfig, stereo_width):
+def live_pan_gains(cfg: AuralizerConfig, stereo_width, angles=None):
     """Width-scaled equal-power pan gains (live control, traced — changing
-    the width never recompiles).
+    the width or the per-cell angles never recompiles).
 
     ``stereo_width`` scales every cell's pan angle about center:
     theta' = pi/4 + width * (theta - pi/4).  width 1 = the full column pan
     law (cell_pan_gains), 0 = all cells dead center (dual mono at equal
     power), >1 = widened beyond the column law (clipped to hard L/R).
 
+    ``angles`` (optional, traced f32[num_cells] in [0, pi/2]) replaces the
+    static column pan law as the base layout the width scales about — the
+    per-cell pan live control (LiveParams.pan_angles).
+
     Returns f32[num_cells, 2].
     """
-    theta = jnp.asarray(cell_pan_angles(cfg))
+    if angles is None:
+        theta = jnp.asarray(cell_pan_angles(cfg))
+    else:
+        theta = jnp.asarray(angles, jnp.float32)
     quarter = np.float32(np.pi / 4.0)
     w = jnp.asarray(stereo_width, jnp.float32)
     eff = jnp.clip(quarter + w * (theta - quarter), 0.0,
@@ -271,10 +278,14 @@ def live_pan_gains(cfg: AuralizerConfig, stereo_width):
 
 def live_pan_from_params(cfg: AuralizerConfig, params):
     """Traced pan gains when the params dict carries a ``stereo_width``
-    (LiveParams), else None (use the baked column pan law)."""
-    if cfg.channels == 2 and params is not None \
-            and "stereo_width" in params:
-        return live_pan_gains(cfg, params["stereo_width"])
+    and/or ``pan_angles`` (LiveParams), else None (use the baked column
+    pan law)."""
+    if cfg.channels != 2 or params is None:
+        return None
+    angles = params.get("pan_angles") if hasattr(params, "get") else None
+    if "stereo_width" in params or angles is not None:
+        width = params["stereo_width"] if "stereo_width" in params else 1.0
+        return live_pan_gains(cfg, width, angles=angles)
     return None
 
 

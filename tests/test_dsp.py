@@ -260,3 +260,31 @@ class TestConfig:
         import dataclasses
         clean = dataclasses.replace(CFG, quirk_compat=False)
         assert clean.phase_read_stride == 32
+
+
+class TestPeakPolyAccuracy:
+    def test_against_f64_closed_form_near_poles(self, rng):
+        """The transcendental-free peak must stay within 3e-7 of the f64
+        closed form everywhere the synthesis evaluates it — including the
+        rational factor's poles (d in {0, +-1}) and the far tail."""
+        d = np.concatenate([
+            rng.uniform(-2050, 2050, 200_000),
+            rng.uniform(-2, 2, 200_000),
+            1.0 + rng.uniform(-1e-3, 1e-3, 50_000),
+            -1.0 + rng.uniform(-1e-3, 1e-3, 50_000),
+            rng.uniform(-1e-3, 1e-3, 50_000),
+        ]).astype(np.float32)
+        got = np.asarray(dsp.hann_sinc_peak_fast(jnp.asarray(d)))
+        dd = d.astype(np.float64)
+        def s64(x):
+            return np.where(x == 0, 1.0,
+                            np.sin(np.pi * x) / np.where(x == 0, 1,
+                                                         np.pi * x))
+        ref = 0.5 * s64(dd) - 0.25 * (s64(dd - 1) + s64(dd + 1))
+        np.testing.assert_allclose(got, ref, atol=3e-7)
+
+    def test_sinpi_reduced(self):
+        x = np.linspace(-0.5, 0.5, 200_001).astype(np.float32)
+        got = np.asarray(dsp.sinpi_reduced(jnp.asarray(x)))
+        ref = np.sin(np.pi * x.astype(np.float64))
+        np.testing.assert_allclose(got, ref, atol=3e-7)

@@ -11,6 +11,7 @@ from vaudio.dsp.core import (
     find_closest_index,
     hann_sinc_peak,
     hann_sinc_peak_fast,
+    sinpi_reduced,
     hann_window_norm,
     hash_phase,
     hue_to_f0,
@@ -28,6 +29,7 @@ __all__ = [
     "find_closest_index",
     "hann_sinc_peak",
     "hann_sinc_peak_fast",
+    "sinpi_reduced",
     "hann_window_norm",
     "hash_phase",
     "hue_to_f0",

@@ -78,27 +78,59 @@ def hann_sinc_peak(d):
     return 0.5 * sinc(d) - 0.25 * (sinc(d - 1.0) + sinc(d + 1.0))
 
 
-def hann_sinc_peak_fast(d):
-    """One-sin evaluation of :func:`hann_sinc_peak` (identical to ~1 ulp).
+# Minimax odd polynomial for sin(pi x) on |x| <= 0.5 (degree 9):
+# sin(pi x) ~= x*(A1 + x^2*(A3 + x^2*(A5 + x^2*(A7 + x^2*A9)))), fitted to
+# <= 2.1e-7 absolute error in f32 (see benchmarks/stage_focus history).
+_SINPI_A1 = np.float32(3.1415925)
+_SINPI_A3 = np.float32(-5.167707)
+_SINPI_A5 = np.float32(2.5500314)
+_SINPI_A7 = np.float32(-0.5980451)
+_SINPI_A9 = np.float32(0.07722007)
 
-    Uses sin(pi(d+-1)) = -sin(pi d) to collapse the three sincs into one
-    sine times a rational factor, with argument reduction
-    sin(pi d) = (-1)^round(d) sin(pi (d - round(d))) to avoid catastrophic
-    cancellation near integer d (exactly where the rational factor has
-    poles).  3x fewer transcendentals — the synthesis stage's FLOP
-    bottleneck (SpectrumCompute.metal:164-167 evaluates the naive form per
-    thread).
+
+def sinpi_reduced(x):
+    """sin(pi x) for |x| <= 0.5 as a 5-term odd polynomial (<= 2.1e-7 abs
+    error) — ~6 VPU madds instead of a libm sine, usable verbatim inside
+    Pallas kernels."""
+    x = jnp.asarray(x, dtype=jnp.float32)
+    x2 = x * x
+    p = _SINPI_A9
+    for c in (_SINPI_A7, _SINPI_A5, _SINPI_A3, _SINPI_A1):
+        p = p * x2 + c
+    return x * p
+
+
+def hann_sinc_peak_fast(d):
+    """Transcendental-free evaluation of :func:`hann_sinc_peak`
+    (<= 2e-7 absolute deviation from the f64 closed form; the previous
+    libm-sin variant was ~1e-7 — both orders of magnitude inside the
+    3.4e-5 reference-parity budget, benchmarks/parity.py).
+
+    Two reductions of the three-sinc form (the synthesis stage's FLOP
+    bottleneck; SpectrumCompute.metal:164-167 evaluates the naive form
+    per thread):
+
+    * sin(pi(d+-1)) = -sin(pi d) collapses the three sincs into one sine
+      times a rational factor, combined over a common denominator into
+      ONE divide:  r = (d^2 - 0.5) / (pi * d * (d-1) * (d+1)), with the
+      denominator kept in factored form so the (d-+1) factors stay exact
+      near the poles (expanding to d^2-1 would cancel catastrophically);
+    * the remaining sine is argument-reduced to |x| <= 0.5 — exactly
+      where a 5-term minimax polynomial (:func:`sinpi_reduced`) is cheap
+      and accurate — avoiding cancellation near integer d where the
+      rational factor has poles.
+
+    ~12 VPU ops + 1 divide per element, down from 3 divides + a libm sin.
     """
     d = jnp.asarray(d, dtype=jnp.float32)
     pi = np.float32(np.pi)
     n = jnp.round(d)
     frac = d - n                                   # exact for |d| < 2^23
-    s = jnp.sin(pi * frac)
+    s = sinpi_reduced(frac)
     s = jnp.where(jnp.mod(n, 2.0) == 0.0, s, -s)   # * (-1)^n
-    r = (0.5 / (pi * d)
-         + 0.25 / (pi * (d - 1.0))
-         + 0.25 / (pi * (d + 1.0)))
-    w = s * r
+    num = d * d - np.float32(0.5)
+    den = pi * d * (d - np.float32(1.0)) * (d + np.float32(1.0))
+    w = s * (num / den)
     w = jnp.where(d == 0.0, jnp.float32(0.5), w)
     w = jnp.where(jnp.abs(d) == 1.0, jnp.float32(-0.25), w)
     return w

@@ -2,18 +2,19 @@
 vaudio.runtime.step, restructured so the heavy synthesis stage runs
 BATCHED across frames instead of once per scan iteration.
 
-Motivation (benchmarks/PALLAS_SWEEP.json, TPU v5e): the spectrum
-contraction costs ~36 us/frame inside lax.scan — XLA materializes the
-(bins x partials) peak matrix through HBM every frame — but ONE
-frame-batched Pallas dispatch (vaudio.ops.hann_peak_weighted_sum_batched,
-everything VMEM-resident) does it in ~3.5 us/frame, 10x faster and at VPU
-speed-of-light.  Only the stages with a true serial dependence stay
+Motivation (benchmarks/PALLAS_SWEEP.json, TPU v5e, chained-slope
+measurement): the spectrum contraction costs ~19 us/frame dispatched
+per-frame inside lax.scan but ~10 us/frame as ONE frame-batched
+dispatch — batching amortizes per-iteration scheduling overhead and
+lets every per-sample stage (contraction, irfft, OLA windowing) run as
+one large kernel.  Only the stages with a true serial dependence stay
 sequential:
 
   pass A (lax.scan): vision -> hue EMA -> phase accumulation
           (the hue EMA is nonlinear int truncation; phases accumulate);
   pass B (batched):  per-partial weights, ONE batched peak contraction
-          for all T frames, static phase rotation, HP/LP filter;
+          for all T frames (XLA by default; the Pallas kernel via
+          use_pallas=True), static phase rotation, HP/LP filter;
   pass C: spectrum EMA as a cheap elementwise lax.scan, then the audio
           tail with its scalar recurrences (AGC running max, OLA tail)
           factored out of the batched math — per-frame *scalars* scan,
@@ -49,13 +50,16 @@ def _batched_contraction(flat_pf, flat_w, flat_ibw, cfg: AuralizerConfig,
                          use_pallas: Optional[bool]):
     """(T, NP) partials -> (T, F, K) raw spectra, one dispatch.
 
-    ``use_pallas=None`` auto-selects: the batched Pallas kernel on real
-    accelerator backends (measured 10x the XLA contraction —
-    benchmarks/PALLAS_SWEEP.json), the vmapped jnp contraction on CPU
-    (where interpret-mode Pallas would be slow).
+    ``use_pallas=None`` auto-selects the vmapped XLA contraction: with the
+    transcendental-free peak evaluation (dsp.hann_sinc_peak_fast) it
+    measures 10.3 us/frame vs 11.5 for the batched Pallas kernel on the
+    v5e (chained-slope, benchmarks/PALLAS_SWEEP.json) — XLA's fusion of
+    the polynomial into the dot operand beats the hand-tiled kernel once
+    the libm sine is gone.  ``use_pallas=True`` (or cfg.use_pallas) keeps
+    the verified Pallas path available.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() != "cpu"
+        use_pallas = False
     hann_mult = np.float32(1.0 / cfg.bin_width)
     if use_pallas:
         from vaudio.ops import hann_peak_weighted_sum_batched
@@ -84,8 +88,8 @@ def chunk_pipeline(carry: StepCarry, frames, params: Dict[str, Any],
     (T, hop) mono or (T, hop, channels) stereo — the multi-frame
     equivalent of T frame_step calls.
 
-    ``use_pallas``: None = auto (Pallas on accelerators, jnp on CPU;
-    cfg.use_pallas=True forces it on everywhere)."""
+    ``use_pallas``: None = the XLA contraction (measured fastest;
+    cfg.use_pallas=True forces the Pallas kernel on)."""
     if use_pallas is None and cfg.use_pallas:
         use_pallas = True
     ch = cfg.channels

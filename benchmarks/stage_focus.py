@@ -158,5 +158,60 @@ def main():
     measure("vision_grads", mips_dev, grads_only)
 
 
+def pool_compare():
+    """Slope-compare the fused Pallas mip-pool kernel vs the XLA path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vaudio.ops import mip_pool_pallas
+    from vaudio.vision import features as vf
+
+    res = os.environ.get("VAUDIO_BENCH_RES", "1080x1920")
+    h, w = (int(x) for x in res.split("x"))
+    chunks = [int(x) for x in
+              os.environ.get("VAUDIO_BENCH_CHUNKS", "32,128").split(",")]
+    iters = int(os.environ.get("VAUDIO_BENCH_ITERS", "8"))
+
+    def measure(label, fn):
+        def bench_chunk(T, seed):
+            frames = jax.random.bits(jax.random.PRNGKey(seed),
+                                     (T, 3, h, w), jnp.uint8)
+            jax.block_until_ready(frames)
+            step = jax.jit(fn)
+            acc = step(jnp.float32(0.0), frames)
+            jax.block_until_ready(acc)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                acc = step(acc, frames)
+            jax.block_until_ready(acc)
+            assert np.isfinite(float(acc))
+            return (time.perf_counter() - t0) / iters * 1e3
+
+        t_small = bench_chunk(chunks[0], 11)
+        t_big = bench_chunk(chunks[1], 1011)
+        us = (t_big - t_small) / (chunks[1] - chunks[0]) * 1e3
+        print(f"{label:20s} {us:8.1f} us/frame  (chunk{chunks[0]}="
+              f"{t_small:.2f}ms chunk{chunks[1]}={t_big:.2f}ms)",
+              flush=True)
+
+    def xla_pool(acc, frames):
+        frames = frames ^ (acc * 0).astype(jnp.uint8)
+        out = jax.vmap(lambda p: vf.mip_downsample_planes(
+            p, 3, scale=1.0 / 255.0))(frames)
+        return acc + jnp.tanh(jnp.sum(out) * 1e-9)
+
+    def pallas_pool(acc, frames):
+        frames = frames ^ (acc * 0).astype(jnp.uint8)
+        out = jax.vmap(lambda p: mip_pool_pallas(
+            p, 3, scale=1.0 / 255.0))(frames)
+        return acc + jnp.tanh(jnp.sum(out) * 1e-9)
+
+    measure("pool_xla", xla_pool)
+    measure("pool_pallas", pallas_pool)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("VAUDIO_FOCUS") == "pool":
+        pool_compare()
+    else:
+        main()

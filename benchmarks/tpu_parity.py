@@ -1,0 +1,122 @@
+"""On-device parity audit: run the parity-critical stages on the DEFAULT
+backend (the TPU in this container) and compare against float64 host
+oracles.
+
+Why this exists: the CPU test harness can never see TPU-only numerics.
+TPU MXUs execute f32 dots at DEFAULT precision as single-pass bf16,
+which cost the mip chain 6.4e-4 absolute error against an f64 oracle
+(~2^-9 relative — the bf16 mantissa) until every parity-critical
+contraction pinned ``precision=HIGHEST`` (vision/features._EXACT).
+This script is the regression guard for that class of bug: run it on
+the TPU after touching any contraction.
+
+Usage:  python benchmarks/tpu_parity.py [--json out.json]
+Prints one JSON object with per-stage max abs errors and PASS/FAIL
+against the documented tolerances.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_REPO, ".jax_cache"))
+
+from vaudio.config import AuralizerConfig               # noqa: E402
+from vaudio.dsp import hann_sinc_peak_fast              # noqa: E402
+from vaudio.synth import SynthConstants                 # noqa: E402
+from vaudio.synth.spectrum import contract_spectrum     # noqa: E402
+from vaudio.vision.features import (                    # noqa: E402
+    mip_downsample_planes)
+
+
+def mip_oracle(planes_u8: np.ndarray, level: int, scale: float):
+    """f64 box mean, the math both device paths must reproduce."""
+    c, h, w = planes_u8.shape
+    k = 1 << level
+    ho, wo = h >> level, w >> level
+    x = planes_u8[:, :ho * k, :wo * k].astype(np.float64)
+    return x.reshape(c, ho, k, wo, k).sum(axis=(2, 4)) * (scale / (k * k))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--res", default="1080x1920")
+    args = ap.parse_args(argv)
+    h, w = (int(x) for x in args.res.split("x"))
+    rng = np.random.default_rng(20260816)
+    report = {"backend": jax.default_backend(),
+              "device": str(jax.devices()[0]), "stages": {}, "ok": True}
+
+    def check(name, err, tol):
+        entry = {"max_abs_err": float(err), "tol": tol,
+                 "ok": bool(err <= tol)}
+        report["stages"][name] = entry
+        report["ok"] &= entry["ok"]
+        print(f"{name:28s} {err:.3e}  (tol {tol:.0e})"
+              f" {'PASS' if entry['ok'] else 'FAIL'}", file=sys.stderr)
+
+    # -- mip chain, u8 fast path (int8 first matmul + exact f32 second)
+    planes = rng.integers(0, 256, (3, h, w), dtype=np.uint8)
+    oracle = mip_oracle(planes, 3, 1 / 255.0)
+    got = np.asarray(mip_downsample_planes(jnp.asarray(planes), 3,
+                                           scale=1 / 255.0))
+    check("mip_u8_int8_path", np.abs(got - oracle).max(), 1e-6)
+
+    # -- mip chain, f32 input path
+    got = np.asarray(mip_downsample_planes(
+        jnp.asarray(planes.astype(np.float32) / 255.0), 3))
+    check("mip_f32_path", np.abs(got - oracle).max(), 2e-6)
+
+    # -- fused Pallas pool kernel (plane must fit VMEM)
+    try:
+        from vaudio.ops import mip_pool_pallas
+        got = np.asarray(mip_pool_pallas(jnp.asarray(planes), 3,
+                                         scale=1 / 255.0))
+        check("mip_pallas_kernel", np.abs(got - oracle).max(), 1e-6)
+    except Exception as e:                              # pragma: no cover
+        report["stages"]["mip_pallas_kernel"] = {"error": repr(e)}
+        report["ok"] = False
+        print(f"mip_pallas_kernel            ERROR {e!r}", file=sys.stderr)
+
+    # -- spectrum contraction (F x NP peak matrix @ weights)
+    cfg = AuralizerConfig()
+    consts = SynthConstants.create(cfg)
+    npartials = int(consts.seed_phase.size)    # num_cells * partials/cell
+    pf = rng.uniform(30.0, 8000.0, npartials).astype(np.float32)
+    wgt = rng.normal(0, 1e-3, (npartials, 2)).astype(np.float32)
+    ibw = np.full(npartials, 1.0 / cfg.narrow_bandwidth, np.float32)
+    cur = np.asarray(contract_spectrum(jnp.asarray(pf), jnp.asarray(wgt),
+                                       jnp.asarray(ibw), cfg, consts))
+    # Isolate the DOT's error: rebuild the same f32 peak matrix the
+    # device contracts (elementwise math agrees to ulps across backends)
+    # and contract it in f64 on the host.
+    hann_mult = np.float32(1.0 / cfg.bin_width)
+    d32 = (np.asarray(consts.freqs)[:, None] - pf[None, :]) \
+        * (hann_mult * ibw)[None, :]
+    W = np.asarray(hann_sinc_peak_fast(jnp.asarray(d32)))
+    oracle = W.astype(np.float64) @ wgt.astype(np.float64)
+    check("spectrum_contraction", np.abs(cur - oracle).max(),
+          np.abs(oracle).max() * 2e-6 + 1e-9)
+
+    out = json.dumps(report)
+    print(out)
+    if args.json:
+        with open(args.json, "w") as f:
+            f.write(out + "\n")
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -151,3 +151,29 @@ class TestAudioKernel:
                                         jnp.float32(1.0), jnp.float32(1.0),
                                         interpret=True)
         assert np.all(np.isfinite(np.asarray(pcm)))
+
+
+class TestPoolKernel:
+    """Fused mip-pool kernel vs the XLA banded-matmul path (exact u8
+    math; vision/features.py:156-173)."""
+
+    @pytest.mark.parametrize("shape,level", [
+        ((1080, 1920), 3), ((256, 256), 3), ((64, 64), 2), ((135, 240), 1),
+    ])
+    def test_matches_xla_path(self, rng, shape, level):
+        from vaudio.ops import mip_pool_pallas
+        from vaudio.vision.features import mip_downsample_planes
+        h, w = shape
+        planes = rng.integers(0, 256, (3, h, w), dtype=np.uint8)
+        got = np.asarray(mip_pool_pallas(
+            jnp.asarray(planes), level, scale=1 / 255.0, interpret=True))
+        ref = np.asarray(mip_downsample_planes(
+            jnp.asarray(planes), level, scale=1 / 255.0))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-6)
+
+    def test_rejects_non_u8(self, rng):
+        from vaudio.ops import mip_pool_pallas
+        with pytest.raises(AssertionError):
+            mip_pool_pallas(jnp.zeros((3, 64, 64), jnp.float32), 3,
+                            interpret=True)

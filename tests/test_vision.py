@@ -5,6 +5,7 @@ import dataclasses
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from vaudio import vision
@@ -290,3 +291,68 @@ class TestU8PoolingExactness:
         f32 = u8.astype(np.float32) / 255.0
         expect = np.asarray(mip_downsample_planes(jnp.asarray(f32), 3))
         np.testing.assert_allclose(got, expect, atol=2e-7)
+
+
+class TestMatmulPrecisionPinned:
+    """TPU MXUs run DEFAULT-precision f32 dots as single-pass bf16 —
+    measured 6.4e-4 abs error on the mip chain vs an f64 oracle.  The
+    CPU harness computes full f32 regardless of the precision flag, so
+    the only CI-visible guard is the trace: every parity-critical f32
+    contraction must carry Precision.HIGHEST in its jaxpr.  The on-device
+    check lives in benchmarks/tpu_parity.py."""
+
+    @staticmethod
+    def _f32_dots_all_highest(jaxpr_str):
+        bad = []
+        start = 0
+        while True:
+            i = jaxpr_str.find("dot_general[", start)
+            if i < 0:
+                return bad
+            depth, j = 0, i + len("dot_general")
+            while True:                      # balanced-bracket param slice
+                if jaxpr_str[j] == "[":
+                    depth += 1
+                elif jaxpr_str[j] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            params = jaxpr_str[i:j]
+            start = j
+            if "preferred_element_type=int32" in params:
+                continue            # integer dots are exact by construction
+            if "HIGHEST" not in params:
+                bad.append(params)
+
+    def test_mip_u8_path(self):
+        from vaudio.vision.features import mip_downsample_planes
+        jx = jax.make_jaxpr(
+            lambda p: mip_downsample_planes(p, 3, scale=1 / 255.0))(
+                jnp.zeros((3, 64, 64), jnp.uint8))
+        assert not self._f32_dots_all_highest(str(jx))
+
+    def test_mip_f32_and_quantize_paths(self):
+        from vaudio.vision.features import mip_downsample_planes
+        x = jnp.zeros((3, 64, 64), jnp.float32)
+        for q in (False, True):
+            jx = jax.make_jaxpr(
+                lambda p: mip_downsample_planes(p, 3, quantize=q))(x)
+            assert not self._f32_dots_all_highest(str(jx))
+
+    def test_full_frame_step_chunked_and_scan(self):
+        from vaudio.runtime import make_step, init_carry
+        from vaudio.runtime.step import default_params
+        from vaudio.runtime.chunked import make_chunk_pipeline
+        cfg = CFG
+        step = make_step(cfg, jit=False)
+        carry = init_carry(cfg)
+        params = default_params(cfg)
+        frame = jnp.zeros((64, 64, 3), jnp.uint8)
+        jx = jax.make_jaxpr(lambda c, f, p: step(c, f, p))(
+            carry, frame, params)
+        assert not self._f32_dots_all_highest(str(jx))
+        cstep = make_chunk_pipeline(cfg, jit=False)
+        jx = jax.make_jaxpr(lambda c, f, p: cstep(c, f, p))(
+            carry, jnp.zeros((4, 64, 64, 3), jnp.uint8), params)
+        assert not self._f32_dots_all_highest(str(jx))

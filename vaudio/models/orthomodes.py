@@ -187,7 +187,9 @@ def synthesize_spectrum(amp, q, f0, phases, prev_spectrum, mixing,
     w = jnp.stack([norm * jnp.cos(phase), norm * jnp.sin(phase)], axis=1)
     cur = jax.lax.dot_general(
         peak, w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (F, 2)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)          # (F, 2); exact f32 on
+    # TPU MXUs (DEFAULT would round operands to bf16 — features._EXACT)
 
     c = jnp.asarray(consts["static_cos"])
     s = jnp.asarray(consts["static_sin"])

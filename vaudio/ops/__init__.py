@@ -6,6 +6,7 @@ peak evaluation + weighting + reduction in VMEM, never materializing the
 (bins x partials) peak matrix to HBM.
 """
 
+from vaudio.ops.pool_kernel import mip_pool_pallas
 from vaudio.ops.spectrum_kernel import (
     hann_peak_weighted_sum,
     hann_peak_weighted_sum_batched,
@@ -13,4 +14,4 @@ from vaudio.ops.spectrum_kernel import (
 )
 
 __all__ = ["hann_peak_weighted_sum", "hann_peak_weighted_sum_batched",
-           "spectrum_pallas"]
+           "mip_pool_pallas", "spectrum_pallas"]

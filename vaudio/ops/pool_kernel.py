@@ -1,0 +1,145 @@
+"""Fused Pallas mip-pool kernel: uint8 frame planes -> pooled f32 planes
+in ONE pass through VMEM.
+
+The XLA path (vision.features.mip_downsample_planes) is two banded int8
+matmuls — row pool, then a column pool on the i32 row sums split into
+two int8 halves — and materializes the row-pooled intermediate
+((C, H>>l, W) i32 + two i8 copies, ~3 MB at 1080p) through HBM.  This
+kernel keeps the whole reduction in VMEM: each grid step owns one full
+channel plane (u8, 2 MB at 1080p), converts it one row *band* at a time
+(so the integer intermediates never exceed ~1 MB), does the row pool as
+a sublane-group i32 sum and the column pool as the same exact int8 q/r
+split contracted on the MXU against a VMEM-resident 0/1 banded matrix.
+HBM traffic drops to the u8 read + the pooled f32 output + one 0.5 MB
+int8 matrix.
+
+TPU lowering constraint (Mosaic): non-full blocks need their last two
+dims divisible by (8, 128).  The odd production mip dims (135x240 at
+1080p mip-3) make banded *output* blocks illegal, so we use full-array
+blocks (always legal) and move the banding inside the kernel as a
+static Python loop.
+
+Math is bit-identical to the XLA u8 path: centered (v - 128) i32 row
+sums, lossless q/r int8 split (q = rows >> level, r = rows - (q <<
+level)), i32 recombine, one final f32 multiply-add folding the mean
+normalization, the +128 offset undo and ``scale``
+(vision/features.py:164-203).
+
+Equivalent of blit + generateMipmaps + mip-level sampling
+(reference: video-auralizer/VisionEngine.swift:130-173,189-192).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Keep each band's i32 image under ~1 MB of VMEM.
+_BAND_BYTES = 1 << 20
+# Refuse planes whose u8 block (double-buffered) would crowd VMEM.
+_MAX_PLANE_BYTES = 4 << 20
+
+
+def _pool_matrix_i8(n: int, level: int) -> np.ndarray:
+    """(n, n>>level) banded 0/1 int8 matrix summing disjoint 2^level
+    blocks."""
+    k = 1 << level
+    m = n >> level
+    mat = np.zeros((n, m), np.int8)
+    for j in range(m):
+        mat[j * k:(j + 1) * k, j] = 1
+    return mat
+
+
+def _pool_kernel(x_ref, pc_ref, out_ref, *, k: int, level: int,
+                 gain: float, offset: float, band_rows: int):
+    """One channel plane per grid step; band loop is static (unrolled)."""
+    pc = pc_ref[...]                                     # (W, Wo) i8
+    ho = out_ref.shape[1]
+    w = x_ref.shape[2]
+    start = 0
+    while start < ho:
+        mb = min(band_rows, ho - start)
+        # Mosaic has no u8->f32 cast; center in i32 (exact) so the row
+        # sums |.| <= 128*2^level split losslessly into two i8 halves.
+        x = x_ref[0, start * k:(start + mb) * k, :].astype(jnp.int32)
+        rows = jnp.sum((x - 128).reshape(mb, k, w), axis=1)  # (mb, W) i32
+        q32 = jnp.right_shift(rows, level)               # [-128, 127]
+        r32 = rows - (q32 << level)                      # [0, 2^level)
+        def idot(v):
+            return jax.lax.dot_general(
+                v.astype(jnp.int8), pc,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        acc = (idot(q32) << level) + idot(r32)           # exact i32
+        out_ref[0, start:start + mb, :] = (
+            acc.astype(jnp.float32) * np.float32(gain)
+            + np.float32(offset))
+        start += mb
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("level", "scale", "band_rows",
+                                    "interpret"))
+def mip_pool_pallas(planes, level: int, scale: float = 1.0,
+                    band_rows: int = 0, interpret: bool = False):
+    """u8[C, H, W] -> f32[C, H>>level, W>>level] box downsample, fused.
+
+    ``scale`` folds the u8 normalization (pass 1/255).  Drop-in for the
+    uint8 path of vision.features.mip_downsample_planes (bit-identical
+    integer accumulation; the final f32 multiply-add rounds once).
+    ``band_rows``: output rows converted per in-kernel band (0 = auto
+    ~1 MB bands).  Frames whose channel plane exceeds ~4 MB (beyond
+    1080p) must use the XLA path: full-plane VMEM blocks are how this
+    kernel satisfies Mosaic's tiling rules, and a 4K plane
+    double-buffered would not fit.
+    """
+    planes = jnp.asarray(planes)
+    assert planes.dtype == jnp.uint8, "mip_pool_pallas is the u8 fast path"
+    if not (1 <= level <= 7):
+        raise ValueError("mip_pool_pallas supports 1 <= level <= 7 "
+                         "(int8 q/r split)")
+    c, h, w = planes.shape
+    k = 1 << level
+    ho, wo = h >> level, w >> level
+    if ho == 0 or wo == 0:
+        raise ValueError(f"frame dims ({h},{w}) too small for mip {level}")
+    if h * w > _MAX_PLANE_BYTES:
+        raise ValueError(
+            f"plane {h}x{w} too large for the fused VMEM kernel; use "
+            "vision.features.mip_downsample_planes")
+    planes = planes[:, :ho * k, :]           # drop remainder rows (matches
+    pc = jnp.asarray(_pool_matrix_i8(w, level))    # XLA banded matrix)
+
+    if band_rows <= 0:
+        band_rows = max(1, min(ho, _BAND_BYTES // (4 * k * w)))
+    gain = scale / float(k * k)
+    offset = 128.0 * scale
+
+    out = pl.pallas_call(
+        functools.partial(_pool_kernel, k=k, level=level, gain=gain,
+                          offset=offset, band_rows=band_rows),
+        out_shape=jax.ShapeDtypeStruct((c, ho, wo), jnp.float32),
+        grid=(c,),
+        in_specs=[
+            pl.BlockSpec((1, ho * k, w), lambda ci: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, wo), lambda ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ho, wo), lambda ci: (ci, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * c * ho * w * (k + 2 * wo),
+            bytes_accessed=c * ho * k * w + 4 * c * ho * wo + w * wo,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(planes, pc)
+    return out

@@ -61,7 +61,9 @@ def _spectrum_kernel(freqs_ref, pf_ref, scale_ref, w_ref, out_ref):
     w = _hann_peak_from_d(d)
     out_ref[...] = jax.lax.dot_general(
         w_ref[...], w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # fp32 contract (Mosaic);
+    # TPU DEFAULT = bf16 operand rounding — see vision/features._EXACT
 
 
 @functools.partial(jax.jit, static_argnames=("num_bins", "tile_b",
@@ -131,7 +133,8 @@ def _spectrum_kernel_batched(freqs_ref, pf_ref, scale_ref, w_ref, out_ref):
     w = _hann_peak_from_d(d)
     out_ref[0] = jax.lax.dot_general(
         w_ref[0], w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # fp32 contract (Mosaic)
 
 
 @functools.partial(jax.jit, static_argnames=("num_bins", "tile_b",

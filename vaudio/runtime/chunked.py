@@ -75,7 +75,9 @@ def _batched_contraction(flat_pf, flat_w, flat_ibw, cfg: AuralizerConfig,
         W = hann_sinc_peak_fast(d)
         return jax.lax.dot_general(
             W, w, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # exact f32 on the MXU
+            # (TPU DEFAULT = bf16 operand rounding; features._EXACT)
     return jax.vmap(one)(flat_pf, flat_ibw * hann_mult, flat_w)
 
 

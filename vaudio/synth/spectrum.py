@@ -350,9 +350,13 @@ def contract_spectrum(flat_pf, flat_w, flat_ibw, cfg: AuralizerConfig,
     hann_mult = np.float32(1.0 / cfg.bin_width)
     d = (freqs[:, None] - flat_pf[None, :]) * (hann_mult * flat_ibw)
     W = hann_sinc_peak_fast(d)                               # (F, NP)
+    # HIGHEST: TPU DEFAULT-precision f32 dots round operands to bf16
+    # (~2^-9 relative); exact f32 keeps the <=3.4e-5 oracle parity on
+    # device (see vision/features._EXACT).  FLOPs here are negligible.
     return jax.lax.dot_general(
         W, flat_w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (F, 2 or 4)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                 # (F, 2 or 4)
 
 
 def finalize_spectrum(cur, prev_spectrum, spectrum_mixing,

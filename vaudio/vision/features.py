@@ -27,6 +27,14 @@ from vaudio.config import AuralizerConfig
 
 _TWO_PI = np.float32(2.0 * np.pi)
 
+# TPU MXUs run f32 dots at DEFAULT precision as single-pass bf16 — that
+# silently costs ~2^-9 relative error (measured 6.4e-4 on the mip chain
+# vs an f64 oracle), which the CPU test harness can never see.  Every
+# parity-critical f32 contraction pins HIGHEST (6-pass bf16 = exact f32);
+# the FLOP cost is invisible next to these dots' HBM traffic.  Integer
+# (int8 -> i32) contractions are exact by construction and stay DEFAULT.
+_EXACT = jax.lax.Precision.HIGHEST
+
 
 # ---------------------------------------------------------------------------
 # Color space
@@ -85,12 +93,14 @@ def _pool_one_level(planes):
     pr = jnp.asarray(_pool_matrix(h, 1))
     rows = jax.lax.dot_general(
         planes, pr, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (c, w, h//2)
+        preferred_element_type=jnp.float32,
+        precision=_EXACT)                             # (c, w, h//2)
     rows = jnp.swapaxes(rows, 1, 2)                   # (c, h//2, w)
     pc = jnp.asarray(_pool_matrix(w, 1))
     return jax.lax.dot_general(
         rows, pc, dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (c, h//2, w//2)
+        preferred_element_type=jnp.float32,
+        precision=_EXACT)                             # (c, h//2, w//2)
 
 
 @functools.lru_cache(maxsize=32)
@@ -152,38 +162,59 @@ def mip_downsample_planes(planes, level: int, quantize: bool = False,
         return planes * np.float32(scale) if scale != 1.0 else planes
 
     k = 1 << level
-    if is_u8:
-        # int8-MXU fast path for camera frames — exact by construction:
-        # u8 XOR 0x80 bitcast to s8 equals (value - 128) exactly; the row
-        # pool is an s8 x s8 integer matmul with 0/1 banded entries
-        # accumulating in i32 (block sums <= 128*2^level, also f32-exact);
-        # the mean normalization, the +128 offset undo and the extra
-        # ``scale`` (1/255, studio swing, ...) all fold into the SECOND
-        # matmul + one add, which touch only the already-row-pooled
-        # (2^level smaller) intermediate.  The full-resolution frame is
-        # read once, as int8.
+    if is_u8 and level <= 7:
+        # all-integer MXU fast path for camera frames — exact by
+        # construction AND at int8 MXU rate end to end:
+        # * u8 XOR 0x80 bitcast to s8 equals (value - 128) exactly; the
+        #   row pool is an s8 x s8 integer matmul with 0/1 banded
+        #   entries accumulating in i32 (block sums <= 128*2^level);
+        # * the COLUMN pool stays integer too: an f32 dot here would pay
+        #   either bf16 operand rounding (TPU DEFAULT precision — the
+        #   rows exceed bf16's 8-bit mantissa) or 6-pass HIGHEST
+        #   (~11 us/frame at 1080p, measured).  Instead the i32 row sums
+        #   split losslessly into two int8 halves (q = rows >> level in
+        #   [-128, 127]; r = rows - (q << level) in [0, 2^level - 1])
+        #   and two 0/1-banded int8 matmuls recombine as (q@P << level)
+        #   + r@P — bit-exact i32, 2 int8 MXU passes on the 2^level-
+        #   smaller intermediate;
+        # * the mean normalization, +128 offset undo and the extra
+        #   ``scale`` (1/255, studio swing, ...) fold into ONE f32
+        #   multiply-add on the final (tiny) output.  The full-
+        #   resolution frame is read once, as int8.
         s8 = jax.lax.bitcast_convert_type(
             planes ^ np.uint8(0x80), jnp.int8)
         pr_i8 = jnp.asarray(
             (_pool_matrix(h, level) > 0).astype(np.int8))
         rows = jax.lax.dot_general(
             s8, pr_i8, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32).astype(jnp.float32)
-        pc = jnp.asarray(_pool_matrix(w, level) * np.float32(scale / k))
-        offset = np.float32(128.0 * scale)
-    else:
-        pr = jnp.asarray(_pool_matrix(h, level) * np.float32(scale))
-        rows = jax.lax.dot_general(
-            planes.astype(jnp.float32), pr,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (c, w, m)
-        pc = jnp.asarray(_pool_matrix(w, level))
-        offset = np.float32(0.0)
+            preferred_element_type=jnp.int32)         # (c, w, m) i32
+        rows = jnp.swapaxes(rows, 1, 2)               # (c, m, w)
+        q = jnp.right_shift(rows, level)              # arithmetic; floor
+        r = rows - (q << level)                       # in [0, 2^level)
+        pc_i8 = jnp.asarray(
+            (_pool_matrix(w, level) > 0).astype(np.int8))
+        def idot(x):
+            return jax.lax.dot_general(
+                x.astype(jnp.int8), pc_i8,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        acc = (idot(q) << level) + idot(r)            # (c, m, n) exact i32
+        gain = np.float32(scale / (k * k))
+        return acc.astype(jnp.float32) * gain + np.float32(128.0 * scale)
+    # f32-input path (and the level > 7 u8 corner, where the int8 split
+    # no longer fits): two f32 banded matmuls at pinned-exact precision.
+    pr = jnp.asarray(_pool_matrix(h, level) * np.float32(scale))
+    rows = jax.lax.dot_general(
+        planes.astype(jnp.float32), pr,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_EXACT)                             # (c, w, m)
+    pc = jnp.asarray(_pool_matrix(w, level))
     rows = jnp.swapaxes(rows, 1, 2)                   # (c, m, w)
-    out = jax.lax.dot_general(
+    return jax.lax.dot_general(
         rows, pc, dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (c, m, n)
-    return out + offset if offset else out
+        preferred_element_type=jnp.float32,
+        precision=_EXACT)                             # (c, m, n)
 
 
 def mip_downsample(frame, level: int, quantize: bool = False):
@@ -458,9 +489,9 @@ def cell_gradient_stats_planes(modes, cfg: AuralizerConfig):
     oh = jax.nn.one_hot(cell_idx, cells, dtype=jnp.float32)  # (p, cells)
     counts = jnp.sum(oh, axis=0)
     flat = modes.reshape(4, -1)                               # (4, p)
-    sq = (flat[0] * flat[0]) @ oh
-    ay = jnp.abs(flat[1]) @ oh
-    az = jnp.abs(flat[2]) @ oh
+    sq = jnp.matmul(flat[0] * flat[0], oh, precision=_EXACT)
+    ay = jnp.matmul(jnp.abs(flat[1]), oh, precision=_EXACT)
+    az = jnp.matmul(jnp.abs(flat[2]), oh, precision=_EXACT)
     aw = jnp.max(jnp.where(oh.T > 0, jnp.abs(flat[3])[None, :], 0.0),
                  axis=1)
     return jnp.stack([jnp.sqrt(sq / counts), ay / counts, az / counts, aw],

@@ -238,7 +238,28 @@ class TestStreamRobustness:
         s.run_until_exhausted(source(), timeout=240)
         s.raise_if_failed()
         assert s.metrics.frames_processed == 6
+        assert s.metrics.resolution_changes == 1
         pcm = s.pull(6 * 2048)
+        assert np.all(np.isfinite(pcm)) and np.abs(pcm).max() > 0
+
+    def test_resolution_change_mid_chunk(self):
+        """Resolution change landing INSIDE a chunk: the partial chunk at
+        the old shape flushes as single steps (a mixed-shape np.stack
+        would die) and the stream keeps flowing at the new shape."""
+        cfg = AuralizerConfig(mip_level=2)
+        s = StreamingAuralizer(cfg, chunk_frames=4)
+
+        def source():
+            for _ in range(3):        # 3 frames: chunk of 4 never fills
+                yield np.full((64, 64, 3), [0.9, 0.1, 0.1], np.float32)
+            for _ in range(5):        # one full chunk + 1 trailing single
+                yield np.full((96, 64, 3), [0.1, 0.1, 0.9], np.float32)
+
+        s.run_until_exhausted(source(), timeout=240)
+        s.raise_if_failed()
+        assert s.metrics.frames_processed == 8
+        assert s.metrics.resolution_changes == 1
+        pcm = s.pull(8 * 2048)
         assert np.all(np.isfinite(pcm)) and np.abs(pcm).max() > 0
 
     def test_bad_frame_fails_loudly(self):

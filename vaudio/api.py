@@ -180,6 +180,7 @@ class Auralizer:
             "achieved_fps": m.achieved_fps,
             "frames_processed": m.frames_processed,
             "dispatches": m.dispatches,
+            "resolution_changes": m.resolution_changes,
             "buffer_fill": ring.available,
             "warmed_up": bool(getattr(ring, "warmed_up", True)),
             "dropped_frames": getattr(ring, "dropped_frames", 0),

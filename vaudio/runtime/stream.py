@@ -43,6 +43,8 @@ class StreamMetrics:
         self._latencies_ms: list[float] = []
         self.frames_processed = 0    # video frames through the device
         self.dispatches = 0          # device calls (chunks count once)
+        self.resolution_changes = 0  # mid-stream shape changes (each one
+        #                              costs a one-time retrace/compile)
         self.start_time: Optional[float] = None
         self.end_time: Optional[float] = None
 
@@ -275,6 +277,7 @@ class StreamingAuralizer:
         next_deadline = time.monotonic()
         chunk_buf: list = []
         chunk_t0: Optional[float] = None
+        last_shape: Optional[tuple] = None
 
         def flush(pending):
             out, t_capture, n_hops = pending
@@ -317,10 +320,22 @@ class StreamingAuralizer:
                                     time.monotonic())
             if isinstance(frame, dict):       # planar YUV 4:2:0
                 frame_np = {k: np.asarray(v) for k, v in frame.items()}
+                shape = tuple(frame_np["y"].shape)
             else:
                 frame_np = np.asarray(frame)
                 if frame_np.dtype != np.uint8:  # uint8 ships 4x fewer bytes
                     frame_np = frame_np.astype(np.float32, copy=False)
+                shape = tuple(frame_np.shape)
+            if last_shape is not None and shape != last_shape:
+                # Managed mid-stream resolution change: flush the partial
+                # chunk at the old shape as single steps (a mixed-shape
+                # np.stack would fail), count the change, and let jit's
+                # per-shape cache retrace the new resolution once.
+                self.metrics.resolution_changes += 1
+                for f in chunk_buf:
+                    dispatch([f], chunk_t0 or time.monotonic())
+                chunk_buf = []
+            last_shape = shape
             if self.chunk_frames == 1:
                 dispatch([frame_np], time.monotonic())
             else:

@@ -27,6 +27,7 @@ Environment overrides:
   VAUDIO_BENCH_ITERS=N      timed repetitions  (default 8)
   VAUDIO_BENCH_PALLAS=0/1   use the Pallas synthesis kernel
   VAUDIO_BENCH_PALLAS_AUDIO=0/1  use the Pallas AGC+OLA kernel
+  VAUDIO_BENCH_PALLAS_POOL=0/1   fused Pallas mip-pool kernel (default 1)
   VAUDIO_BENCH_CHANNELS=1/2 stereo (default) or mono headline config
   VAUDIO_BENCH_MONO=0/1     also measure the mono config (default 1)
   VAUDIO_BENCH_UNROLL=N     scan unroll factor (default 4)
@@ -73,6 +74,8 @@ def main() -> int:
     use_pallas = os.environ.get("VAUDIO_BENCH_PALLAS", "0") == "1"
     use_pallas_audio = os.environ.get("VAUDIO_BENCH_PALLAS_AUDIO",
                                       "0") == "1"
+    use_pallas_pool = os.environ.get("VAUDIO_BENCH_PALLAS_POOL",
+                                     "1") == "1"
     channels = int(os.environ.get("VAUDIO_BENCH_CHANNELS", "2"))
     also_mono = os.environ.get("VAUDIO_BENCH_MONO", "1") == "1" \
         and channels == 2
@@ -81,7 +84,8 @@ def main() -> int:
     backend = jax.default_backend()
     dev = jax.devices()[0]
     log(f"bench: backend={backend} device={dev} frame={h}x{w} "
-        f"chunks={chunks} pallas={use_pallas} pallas_audio={use_pallas_audio}")
+        f"chunks={chunks} pallas={use_pallas} pallas_audio="
+        f"{use_pallas_audio} pallas_pool={use_pallas_pool}")
 
     def measure(ch, mode="chunked"):
         """``mode``: 'chunked' = the chunk-batched pipeline (serial scan
@@ -91,6 +95,7 @@ def main() -> int:
         streaming single-frame building block)."""
         cfg = AuralizerConfig(sample_rate=48000.0, use_pallas=use_pallas,
                               use_pallas_audio=use_pallas_audio,
+                              use_pallas_pool=use_pallas_pool,
                               channels=ch)
         consts = SynthConstants.create(cfg)
         window = jnp.asarray(hann_window_norm(cfg.nfft))

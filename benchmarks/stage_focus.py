@@ -115,19 +115,20 @@ def main():
         return (jax.random.bits(jax.random.PRNGKey(seed), (T, h, w, 3),
                                 jnp.uint8),)
 
+    # Chain through the REDUCTION, never the frames: XORing the carry
+    # into the u8 input forces a fresh 200 MB temp per call and produced
+    # pathological 25 s/call timings (see pool_compare below).
     def vision_full(acc, frames):
-        frames = frames ^ (acc * 0).astype(jnp.uint8)   # serial chain
         hists, grads = jax.vmap(lambda f: vf.frame_stats(f, cfg)[:2])(
             frames)
-        return acc + finite(jnp.sum(hists.astype(jnp.float32))
-                            + jnp.sum(grads))
+        return jnp.tanh(acc + finite(jnp.sum(hists.astype(jnp.float32))
+                                     + jnp.sum(grads)))
 
     def mip_only(acc, frames):
-        frames = frames ^ (acc * 0).astype(jnp.uint8)
         planes = jnp.transpose(frames, (0, 3, 1, 2))
         mips = jax.vmap(lambda p: vf.mip_downsample_planes(
             p, cfg.mip_level, scale=1.0 / 255.0))(planes)
-        return acc + finite(jnp.sum(mips))
+        return jnp.tanh(acc + finite(jnp.sum(mips)))
 
     def mips_dev(T, seed):
         return (jax.random.uniform(jax.random.PRNGKey(seed),
@@ -173,6 +174,12 @@ def pool_compare():
     iters = int(os.environ.get("VAUDIO_BENCH_ITERS", "8"))
 
     def measure(label, fn):
+        # Chain the accumulator through the REDUCTION only (bench.py's
+        # validated pattern: frames stay constant device buffers, the
+        # carry makes every dispatch unique so the relay can't dedup).
+        # An earlier variant XORed acc into the frames; that forced a
+        # fresh 200 MB u8 temp per call and produced pathological
+        # 25 s/call timings at chunk 32 — never perturb the large input.
         def bench_chunk(T, seed):
             frames = jax.random.bits(jax.random.PRNGKey(seed),
                                      (T, 3, h, w), jnp.uint8)
@@ -195,16 +202,14 @@ def pool_compare():
               flush=True)
 
     def xla_pool(acc, frames):
-        frames = frames ^ (acc * 0).astype(jnp.uint8)
         out = jax.vmap(lambda p: vf.mip_downsample_planes(
             p, 3, scale=1.0 / 255.0))(frames)
-        return acc + jnp.tanh(jnp.sum(out) * 1e-9)
+        return jnp.tanh(acc + jnp.sum(out) * 1e-9)
 
     def pallas_pool(acc, frames):
-        frames = frames ^ (acc * 0).astype(jnp.uint8)
         out = jax.vmap(lambda p: mip_pool_pallas(
             p, 3, scale=1.0 / 255.0))(frames)
-        return acc + jnp.tanh(jnp.sum(out) * 1e-9)
+        return jnp.tanh(acc + jnp.sum(out) * 1e-9)
 
     measure("pool_xla", xla_pool)
     measure("pool_pallas", pallas_pool)

@@ -356,3 +356,46 @@ class TestMatmulPrecisionPinned:
         jx = jax.make_jaxpr(lambda c, f, p: cstep(c, f, p))(
             carry, jnp.zeros((4, 64, 64, 3), jnp.uint8), params)
         assert not self._f32_dots_all_highest(str(jx))
+
+
+class TestPallasPoolWiring:
+    def test_frame_stats_identical_with_pallas_pool(self, rng,
+                                                    monkeypatch):
+        """cfg.use_pallas_pool routes the u8 mip through the fused kernel
+        (interpret escape hatch on the CPU harness) — outputs must match
+        the XLA path exactly (same integer math, same final fma)."""
+        from vaudio.vision import features
+        frame = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+        cfg = dataclasses.replace(CFG, mip_level=2)
+        h_off, g_off, _ = vision.frame_stats(
+            frame, dataclasses.replace(cfg, use_pallas_pool=False))
+        monkeypatch.setattr(features, "_PALLAS_POOL_ON_CPU", True)
+        h_on, g_on, _ = vision.frame_stats(frame, cfg)
+        np.testing.assert_allclose(np.asarray(h_on), np.asarray(h_off),
+                                   atol=0)      # integer histogram: exact
+        np.testing.assert_allclose(np.asarray(g_on), np.asarray(g_off),
+                                   atol=1e-6)
+
+    def test_fallbacks_stay_on_xla_path(self, rng, monkeypatch):
+        """f32 input and quantize mode must not touch the Pallas kernel
+        (its assert would fire in interpret mode)."""
+        from vaudio.vision import features
+        monkeypatch.setattr(features, "_PALLAS_POOL_ON_CPU", True)
+        cfg_on = dataclasses.replace(CFG, mip_level=2, quantize_mips=True)
+        frame = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+        h, g, _ = vision.frame_stats(frame, cfg_on)
+        assert np.all(np.isfinite(np.asarray(g)))
+        cfg_on2 = dataclasses.replace(CFG, mip_level=2)
+        h2, g2, _ = vision.frame_stats(frame.astype(np.float32) / 255.0,
+                                       cfg_on2)
+        assert np.all(np.isfinite(np.asarray(g2)))
+
+    def test_cpu_defaults_to_xla_path(self, rng):
+        """Without the escape hatch the CPU harness must never trace a
+        pallas_call from frame_stats (default config)."""
+        import jax
+        frame = jnp.zeros((64, 64, 3), jnp.uint8)
+        jx = str(jax.make_jaxpr(
+            lambda f: vision.frame_stats(
+                f, dataclasses.replace(CFG, mip_level=2)))(frame))
+        assert "pallas_call" not in jx

@@ -100,6 +100,13 @@ class AuralizerConfig:
     # Use the fused Pallas AGC+overlap-add kernel for the audio tail
     # (independent of use_pallas: it is much cheaper to compile).
     use_pallas_audio: bool = False
+    # Use the fused Pallas mip-pool kernel (vaudio.ops.mip_pool_pallas)
+    # for uint8 frames whose channel planes fit VMEM (<= ~1080p): same
+    # integer math as the XLA banded path (bit-identical output) but one
+    # pass through VMEM — 0.042 vs 0.050 ms/frame stereo 1080p chunked
+    # on the v5e (docs/BENCHMARKS.md round 2).  Only consulted on TPU
+    # backends; CPU always uses the XLA banded matmuls.
+    use_pallas_pool: bool = True
     # Apply the spectral HP/LP filter driven by the hp/lp live params.
     # The reference plumbs these parameters all the way into its kernel but
     # the application is commented out (SpectrumCompute.metal:200-209) — the

@@ -1,29 +1,33 @@
 """Fused Pallas mip-pool kernel: uint8 frame planes -> pooled f32 planes
-in ONE pass through VMEM.
+in ONE pass through VMEM, all contractions on the int8 MXU.
 
-The XLA path (vision.features.mip_downsample_planes) is two banded int8
-matmuls — row pool, then a column pool on the i32 row sums split into
-two int8 halves — and materializes the row-pooled intermediate
-((C, H>>l, W) i32 + two i8 copies, ~3 MB at 1080p) through HBM.  This
-kernel keeps the whole reduction in VMEM: each grid step owns one full
-channel plane (u8, 2 MB at 1080p), converts it one row *band* at a time
-(so the integer intermediates never exceed ~1 MB), does the row pool as
-a sublane-group i32 sum and the column pool as the same exact int8 q/r
-split contracted on the MXU against a VMEM-resident 0/1 banded matrix.
-HBM traffic drops to the u8 read + the pooled f32 output + one 0.5 MB
-int8 matrix.
+The XLA path (vision.features.mip_downsample_planes) is the same math —
+int8 row-pool matmul, lossless q/r int8 split for the column pool — but
+materializes the row-pooled intermediate ((C, H>>l, W) i32 + two i8
+copies, ~3 MB at 1080p) through HBM.  This kernel keeps every
+intermediate in VMEM: each grid step owns one full channel plane (u8,
+2 MB at 1080p) and processes it in row bands, so HBM traffic drops to
+the u8 read + the pooled f32 output + one 0.5 MB int8 matrix.
 
-TPU lowering constraint (Mosaic): non-full blocks need their last two
-dims divisible by (8, 128).  The odd production mip dims (135x240 at
-1080p mip-3) make banded *output* blocks illegal, so we use full-array
-blocks (always legal) and move the banding inside the kernel as a
-static Python loop.
+Design notes (why each piece looks the way it does):
 
-Math is bit-identical to the XLA u8 path: centered (v - 128) i32 row
-sums, lossless q/r int8 split (q = rows >> level, r = rows - (q <<
-level)), i32 recombine, one final f32 multiply-add folding the mean
-normalization, the +128 offset undo and ``scale``
-(vision/features.py:164-203).
+* Mosaic tiling: non-full blocks need their last two dims divisible by
+  (8, 128); the odd production mip dims (135x240 at 1080p mip-3) make
+  banded *output* blocks illegal, so all blocks are full-array (always
+  legal) and the banding lives inside the kernel as a static Python
+  loop.
+* The row pool is an int8 MXU matmul against a tiny block-diagonal 0/1
+  matrix generated in-kernel from iota (band_mat[i, j] = (j >> level
+  == i)); a first attempt summed u8->i32 on the VPU and lost ~12
+  us/frame at 1080p to the elementwise conversion — keep reductions on
+  the MXU.
+* u8 -> s8: XOR 0x80 + bitcast = (value - 128) exactly, same centering
+  trick as the XLA path, so row sums |.| <= 128*2^level fit the q/r
+  int8 split (q = rows >> level, r = rows - (q << level)) and the
+  column pool is two more int8 matmuls, bit-exact in i32.
+* The mean normalization, +128 offset undo and ``scale`` fold into one
+  final f32 multiply-add on the (tiny) output — bit-identical to
+  vision/features.py:164-203.
 
 Equivalent of blit + generateMipmaps + mip-level sampling
 (reference: video-auralizer/VisionEngine.swift:130-173,189-192).
@@ -40,7 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Keep each band's i32 image under ~1 MB of VMEM.
+# Keep each band's i32 row-sum image around ~1 MB of VMEM.
 _BAND_BYTES = 1 << 20
 # Refuse planes whose u8 block (double-buffered) would crowd VMEM.
 _MAX_PLANE_BYTES = 4 << 20
@@ -57,27 +61,35 @@ def _pool_matrix_i8(n: int, level: int) -> np.ndarray:
     return mat
 
 
+def _band_matrix(mb: int, k: int, level: int):
+    """(mb, mb*k) block-diagonal 0/1 int8 row-pool matrix, from iota."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (mb, mb * k), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (mb, mb * k), 1)
+    return (jnp.right_shift(j, level) == i).astype(jnp.int8)
+
+
 def _pool_kernel(x_ref, pc_ref, out_ref, *, k: int, level: int,
                  gain: float, offset: float, band_rows: int):
     """One channel plane per grid step; band loop is static (unrolled)."""
     pc = pc_ref[...]                                     # (W, Wo) i8
     ho = out_ref.shape[1]
     w = x_ref.shape[2]
+
+    def idot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
     start = 0
     while start < ho:
         mb = min(band_rows, ho - start)
-        # Mosaic has no u8->f32 cast; center in i32 (exact) so the row
-        # sums |.| <= 128*2^level split losslessly into two i8 halves.
-        x = x_ref[0, start * k:(start + mb) * k, :].astype(jnp.int32)
-        rows = jnp.sum((x - 128).reshape(mb, k, w), axis=1)  # (mb, W) i32
-        q32 = jnp.right_shift(rows, level)               # [-128, 127]
+        x = x_ref[0, start * k:(start + mb) * k, :]      # (mb*k, W) u8
+        xs = jax.lax.bitcast_convert_type(x ^ np.uint8(0x80), jnp.int8)
+        rows = idot(_band_matrix(mb, k, level), xs)      # (mb, W) i32,
+        q32 = jnp.right_shift(rows, level)               # |.| <= 128*2^l
         r32 = rows - (q32 << level)                      # [0, 2^level)
-        def idot(v):
-            return jax.lax.dot_general(
-                v.astype(jnp.int8), pc,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-        acc = (idot(q32) << level) + idot(r32)           # exact i32
+        acc = (idot(q32.astype(jnp.int8), pc) << level) \
+            + idot(r32.astype(jnp.int8), pc)             # exact i32
         out_ref[0, start:start + mb, :] = (
             acc.astype(jnp.float32) * np.float32(gain)
             + np.float32(offset))
@@ -94,7 +106,7 @@ def mip_pool_pallas(planes, level: int, scale: float = 1.0,
     ``scale`` folds the u8 normalization (pass 1/255).  Drop-in for the
     uint8 path of vision.features.mip_downsample_planes (bit-identical
     integer accumulation; the final f32 multiply-add rounds once).
-    ``band_rows``: output rows converted per in-kernel band (0 = auto
+    ``band_rows``: output rows processed per in-kernel band (0 = auto
     ~1 MB bands).  Frames whose channel plane exceeds ~4 MB (beyond
     1080p) must use the XLA path: full-plane VMEM blocks are how this
     kernel satisfies Mosaic's tiling rules, and a 4K plane

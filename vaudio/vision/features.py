@@ -27,6 +27,10 @@ from vaudio.config import AuralizerConfig
 
 _TWO_PI = np.float32(2.0 * np.pi)
 
+# Tests set this to route the Pallas pool kernel through interpret mode
+# on the CPU harness; production CPU runs always take the XLA path.
+_PALLAS_POOL_ON_CPU = False
+
 # TPU MXUs run f32 dots at DEFAULT precision as single-pass bf16 — that
 # silently costs ~2^-9 relative error (measured 6.4e-4 on the mip chain
 # vs an f64 oracle), which the CPU test harness can never see.  Every
@@ -564,8 +568,24 @@ def frame_stats(frame, cfg: AuralizerConfig,
         # pooling matrix — no separate full-resolution memory pass.
         scale = 1.0 / 255.0 if frame.dtype == jnp.uint8 else 1.0
         planes = jnp.transpose(frame, (2, 0, 1))          # (3, H, W)
-        mip = mip_downsample_planes(planes, cfg.mip_level,
-                                    cfg.quantize_mips, scale=scale)
+        h, w = planes.shape[1:]
+        if (cfg.use_pallas_pool and frame.dtype == jnp.uint8
+                and not cfg.quantize_mips and 1 <= cfg.mip_level <= 7
+                and h * w <= (4 << 20)
+                and (jax.default_backend() != "cpu"
+                     or _PALLAS_POOL_ON_CPU)):
+            # Fused single-pass VMEM kernel — same integer math as the
+            # XLA path (vaudio/ops/pool_kernel.py, bit-identical); falls
+            # through to the banded matmuls for f32 inputs, quantize
+            # mode, planes too large for full-plane VMEM blocks, and on
+            # CPU (where Mosaic would need slow interpret mode —
+            # _PALLAS_POOL_ON_CPU is the tests' interpret escape hatch).
+            from vaudio.ops import mip_pool_pallas
+            mip = mip_pool_pallas(planes, cfg.mip_level, scale=scale,
+                                  interpret=jax.default_backend() == "cpu")
+        else:
+            mip = mip_downsample_planes(planes, cfg.mip_level,
+                                        cfg.quantize_mips, scale=scale)
     h, s, i = rgb_to_hsi_planes(mip[0], mip[1], mip[2])
 
     hist = hue_histogram_planes(h, s, i, cfg)

@@ -103,12 +103,21 @@ def main():
             W = hann_sinc_peak_fast(d)
             return jax.lax.dot_general(
                 W, w1, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # match production
         out = jax.vmap(one)(pf + acc * 1e-12, ibw * hann_mult, wts)
         return acc + finite(jnp.sum(out))
 
-    measure("contraction_pallas", contraction_inputs, pallas_fn)
-    measure("contraction_jnp", contraction_inputs, jnp_fn)
+    # VAUDIO_STAGES: comma list filtering which measurements run (each
+    # isolated graph costs minutes of remote compile on first run).
+    stages = os.environ.get("VAUDIO_STAGES", "all")
+
+    def want(name):
+        return stages == "all" or name in stages.split(",")
+
+    if want("contraction"):
+        measure("contraction_pallas", contraction_inputs, pallas_fn)
+        measure("contraction_jnp", contraction_inputs, jnp_fn)
 
     # ---- vision stats on u8 frames ----
     def frames_u8(T, seed):
@@ -152,11 +161,12 @@ def main():
             vf.feature_stencil_plane(m[2]), cfg))(mips)
         return acc + finite(jnp.sum(out))
 
-    measure("vision_full_u8", frames_u8, vision_full)
-    measure("vision_mip_u8", frames_u8, mip_only)
-    measure("vision_hsi", mips_dev, hsi_only)
-    measure("vision_hsi+hist", mips_dev, hist_only)
-    measure("vision_grads", mips_dev, grads_only)
+    if want("vision"):
+        measure("vision_full_u8", frames_u8, vision_full)
+        measure("vision_mip_u8", frames_u8, mip_only)
+        measure("vision_hsi", mips_dev, hsi_only)
+        measure("vision_hsi+hist", mips_dev, hist_only)
+        measure("vision_grads", mips_dev, grads_only)
 
 
 def pool_compare():

@@ -30,6 +30,7 @@ Environment overrides:
   VAUDIO_BENCH_PALLAS_POOL=0/1   fused Pallas mip-pool kernel (default 1)
   VAUDIO_BENCH_CHANNELS=1/2 stereo (default) or mono headline config
   VAUDIO_BENCH_MONO=0/1     also measure the mono config (default 1)
+  VAUDIO_BENCH_SCAN=0/1     also measure the per-frame scan path (default 1)
   VAUDIO_BENCH_UNROLL=N     scan unroll factor (default 4)
   VAUDIO_JAX_CACHE=dir      persistent compile cache location
 """
@@ -184,7 +185,9 @@ def main() -> int:
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 10.0, 3),
     }
-    record["scan_path_x_realtime"] = round(measure(channels, "scan"), 2)
+    if os.environ.get("VAUDIO_BENCH_SCAN", "1") == "1":
+        record["scan_path_x_realtime"] = round(measure(channels, "scan"),
+                                               2)
     if also_mono:
         record["mono_x_realtime"] = round(measure(1, "chunked"), 2)
     print(json.dumps(record))

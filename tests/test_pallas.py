@@ -159,6 +159,7 @@ class TestPoolKernel:
 
     @pytest.mark.parametrize("shape,level", [
         ((1080, 1920), 3), ((256, 256), 3), ((64, 64), 2), ((135, 240), 1),
+        ((2160, 3840), 3),    # 4K: column-split grid with padded stripes
     ])
     def test_matches_xla_path(self, rng, shape, level):
         from vaudio.ops import mip_pool_pallas
@@ -177,3 +178,12 @@ class TestPoolKernel:
         with pytest.raises(AssertionError):
             mip_pool_pallas(jnp.zeros((3, 64, 64), jnp.float32), 3,
                             interpret=True)
+
+    def test_supports_predicate(self):
+        from vaudio.ops.pool_kernel import supports
+        assert supports(1080, 1920, 3)          # single-block
+        assert supports(2160, 3840, 3)          # column-split (S=2)
+        assert not supports(4, 32, 3)           # too small
+        assert not supports(64, 64, 0)          # level out of range
+        # huge plane with an un-splittable width (prime-ish) falls back
+        assert not supports(4096, 4096 + 8, 3)

@@ -96,6 +96,34 @@ def _pool_kernel(x_ref, pc_ref, out_ref, *, k: int, level: int,
         start += mb
 
 
+def _column_split(h: int, w: int, k: int):
+    """Smallest column-split count S for planes too big for one VMEM
+    block: S | w, each block wb = w/S lane-aligned (wb % 128 == 0),
+    pool-aligned (wb % k == 0), and h*wb within the VMEM budget.
+    Returns S or None."""
+    for s in range(2, w // 128 + 1):
+        if w % s:
+            continue
+        wb = w // s
+        if wb % 128 or wb % k:
+            continue
+        if h * wb <= _MAX_PLANE_BYTES:
+            return s
+    return None
+
+
+def supports(h: int, w: int, level: int) -> bool:
+    """Can mip_pool_pallas handle a (h, w) u8 plane at this level?"""
+    if not (1 <= level <= 7):
+        return False
+    k = 1 << level
+    if (h >> level) == 0 or (w >> level) == 0:
+        return False
+    if h * w <= _MAX_PLANE_BYTES:
+        return True
+    return w % k == 0 and _column_split(h, w, k) is not None
+
+
 @functools.partial(jax.jit,
                    static_argnames=("level", "scale", "band_rows",
                                     "interpret"))
@@ -107,10 +135,15 @@ def mip_pool_pallas(planes, level: int, scale: float = 1.0,
     uint8 path of vision.features.mip_downsample_planes (bit-identical
     integer accumulation; the final f32 multiply-add rounds once).
     ``band_rows``: output rows processed per in-kernel band (0 = auto
-    ~1 MB bands).  Frames whose channel plane exceeds ~4 MB (beyond
-    1080p) must use the XLA path: full-plane VMEM blocks are how this
-    kernel satisfies Mosaic's tiling rules, and a 4K plane
-    double-buffered would not fit.
+    ~1 MB bands).
+
+    Planes beyond the ~4 MB single-block VMEM budget (e.g. 4K) run with
+    a COLUMN-SPLIT grid: each grid step owns a lane-aligned column
+    stripe (pooling never crosses stripes since the stripe width is a
+    multiple of 2^level), and the per-stripe output is padded to a
+    128-lane multiple to satisfy Mosaic's block tiling — the pad
+    columns multiply a zero-padded pool matrix and are sliced off
+    outside the kernel.  Use :func:`supports` to pre-check a shape.
     """
     planes = jnp.asarray(planes)
     assert planes.dtype == jnp.uint8, "mip_pool_pallas is the u8 fast path"
@@ -122,36 +155,58 @@ def mip_pool_pallas(planes, level: int, scale: float = 1.0,
     ho, wo = h >> level, w >> level
     if ho == 0 or wo == 0:
         raise ValueError(f"frame dims ({h},{w}) too small for mip {level}")
-    if h * w > _MAX_PLANE_BYTES:
-        raise ValueError(
-            f"plane {h}x{w} too large for the fused VMEM kernel; use "
-            "vision.features.mip_downsample_planes")
     planes = planes[:, :ho * k, :]           # drop remainder rows (matches
-    pc = jnp.asarray(_pool_matrix_i8(w, level))    # XLA banded matrix)
+    gain = scale / float(k * k)              # XLA banded matrix)
+    offset = 128.0 * scale
+
+    if h * w <= _MAX_PLANE_BYTES:
+        s = 1
+        wb, wob, wob_pad = w, wo, wo
+        pc = jnp.asarray(_pool_matrix_i8(w, level))
+    else:
+        if w % k:
+            raise ValueError(
+                f"plane {h}x{w} needs the column-split path, which "
+                f"requires W % {k} == 0; use the XLA path")
+        s = _column_split(h, w, k)
+        if s is None:
+            raise ValueError(
+                f"plane {h}x{w} admits no lane-aligned column split; "
+                "use vision.features.mip_downsample_planes")
+        wb = w // s
+        wob = wb >> level
+        wob_pad = ((wob + 127) // 128) * 128
+        pc_np = np.zeros((wb, wob_pad), np.int8)
+        pc_np[:, :wob] = _pool_matrix_i8(wb, level)
+        pc = jnp.asarray(pc_np)
 
     if band_rows <= 0:
-        band_rows = max(1, min(ho, _BAND_BYTES // (4 * k * w)))
-    gain = scale / float(k * k)
-    offset = 128.0 * scale
+        band_rows = max(1, min(ho, _BAND_BYTES // (4 * k * wb)))
 
     out = pl.pallas_call(
         functools.partial(_pool_kernel, k=k, level=level, gain=gain,
                           offset=offset, band_rows=band_rows),
-        out_shape=jax.ShapeDtypeStruct((c, ho, wo), jnp.float32),
-        grid=(c,),
+        out_shape=jax.ShapeDtypeStruct((c, ho, s * wob_pad), jnp.float32),
+        grid=(c, s),
         in_specs=[
-            pl.BlockSpec((1, ho * k, w), lambda ci: (ci, 0, 0),
+            pl.BlockSpec((1, ho * k, wb), lambda ci, si: (ci, 0, si),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, wo), lambda ci: (0, 0),
+            pl.BlockSpec((wb, wob_pad), lambda ci, si: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ho, wo), lambda ci: (ci, 0, 0),
+        out_specs=pl.BlockSpec((1, ho, wob_pad),
+                               lambda ci, si: (ci, 0, si),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=2 * c * ho * w * (k + 2 * wo),
-            bytes_accessed=c * ho * k * w + 4 * c * ho * wo + w * wo,
+            flops=2 * c * ho * w * (k + 2 * wob_pad),
+            bytes_accessed=c * ho * k * w + 4 * c * ho * s * wob_pad
+            + s * wb * wob_pad,
             transcendentals=0,
         ),
         interpret=interpret,
     )(planes, pc)
-    return out
+    if s == 1:
+        return out
+    # Drop the per-stripe lane padding: (c, ho, s*wob_pad) ->
+    # (c, ho, s, wob_pad)[..., :wob] -> (c, ho, wo).  Tiny (f32 output).
+    return out.reshape(c, ho, s, wob_pad)[..., :wob].reshape(c, ho, wo)

@@ -569,20 +569,21 @@ def frame_stats(frame, cfg: AuralizerConfig,
         scale = 1.0 / 255.0 if frame.dtype == jnp.uint8 else 1.0
         planes = jnp.transpose(frame, (2, 0, 1))          # (3, H, W)
         h, w = planes.shape[1:]
+        from vaudio.ops import pool_kernel
         if (cfg.use_pallas_pool and frame.dtype == jnp.uint8
-                and not cfg.quantize_mips and 1 <= cfg.mip_level <= 7
-                and h * w <= (4 << 20)
+                and not cfg.quantize_mips
+                and pool_kernel.supports(h, w, cfg.mip_level)
                 and (jax.default_backend() != "cpu"
                      or _PALLAS_POOL_ON_CPU)):
             # Fused single-pass VMEM kernel — same integer math as the
             # XLA path (vaudio/ops/pool_kernel.py, bit-identical); falls
             # through to the banded matmuls for f32 inputs, quantize
-            # mode, planes too large for full-plane VMEM blocks, and on
+            # mode, shapes the kernel's VMEM blocking can't take, and on
             # CPU (where Mosaic would need slow interpret mode —
             # _PALLAS_POOL_ON_CPU is the tests' interpret escape hatch).
-            from vaudio.ops import mip_pool_pallas
-            mip = mip_pool_pallas(planes, cfg.mip_level, scale=scale,
-                                  interpret=jax.default_backend() == "cpu")
+            mip = pool_kernel.mip_pool_pallas(
+                planes, cfg.mip_level, scale=scale,
+                interpret=jax.default_backend() == "cpu")
         else:
             mip = mip_downsample_planes(planes, cfg.mip_level,
                                         cfg.quantize_mips, scale=scale)

@@ -116,9 +116,12 @@ def chunk_pipeline(carry: StepCarry, frames, params: Dict[str, Any],
         phases = phase_accumulate(phases_prev, hues, cfg, consts)
         return (hues, phases), (hues, phases)
 
+    # unroll: the per-iteration state is tiny (16 ints + a (16, 32)
+    # add), so loop overhead dominates; unrolling batches it without
+    # changing the math (bit-identical).
     (hues_last, phases_last), (hues_seq, phases_seq) = \
         jax.lax.scan(pass_a, (carry.hues, carry.phases),
-                     (max_vals, args))
+                     (max_vals, args), unroll=8)
 
     # ---- pass B: weights + ONE batched contraction + rotation ----
     pan = live_pan_from_params(cfg, params)   # shared across frames
@@ -155,7 +158,8 @@ def chunk_pipeline(carry: StepCarry, frames, params: Dict[str, Any],
         spec = (prev * mixing + r * (1.0 - mixing)).astype(jnp.float32)
         return spec, spec
 
-    prev_last, spectra = jax.lax.scan(ema, carry.prev_spectrum, rot)
+    prev_last, spectra = jax.lax.scan(ema, carry.prev_spectrum, rot,
+                                      unroll=4)
 
     # ---- pass C2: audio tail, scalars serial / samples batched ----
     # One big batched irfft over all frames (and channels).
@@ -180,7 +184,8 @@ def chunk_pipeline(carry: StepCarry, frames, params: Dict[str, Any],
         return new_max.astype(jnp.float32), new_max
 
     running_max_last, new_maxes = jax.lax.scan(agc_scan,
-                                               carry.running_max, peaks)
+                                               carry.running_max, peaks,
+                                               unroll=8)
     norm_factor = jnp.clip(sigmoid_normalize(peaks, new_maxes), 0.0, 1.0)
     norm_value = peaks / norm_factor
     scale = jnp.where(jnp.isfinite(1.0 / norm_value), 1.0 / norm_value,

@@ -117,7 +117,7 @@ class TestFeatureStencil:
 
 
 class TestHueHistogram:
-    @pytest.mark.parametrize("method", ["matmul", "scatter"])
+    @pytest.mark.parametrize("method", ["tiled", "matmul", "scatter"])
     def test_against_oracle(self, rng, method):
         mip = rng.uniform(0, 1, (16, 24, 3)).astype(np.float32)
         hsi_rot = vision.rotate_cw(vision.rgb_to_hsi(mip))
@@ -399,3 +399,20 @@ class TestPallasPoolWiring:
             lambda f: vision.frame_stats(
                 f, dataclasses.replace(CFG, mip_level=2)))(frame))
         assert "pallas_call" not in jx
+
+
+class TestTiledHistogramIdentity:
+    @pytest.mark.parametrize("shape", [(135, 240), (33, 60), (8, 8),
+                                       (3, 5)])
+    def test_bit_identical_to_matmul(self, rng, shape):
+        """The tiled two-level factorization must produce EXACTLY the
+        dense one-hot matmul's integer counts, including ragged cell
+        rectangles (135 rows -> 33/34/34/34 bands)."""
+        hm, wm = shape
+        h = rng.uniform(0, 1, (hm, wm)).astype(np.float32)
+        s = rng.uniform(0, 1, (hm, wm)).astype(np.float32)
+        i = rng.uniform(0, 1, (hm, wm)).astype(np.float32)
+        from vaudio.vision.features import hue_histogram_planes
+        a = np.asarray(hue_histogram_planes(h, s, i, CFG, method="tiled"))
+        b = np.asarray(hue_histogram_planes(h, s, i, CFG, method="matmul"))
+        np.testing.assert_array_equal(a, b)

@@ -333,19 +333,46 @@ def _cell_ids(shape_rot: Tuple[int, int], grid: int):
     return row * grid + col
 
 
+def _cell_tile_bounds(hm: int, wm: int, grid: int):
+    """Static per-cell pixel rectangles in image orientation.
+
+    The rotated-coordinate cell arithmetic (_cell_ids_unrotated) makes
+    every cell a contiguous rectangle: cell row = x-band, cell col =
+    flipped-y band.  Returns (x_bands, y_bands): per band index, a
+    (start, length) pair; lengths are ragged when grid does not divide
+    the dims (e.g. 135 rows -> 33/34/34/34)."""
+    row_of_x = (np.arange(wm) * grid) // wm
+    col_of_y = ((hm - 1 - np.arange(hm)) * grid) // hm
+    xb = [(int(np.argmax(row_of_x == r)), int(np.sum(row_of_x == r)))
+          for r in range(grid)]
+    yb = [(int(np.argmax(col_of_y == c)), int(np.sum(col_of_y == c)))
+          for c in range(grid)]
+    return xb, yb
+
+
 def hue_histogram_planes(h, s, i, cfg: AuralizerConfig,
-                         method: str = "matmul"):
+                         method: str = "tiled"):
     """Per-cell hue histogram over gated pixels, from HSI planes in image
     orientation (rotation folded into the cell-id arithmetic).
 
     Equivalent of ``calculateHueHistogram`` (convolveFeatures.metal:132-165)
-    with the atomic scatter-add re-expressed without atomics:
+    with the atomic scatter-add re-expressed without atomics; all methods
+    produce identical integer counts:
 
-    * ``matmul`` (default): hist = cell_onehot^T @ bin_onehot — one
+    * ``tiled`` (default): cells are contiguous rectangles (see
+      :func:`_cell_tile_bounds`), so no cell one-hot is needed — pixels
+      tile statically per cell — and the bin axis factors as bins =
+      f1*f2 (360 = 24*15), so the joint histogram is a per-cell int8
+      MXU contraction of a (pixels, f1) high-digit one-hot against a
+      (pixels, f2) low-digit one-hot: hist[c, hi*f2+lo].  One-hot
+      elements drop from pixels*360 to pixels*(24+15) — the dense
+      one-hot generation was the stage's whole cost on TPU (13 us/frame
+      at 1080p, compare-bound; this path measures ~9x fewer compares
+      and ~9x less traffic).
+    * ``matmul``: hist = cell_onehot^T @ bin_onehot — one
       (cells x pixels) @ (pixels x bins) MXU contraction; the outer product
       of two one-hot encodings summed over pixels IS the joint histogram.
-      One-hots are built in int8 (exact for 0/1) with i32 accumulation —
-      half the materialized bytes of a bf16 one-hot and the int8 MXU rate;
+      One-hots are built in int8 (exact for 0/1) with i32 accumulation;
       counts <= pixels fit i32 exactly.
     * ``scatter``: XLA scatter-add on a flat (cells*bins) table.
 
@@ -362,8 +389,39 @@ def hue_histogram_planes(h, s, i, cfg: AuralizerConfig,
     gate = (s > cfg.saturation_gate) & (i > cfg.intensity_gate)
     bin_idx = jnp.clip((h * np.float32(bins - 1)).astype(jnp.int32),
                        0, bins - 1)
-    cell_idx = _cell_ids_unrotated((hm, wm), grid)
 
+    if method == "tiled":
+        f2 = next((f for f in range(16, 1, -1) if bins % f == 0), None)
+        if f2 is None:              # prime bin count: dense fallback
+            return hue_histogram_planes(h, s, i, cfg, method="matmul")
+        f1 = bins // f2
+        xb, yb = _cell_tile_bounds(hm, wm, grid)
+        cw = max(n for _, n in xb) or 1
+        rh = max(n for _, n in yb) or 1
+        tb, tg = [], []
+        for r in range(grid):           # cell row = x band
+            x0, xw = xb[r]
+            for c2 in range(grid):      # cell col = flipped-y band
+                y0, yh = yb[c2]
+                pad = ((0, rh - yh), (0, cw - xw))
+                tb.append(jnp.pad(jax.lax.slice(
+                    bin_idx, (y0, x0), (y0 + yh, x0 + xw)), pad))
+                tg.append(jnp.pad(jax.lax.slice(
+                    gate, (y0, x0), (y0 + yh, x0 + xw)), pad))
+        tb = jnp.stack(tb).reshape(cells, rh * cw)
+        g8 = jnp.stack(tg).reshape(cells, rh * cw).astype(jnp.int8)
+        hi = tb // f2
+        lo = tb - hi * f2
+        hi_oh = (hi[..., None] == jnp.arange(f1)).astype(jnp.int8) \
+            * g8[..., None]
+        lo_oh = (lo[..., None] == jnp.arange(f2)).astype(jnp.int8)
+        hist3 = jax.lax.dot_general(
+            hi_oh, lo_oh,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)        # (cells, f1, f2)
+        return hist3.reshape(cells, bins).astype(jnp.float32)
+
+    cell_idx = _cell_ids_unrotated((hm, wm), grid)
     p = hm * wm
     if method == "matmul":
         gate_i = gate.reshape(p, 1).astype(jnp.int8)

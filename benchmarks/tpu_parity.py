@@ -90,6 +90,28 @@ def main(argv=None):
         report["ok"] = False
         print(f"mip_pallas_kernel            ERROR {e!r}", file=sys.stderr)
 
+    # -- tiled two-level histogram vs integer host oracle (the tiled
+    # path must reproduce the dense one-hot's exact counts on device)
+    from vaudio.config import AuralizerConfig as _AC
+    from vaudio.vision.features import hue_histogram_planes
+    cfg_h = _AC()
+    hm, wm = 135, 240                      # production mip-3 dims (ragged)
+    hp = rng.random((hm, wm), dtype=np.float64).astype(np.float32)
+    sp = rng.random((hm, wm), dtype=np.float64).astype(np.float32)
+    ip = rng.random((hm, wm), dtype=np.float64).astype(np.float32)
+    got = np.asarray(hue_histogram_planes(jnp.asarray(hp), jnp.asarray(sp),
+                                          jnp.asarray(ip), cfg_h))
+    # host oracle: straight integer binning
+    gate = (sp > cfg_h.saturation_gate) & (ip > cfg_h.intensity_gate)
+    bins_i = np.clip((hp * np.float32(cfg_h.num_hue_bins - 1)
+                      ).astype(np.int32), 0, cfg_h.num_hue_bins - 1)
+    y, x = np.mgrid[0:hm, 0:wm]
+    cell = (x * cfg_h.grid_size) // wm * cfg_h.grid_size \
+        + ((hm - 1 - y) * cfg_h.grid_size) // hm
+    oracle_h = np.zeros((cfg_h.num_cells, cfg_h.num_hue_bins))
+    np.add.at(oracle_h, (cell[gate], bins_i[gate]), 1.0)
+    check("hue_histogram_tiled", np.abs(got - oracle_h).max(), 0.0)
+
     # -- spectrum contraction (F x NP peak matrix @ weights)
     cfg = AuralizerConfig()
     consts = SynthConstants.create(cfg)

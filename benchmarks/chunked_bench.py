@@ -18,13 +18,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    cache_dir = os.environ.get("VAUDIO_JAX_CACHE", "/root/repo/.jax_cache")
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    import _common
+    _common.enable_compile_cache()
 
     from vaudio.config import AuralizerConfig
     from vaudio.dsp import hann_window_norm

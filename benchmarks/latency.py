@@ -172,13 +172,8 @@ def measure_decomposed(cfg, h, w):
 def main():
     import jax
 
-    cache_dir = os.environ.get("VAUDIO_JAX_CACHE", "/root/repo/.jax_cache")
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception as e:
-        log(f"latency: compile cache unavailable: {e}")
+    import _common
+    _common.enable_compile_cache()
 
     from vaudio.config import AuralizerConfig
 

@@ -44,13 +44,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    cache_dir = os.environ.get("VAUDIO_JAX_CACHE", "/root/repo/.jax_cache")
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    import _common
+    _common.enable_compile_cache()
 
     from vaudio.config import AuralizerConfig
     from vaudio.dsp import hann_sinc_peak_fast
@@ -107,7 +102,10 @@ def main():
         W = hann_sinc_peak_fast(d)
         return jax.lax.dot_general(
             W, w, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # match production
+        # (synth.contract_spectrum pins HIGHEST; the Pallas arm always
+        # ran exact f32 — both arms must measure the same math)
 
     results = {}
 

@@ -27,10 +27,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, _REPO)
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(_REPO, ".jax_cache"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _common                                          # noqa: E402
+_common.enable_compile_cache()
 
 from vaudio.config import AuralizerConfig               # noqa: E402
 from vaudio.dsp import hann_sinc_peak_fast              # noqa: E402

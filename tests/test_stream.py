@@ -212,6 +212,27 @@ class TestChunkedStreaming:
         # 2 trailing single steps).
         np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4)
 
+    def test_chunked_yuv_dict_frames(self):
+        """Planar-YUV dict frames through the CHUNKED path: dispatch must
+        stack per plane (np.stack on dicts crashed the producer before
+        this was pinned)."""
+        cfg = AuralizerConfig(mip_level=2)
+        s = StreamingAuralizer(cfg, chunk_frames=4)
+        rng = np.random.default_rng(3)
+
+        def source():
+            for _ in range(8):
+                yield {"y": rng.integers(16, 235, (64, 64)).astype(np.uint8),
+                       "u": np.full((32, 32), 128, np.uint8),
+                       "v": np.full((32, 32), 200, np.uint8)}
+
+        s.run_until_exhausted(source(), timeout=240)
+        s.raise_if_failed()
+        assert s.metrics.frames_processed == 8
+        assert s.metrics.dispatches == 2          # two chunks of 4
+        pcm = s.pull(8 * 2048)
+        assert np.all(np.isfinite(pcm)) and np.abs(pcm).max() > 0
+
     def test_chunked_exact_multiple(self):
         frames = solid_color_frames([0.2, 0.9, 0.2], width=64, height=64,
                                     num_frames=8)

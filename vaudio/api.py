@@ -79,9 +79,11 @@ class Auralizer:
         uint8 YUV 4:2:0 tensors (each [T, ...]) for the device-side
         conversion path.
 
-        ``mode``: ``"chunked"`` = the chunk-batched pipeline (frame-
-        batched Pallas synthesis, ~3x the scan throughput at 1080p,
-        bit-identical audio — runtime.chunked); ``"scan"`` = the
+        ``mode``: ``"chunked"`` = the chunk-batched pipeline (ONE frame-
+        batched XLA contraction for the synthesis stage, ~2x the scan
+        throughput at 1080p, bit-identical audio — runtime.chunked;
+        the Pallas spectrum kernel stays opt-in via cfg.use_pallas);
+        ``"scan"`` = the
         per-frame lax.scan; ``"auto"`` (default) picks chunked for clips
         of >= 8 frames."""
         if isinstance(frames, ArraySource):

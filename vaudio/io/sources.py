@@ -116,7 +116,8 @@ class NativeFrameReader:
         import ctypes
         while True:
             slot = self._lib.va_fr_next(
-                self._h, self.timeout_ms if self.timeout_ms else 1000)
+                self._h,
+                self.timeout_ms if self.timeout_ms is not None else 1000)
             if slot == -1:
                 return                     # stream done and drained
             if slot == -2:

@@ -164,7 +164,7 @@ def make_parallel_chunk_step(cfg: AuralizerConfig, mesh: Mesh,
                              debug: bool = False, jit: bool = True):
     """DP-sharded chunk-batched step: streams sharded over 'stream', each
     shard running the chunk-batched pipeline (runtime.chunked — ONE
-    frame-batched Pallas contraction per stream-chunk) on its local
+    frame-batched contraction per stream-chunk) on its local
     streams.  The highest-throughput multi-chip shape: embarrassingly
     parallel over ICI with zero collectives.
 
@@ -207,7 +207,7 @@ def run_offline_parallel(frames, cfg: AuralizerConfig, mesh: Mesh,
     Args:
       frames: f32[S, T, H, W, 3] — S streams of T frames.
       pipeline: ``"chunked"`` = the DP-only chunk-batched pipeline (one
-        frame-batched Pallas contraction per stream — the throughput
+        frame-batched contraction per stream — the throughput
         shape); ``"scan"`` = per-frame step under the full DP+TP mesh;
         ``"auto"`` picks chunked when the mesh has no cell axis to feed.
     Returns:

@@ -98,13 +98,14 @@ class StreamingAuralizer:
                  debug: bool = False,
                  chunk_frames: int = 1,
                  metrics_log: Optional[str] = None,
-                 scan_unroll: int = 1,
                  sink_latency_ms: Optional[float] = None):
-        """``chunk_frames > 1`` dispatches N frames per device call (a
-        lax.scan micro-batch): adds N-1 frame times of buffering latency
-        but amortizes per-dispatch overhead N-fold — the right trade when
-        dispatch latency is high (remote TPU) or throughput matters more
-        than latency.
+        """``chunk_frames > 1`` dispatches N frames per device call
+        through the chunk-batched pipeline (runtime.chunked): adds N-1
+        frame times of buffering latency but amortizes per-dispatch
+        overhead N-fold — the right trade when dispatch latency is high
+        (remote TPU) or throughput matters more than latency.  (The
+        former ``scan_unroll`` knob is gone: the chunked pipeline
+        replaced the scanned chunk step and owns its own unrolling.)
 
         ``metrics_log``: path to a JSONL file receiving one record per
         processed frame/chunk (timestamp, latency, buffer fill, drops) —
@@ -132,8 +133,8 @@ class StreamingAuralizer:
         self._chunk_step = None
         if self.chunk_frames > 1:
             # The chunk-batched pipeline (runtime.chunked): serial scan
-            # only where the math demands it, one frame-batched Pallas
-            # contraction for the heavy stage — measured 3x the scan
+            # only where the math demands it, one frame-batched XLA
+            # contraction for the heavy stage — measured ~2x the scan
             # path at 1080p (docs/BENCHMARKS.md round 2).
             from vaudio.runtime.chunked import make_chunk_pipeline
             self._chunk_step = make_chunk_pipeline(cfg, debug=debug)
@@ -302,7 +303,12 @@ class StreamingAuralizer:
                 self._carry, out = self._step(self._carry, frame_dev,
                                               params_arrays)
             else:
-                batch = jax.device_put(np.stack(frames_np))
+                if isinstance(frames_np[0], dict):   # planar YUV chunks
+                    batch = {k: np.stack([f[k] for f in frames_np])
+                             for k in frames_np[0]}
+                else:
+                    batch = np.stack(frames_np)
+                batch = jax.device_put(batch)
                 self._carry, out = self._chunk_step(self._carry, batch,
                                                     params_arrays)
             if pending is not None:

@@ -237,7 +237,30 @@ def cmd_parity(args) -> int:
          str(args.frames), str(args.size)])
 
 
+def _enable_compile_cache() -> None:
+    """Point JAX at a persistent compilation cache (best-effort).
+
+    Every fresh CLI process otherwise pays the full XLA compile on its
+    first frame — ~95 s for even a 32x32 stream graph on a slow host,
+    minutes for 1080p through a remote-compile TPU tunnel.  Override
+    the location with VAUDIO_JAX_CACHE; failures are non-fatal."""
+    import os
+
+    import jax
+    cache = os.environ.get(
+        "VAUDIO_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "vaudio_jax"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          5.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     ap = argparse.ArgumentParser(prog="vaudio",
                                  description="TPU-native video sonifier")
     sub = ap.add_subparsers(dest="cmd", required=True)

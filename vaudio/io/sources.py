@@ -341,8 +341,11 @@ class ArraySource:
     def __init__(self, frames: np.ndarray, fps: float = 30.0,
                  as_float: bool = False):
         frames = np.asarray(frames)
+        if frames.ndim == 3 and frames.shape[-1] == 3:
+            frames = frames[None]            # single frame -> T=1 clip
         if frames.ndim != 4 or frames.shape[-1] != 3:
-            raise ValueError(f"expected [T,H,W,3], got {frames.shape}")
+            raise ValueError(
+                f"expected [T,H,W,3] or [H,W,3], got {frames.shape}")
         if frames.dtype == np.uint8 and as_float:
             frames = frames.astype(np.float32) / 255.0
         if frames.dtype != np.uint8:

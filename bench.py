@@ -155,11 +155,20 @@ def main() -> int:
         # signal — take the MEDIAN of several interleaved slope
         # estimates (compiles are shared; each extra estimate is only
         # `iters` timed calls).
+        #
+        # Per-PROCESS seed salt: the carry chain defeats dedup WITHIN a
+        # run, but with fixed seeds the whole dispatch sequence is
+        # byte-identical across bench runs of the same build, and the
+        # relay's dedup spans processes — repeat runs measured partially
+        # deduped (free) dispatches, inflating results by up to 6%
+        # (and once yielding an absurd 5815x mono). Salting the RNG
+        # seeds makes every run's chain unique.
         n_reps = int(os.environ.get("VAUDIO_BENCH_SLOPE_REPS", "3"))
+        salt = (time.time_ns() ^ os.getpid()) % (1 << 20)
         slopes = []
         for rep in range(n_reps):
-            t_small = bench_chunk(chunks[0], rep)
-            t_big = bench_chunk(chunks[1], 1000 + rep)
+            t_small = bench_chunk(chunks[0], salt + rep)
+            t_big = bench_chunk(chunks[1], salt + 1000 + rep)
             ms = (t_big - t_small) / (chunks[1] - chunks[0])
             log(f"bench[ch={ch},{mode}] rep{rep}: "
                 f"chunk{chunks[0]}={t_small:.1f}ms "

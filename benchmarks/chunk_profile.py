@@ -42,6 +42,8 @@ def main():
     chunks = [int(x) for x in
               os.environ.get("VAUDIO_BENCH_CHUNKS", "16,64").split(",")]
     iters = int(os.environ.get("VAUDIO_BENCH_ITERS", "8"))
+    _salt = (time.time_ns() ^ os.getpid()) % (1 << 20)  # defeat the
+    # relay's CROSS-RUN dedup (identical seeds -> identical chains)
     cfg = AuralizerConfig(sample_rate=48000.0, channels=2)
     consts = SynthConstants.create(cfg)
     window = jnp.asarray(hann_window_norm(cfg.nfft))
@@ -131,8 +133,8 @@ def main():
             jax.block_until_ready(acc)
             return (time.perf_counter() - t0) / iters * 1e3
 
-        t_small = bench_chunk(chunks[0], 7)
-        t_big = bench_chunk(chunks[1], 1007)
+        t_small = bench_chunk(chunks[0], _salt + 7)
+        t_big = bench_chunk(chunks[1], _salt + 1007)
         us = (t_big - t_small) / (chunks[1] - chunks[0]) * 1e3
         print(f"{label:18s} {us:8.1f} us/frame   "
               f"(chunk{chunks[0]}={t_small:.1f}ms chunk{chunks[1]}="

@@ -63,8 +63,10 @@ def main():
                       f"(dedup defense broken)", flush=True)
             return (time.perf_counter() - t0) / iters * 1e3
 
-        t_small = bench_chunk(chunks[0], 3)
-        t_big = bench_chunk(chunks[1], 1003)
+        salt = (time.time_ns() ^ os.getpid()) % (1 << 20)  # defeat the
+        # relay's CROSS-RUN dedup (identical seeds -> identical chains)
+        t_small = bench_chunk(chunks[0], salt + 3)
+        t_big = bench_chunk(chunks[1], salt + 1003)
         us = (t_big - t_small) / (chunks[1] - chunks[0]) * 1e3
         print(f"{label:20s} {us:8.1f} us/frame  (chunk{chunks[0]}="
               f"{t_small:.2f}ms chunk{chunks[1]}={t_big:.2f}ms)",
@@ -199,8 +201,9 @@ def pool_compare():
             assert np.isfinite(float(acc))
             return (time.perf_counter() - t0) / iters * 1e3
 
-        t_small = bench_chunk(chunks[0], 11)
-        t_big = bench_chunk(chunks[1], 1011)
+        salt = (time.time_ns() ^ os.getpid()) % (1 << 20)
+        t_small = bench_chunk(chunks[0], salt + 11)
+        t_big = bench_chunk(chunks[1], salt + 1011)
         us = (t_big - t_small) / (chunks[1] - chunks[0]) * 1e3
         print(f"{label:20s} {us:8.1f} us/frame  (chunk{chunks[0]}="
               f"{t_small:.2f}ms chunk{chunks[1]}={t_big:.2f}ms)",

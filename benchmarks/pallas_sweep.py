@@ -21,7 +21,8 @@ this harness timed individual ~5 ms tunnel calls with varied inputs and
 took medians; the sub-millisecond kernel signal drowned in dispatch
 noise and produced a bogus 3.5 us/frame for pallas_batch (55 G
 transcendentals/s — not physical for a VPU).  Numbers from this harness
-land at ~20-25 ops/element, which is.
+land at ~20-25 ops/element, which is physically plausible for a VPU
+running a transcendental-heavy inner loop.
 
 Prints one JSON line and writes benchmarks/PALLAS_SWEEP.json.
 """

@@ -153,7 +153,7 @@ class TestDisplayUtils:
 
 class TestCLI:
     def _run(self, *args):
-        env = dict(os.environ, JAX_PLATFORMS="cpu",
+        env = dict(os.environ, VAUDIO_PLATFORM="cpu", JAX_PLATFORMS="cpu",
                    JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
                    PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
         # Generous timeout: the subprocess compiles its own jit while the
@@ -262,7 +262,11 @@ class TestStreamCLI:
         import subprocess
         frames = (solid_color_frames([1, 0.2, 0.1], 64, 64, 4)
                   * 255).astype(np.uint8)
-        env = dict(os.environ, JAX_PLATFORMS="cpu",
+        # VAUDIO_PLATFORM (not JAX_PLATFORMS): under this container's
+        # sitecustomize the env var is consumed too late to stop the
+        # tunneled TPU plugin; the CLI applies the override via
+        # jax.config.update before any backend touch (cli.py).
+        env = dict(os.environ, VAUDIO_PLATFORM="cpu", JAX_PLATFORMS="cpu",
                    JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
                    PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH",
                                                              ""))
@@ -271,6 +275,8 @@ class TestStreamCLI:
             input=frames.tobytes(), capture_output=True, env=env,
             cwd="/root/repo", timeout=300)
         assert r.returncode == 0, r.stderr.decode()[-500:]
+        assert b"axon" not in r.stderr.lower(), \
+            "CLI subprocess initialized the TPU backend despite CPU forcing"
         pcm = np.frombuffer(r.stdout, "<f4")
         assert len(pcm) >= 4 * 2048
         assert np.all(np.isfinite(pcm))

@@ -164,6 +164,8 @@ class TestStreamCliInput:
                                dtype=np.uint8).tobytes()
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
+        env["VAUDIO_PLATFORM"] = "cpu"   # pre-backend forcing (cli.py)
+        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/vaudio_test_jax_cache"
         proc = subprocess.Popen(
             [sys.executable, "-m", "vaudio", "stream", "--size",
              f"{h}x{w}", "--input", fifo, "--max-frames", str(n),

@@ -125,6 +125,25 @@ class TestStreamingAuralizer:
         assert "hues" in s.debug_state
         s.stop()
 
+    def test_run_until_exhausted_timeout_raises(self):
+        """A hung producer must raise TimeoutError, not return as if the
+        source completed (VERDICT r2 weak #5)."""
+        import threading
+        cfg = AuralizerConfig()
+        s = StreamingAuralizer(cfg)
+        release = threading.Event()
+
+        def hung_source():
+            release.wait(60)     # producer never yields a frame
+            return
+            yield  # pragma: no cover
+
+        try:
+            with pytest.raises(TimeoutError, match="still running"):
+                s.run_until_exhausted(hung_source(), timeout=0.5)
+        finally:
+            release.set()
+
     def test_stop_clears_buffer_keeps_dsp_state(self):
         cfg = AuralizerConfig()
         s = StreamingAuralizer(cfg)

@@ -371,8 +371,13 @@ class TestPallasPoolWiring:
             frame, dataclasses.replace(cfg, use_pallas_pool=False))
         monkeypatch.setattr(features, "_PALLAS_POOL_ON_CPU", True)
         h_on, g_on, _ = vision.frame_stats(frame, cfg)
-        np.testing.assert_allclose(np.asarray(h_on), np.asarray(h_off),
-                                   atol=0)      # integer histogram: exact
+        # Integer accumulation is bit-identical, but the kernel's final
+        # f32 scale fma can differ by 1 ulp from the XLA path's, which
+        # can move a pixel whose hue lands exactly on a bin edge into the
+        # neighboring bin: allow a couple of count transfers, never more.
+        h_on, h_off = np.asarray(h_on), np.asarray(h_off)
+        assert float(np.abs(h_on - h_off).sum()) <= 4.0
+        assert float(h_on.sum()) == float(h_off.sum())  # pixels conserved
         np.testing.assert_allclose(np.asarray(g_on), np.asarray(g_off),
                                    atol=1e-6)
 

@@ -237,19 +237,45 @@ def cmd_parity(args) -> int:
          str(args.frames), str(args.size)])
 
 
+def _apply_platform_override() -> None:
+    """Honor VAUDIO_PLATFORM before any backend initialization.
+
+    Environments that auto-register a preferred backend from a
+    sitecustomize (interpreter-start plugin registration) can ignore a
+    plain ``JAX_PLATFORMS`` env var — by the time the CLI runs it is too
+    late for the env var, but ``jax.config.update`` still works as long
+    as no backend has been touched.  Setting ``VAUDIO_PLATFORM=cpu``
+    therefore reliably pins CLI subprocesses to CPU (used by the test
+    suite; ``VAUDIO_NUM_CPU_DEVICES`` optionally sets the virtual device
+    count).  Must be called before any jax device/backend use."""
+    import os
+    plat = os.environ.get("VAUDIO_PLATFORM")
+    if not plat:
+        return
+    import jax
+    jax.config.update("jax_platforms", plat)
+    ncpu = os.environ.get("VAUDIO_NUM_CPU_DEVICES")
+    if ncpu and plat == "cpu":
+        jax.config.update("jax_num_cpu_devices", int(ncpu))
+
+
 def _enable_compile_cache() -> None:
     """Point JAX at a persistent compilation cache (best-effort).
 
     Every fresh CLI process otherwise pays the full XLA compile on its
     first frame — ~95 s for even a 32x32 stream graph on a slow host,
-    minutes for 1080p through a remote-compile TPU tunnel.  Override
-    the location with VAUDIO_JAX_CACHE; failures are non-fatal."""
+    minutes for 1080p through a remote-compile TPU tunnel.  An
+    externally-set ``JAX_COMPILATION_CACHE_DIR`` is respected as-is;
+    otherwise the location comes from VAUDIO_JAX_CACHE or defaults to
+    ``~/.cache/vaudio_jax``.  Failures are non-fatal."""
     import os
 
     import jax
     cache = os.environ.get(
-        "VAUDIO_JAX_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "vaudio_jax"))
+        "JAX_COMPILATION_CACHE_DIR",
+        os.environ.get(
+            "VAUDIO_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "vaudio_jax")))
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
@@ -260,6 +286,7 @@ def _enable_compile_cache() -> None:
 
 
 def main(argv=None) -> int:
+    _apply_platform_override()
     _enable_compile_cache()
     ap = argparse.ArgumentParser(prog="vaudio",
                                  description="TPU-native video sonifier")

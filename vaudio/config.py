@@ -102,10 +102,12 @@ class AuralizerConfig:
     use_pallas_audio: bool = False
     # Use the fused Pallas mip-pool kernel (vaudio.ops.mip_pool_pallas)
     # for uint8 frames whose channel planes fit VMEM (<= ~1080p): same
-    # integer math as the XLA banded path (bit-identical output) but one
-    # pass through VMEM — 0.042 vs 0.050 ms/frame stereo 1080p chunked
-    # on the v5e (docs/BENCHMARKS.md round 2).  Only consulted on TPU
-    # backends; CPU always uses the XLA banded matmuls.
+    # integer accumulation as the XLA banded path (bit-identical i32
+    # sums; the final f32 scale multiply can differ by 1 ulp, observed
+    # <= 6e-8, which only matters if a hue lands exactly on a bin edge)
+    # but one pass through VMEM — 0.042 vs 0.050 ms/frame stereo 1080p
+    # chunked on the v5e (docs/BENCHMARKS.md round 2).  Only consulted
+    # on TPU backends; CPU always uses the XLA banded matmuls.
     use_pallas_pool: bool = True
     # Apply the spectral HP/LP filter driven by the hp/lp live params.
     # The reference plumbs these parameters all the way into its kernel but

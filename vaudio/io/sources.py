@@ -336,6 +336,13 @@ class ArraySource:
     uint8 tensors are kept as uint8 by default — the device step normalizes
     on-chip, so host->device ingest ships 1 byte per channel instead of 4
     (pass ``as_float=True`` to convert up front instead).
+
+    A 3-D ``[H, W, 3]`` array is accepted as a single frame (wrapped to a
+    T=1 clip).  Ambiguity note: a ``[T, H, 3]`` clip of 3-pixel-wide
+    frames has the same shape signature and is therefore interpreted as
+    ONE ``[H, W, 3]`` frame — pass such degenerate clips pre-expanded as
+    ``frames[:, :, None, :]`` broadcast to ``[T, H, W, 3]``, or as an
+    explicit 4-D tensor.
     """
 
     def __init__(self, frames: np.ndarray, fps: float = 30.0,

@@ -228,12 +228,24 @@ class StreamingAuralizer:
 
     def run_until_exhausted(self, source: Iterable[np.ndarray],
                             timeout: float = 60.0) -> None:
-        """Synchronously process an entire finite source."""
+        """Synchronously process an entire finite source.
+
+        Raises :class:`TimeoutError` if the producer has not finished
+        within ``timeout`` seconds — a hung producer must not be
+        indistinguishable from completion.  The stream is stopped (and
+        the producer thread asked to exit) before raising.
+        """
         self.start(source)
         t0 = time.monotonic()
         while self._thread is not None and self._thread.is_alive():
             if time.monotonic() - t0 > timeout:
-                break
+                self._stop_event.set()
+                self._running = False
+                self.metrics.end_time = time.monotonic()
+                self.raise_if_failed()
+                raise TimeoutError(
+                    f"stream producer still running after {timeout:.1f}s "
+                    f"({self.metrics.frames_processed} frames processed)")
             time.sleep(0.001)
         self._running = False
         self.metrics.end_time = time.monotonic()

@@ -628,11 +628,16 @@ def frame_stats(frame, cfg: AuralizerConfig,
         planes = jnp.transpose(frame, (2, 0, 1))          # (3, H, W)
         h, w = planes.shape[1:]
         from vaudio.ops import pool_kernel
+        # The kernel is TPU-Mosaic (pltpu VMEM block specs): select it only
+        # on an actual TPU backend ("tpu", or "axon" — this container's
+        # tunneled TPU plugin); any other backend (CPU, GPU) takes the XLA
+        # banded path, except tests' interpret-mode escape hatch on CPU.
+        backend = jax.default_backend()
         if (cfg.use_pallas_pool and frame.dtype == jnp.uint8
                 and not cfg.quantize_mips
                 and pool_kernel.supports(h, w, cfg.mip_level)
-                and (jax.default_backend() != "cpu"
-                     or _PALLAS_POOL_ON_CPU)):
+                and (backend in ("tpu", "axon")
+                     or (backend == "cpu" and _PALLAS_POOL_ON_CPU))):
             # Fused single-pass VMEM kernel — same integer math as the
             # XLA path (vaudio/ops/pool_kernel.py, bit-identical); falls
             # through to the banded matmuls for f32 inputs, quantize

@@ -152,6 +152,33 @@ class Auralizer:
     def is_running(self) -> bool:
         return self._stream.is_running
 
+    def attach_control(self, path_or_file, **kwargs):
+        """Attach a JSON-lines live-parameter control channel (FIFO, file,
+        or open file object): each line is a JSON object of LiveParams
+        updates applied mid-stream without recompilation — the equivalent
+        of the reference's control-panel sliders mutating ``@Published``
+        params while processing runs (ControlPanelView.swift:11-43,
+        ExtraControlView.swift:10-52).  Returns the started
+        :class:`~vaudio.runtime.control.ControlChannel` (stopped
+        automatically by :meth:`stop`)."""
+        return self._stream.attach_control(path_or_file, **kwargs)
+
+    def live_debug(self, out_dir: str, every_frames: int = 30,
+                   full_heatmaps: bool = False):
+        """Start a live-refreshing debug surface: PNGs + an auto-refresh
+        ``index.html`` re-rendered every ``every_frames`` processed frames
+        while the stream runs (the TimelineView(.animation) equivalent;
+        vaudio.runtime.control.LiveDebugRenderer).  The stream must be
+        constructed with ``debug=True``.  Returns the started renderer
+        (call ``.stop()`` when done)."""
+        from vaudio.runtime.control import LiveDebugRenderer
+        if not self._stream.debug:
+            raise ValueError("live_debug requires debug=True on this "
+                             "Auralizer (the stream publishes no debug "
+                             "state otherwise)")
+        return LiveDebugRenderer(self, out_dir, every_frames=every_frames,
+                                 full_heatmaps=full_heatmaps).start()
+
     def pull(self, n: int) -> np.ndarray:
         """Pull PCM — the AVAudioSourceNode render-callback equivalent."""
         return self._stream.pull(n)

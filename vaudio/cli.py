@@ -145,18 +145,40 @@ def cmd_stream(args) -> int:
     cfg, params = _build_config(args)
     h, w = (int(x) for x in args.size.split("x"))
     aur = Auralizer(config=cfg, params=params, realtime=args.realtime,
-                    debug=False)
+                    debug=bool(args.live_debug))
 
     path = "/dev/stdin" if args.input == "-" else args.input
     src = RawVideoSource(path, width=w, height=h, pix_fmt=args.pix_fmt,
                          fps=args.fps, raw=args.raw_yuv,
                          max_frames=args.max_frames)
+    if args.control:
+        # Live runtime control: JSON lines on a FIFO/file mutating the
+        # LiveParams mid-stream (the control-panel slider surface).
+        aur.attach_control(args.control)
+    live = None
+    if args.live_debug:
+        live = aur.live_debug(args.live_debug,
+                              every_frames=args.debug_every,
+                              full_heatmaps=args.debug_heatmaps)
+    player = None
+    if args.play:
+        from vaudio.io import SubprocessPlayer
+        player = SubprocessPlayer(cfg.sample_rate, cfg.channels)
+        print(f"stream: playing via {' '.join(player.command)}",
+              file=sys.stderr)
     aur.start(src.frames())
     out = sys.stdout.buffer
     quantum = 2048 * cfg.channels
     hop_samples = cfg.hop_size * cfg.channels
     written = 0
     import time as _time
+
+    def emit(pcm) -> int:
+        out.write(pcm.astype("<f4").tobytes())
+        if player is not None:
+            player.write(pcm)
+        return len(pcm)
+
     while True:
         aur.raise_if_failed()
         m = aur.metrics
@@ -166,9 +188,7 @@ def cmd_stream(args) -> int:
             # legitimately emit silence (SoundEngine.swift:184-189).
             if not running and fill == 0:
                 break
-            pcm = aur.pull(quantum)
-            out.write(pcm.astype("<f4").tobytes())
-            written += len(pcm)
+            written += emit(aur.pull(quantum))
             _time.sleep(quantum / cfg.sample_rate / cfg.channels * 0.9)
             continue
         # Free-running pipe mode: emit only REAL samples — pulling while
@@ -184,12 +204,16 @@ def cmd_stream(args) -> int:
                 _time.sleep(0.002)
                 continue
             break              # producer ended below warm-up: undrainable
-        pcm = aur.pull(min(quantum, fill * hop_samples))
-        out.write(pcm.astype("<f4").tobytes())
-        written += len(pcm)
+        written += emit(aur.pull(min(quantum, fill * hop_samples)))
     out.flush()
     print(f"stream: {written / cfg.sample_rate / cfg.channels:.2f}s of "
           f"PCM written; metrics: {aur.metrics}", file=sys.stderr)
+    if live is not None:
+        live.stop()
+    if player is not None:
+        code = player.close()
+        if code != 0:
+            print(f"stream: player exited with {code}", file=sys.stderr)
     aur.stop()
     return 0
 
@@ -341,6 +365,23 @@ def main(argv=None) -> int:
                         "EOF)")
     p.add_argument("--realtime", action="store_true",
                    help="pace at --fps instead of max throughput")
+    p.add_argument("--control", default=None, metavar="PATH",
+                   help="JSON-lines live-control feed (FIFO or file): "
+                        "each line is an object of LiveParams updates "
+                        "applied mid-stream without recompilation, e.g. "
+                        '{"attack": 0.2, "stereo_width": 0}')
+    p.add_argument("--live-debug", default=None, metavar="DIR",
+                   help="re-render the debug surface (PNGs + auto-"
+                        "refreshing index.html) to DIR while streaming")
+    p.add_argument("--debug-every", type=int, default=30,
+                   help="live-debug re-render cadence in processed frames")
+    p.add_argument("--debug-heatmaps", action="store_true",
+                   help="include per-pixel mode heatmaps in the live "
+                        "debug surface (one extra device dispatch per "
+                        "render)")
+    p.add_argument("--play", action="store_true",
+                   help="also play the PCM through a system audio player "
+                        "(aplay/pw-play/paplay/ffplay or $VAUDIO_PLAYER)")
     _add_config_args(p)
     p.set_defaults(fn=cmd_stream)
 

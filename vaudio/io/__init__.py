@@ -19,6 +19,8 @@ Sources mirror the reference's inputs:
 Sinks:
 
 * :func:`write_wav` — stdlib WAV writer (float32 -> PCM16).
+* :class:`SubprocessPlayer` — actual speaker playback via a CLI player
+  subprocess (the AVAudioSourceNode output, SoundEngine.swift:156-228).
 * The real-time pull sink lives in vaudio.runtime.stream (ring buffer).
 """
 
@@ -36,7 +38,7 @@ from vaudio.io.sources import (
     solid_color_frames,
     yuv420_to_rgb,
 )
-from vaudio.io.sinks import read_wav, write_wav
+from vaudio.io.sinks import SubprocessPlayer, read_wav, write_wav
 
 __all__ = [
     "ArraySource",
@@ -53,4 +55,5 @@ __all__ = [
     "solid_color_frames",
     "read_wav",
     "write_wav",
+    "SubprocessPlayer",
 ]

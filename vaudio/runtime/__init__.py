@@ -17,6 +17,7 @@ Execution modes:
 """
 
 from vaudio.runtime.checkpoint import load_state, save_state
+from vaudio.runtime.control import ControlChannel, LiveDebugRenderer
 from vaudio.runtime.chunked import (
     chunk_pipeline,
     make_chunk_pipeline,
@@ -31,6 +32,8 @@ from vaudio.runtime.step import (
 )
 
 __all__ = [
+    "ControlChannel",
+    "LiveDebugRenderer",
     "StepCarry",
     "load_state",
     "save_state",

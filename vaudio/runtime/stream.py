@@ -151,9 +151,14 @@ class StreamingAuralizer:
         self._error: Optional[BaseException] = None
         self._metrics_log = metrics_log
         self._metrics_fh = None
-        # Last debug snapshot (hues/grads/spectrum) — the ConvolutionDebugView
-        # data feed equivalent.
+        # Last debug snapshot (hues/grads/spectrum/pcm) — the
+        # ConvolutionDebugView data feed equivalent, refreshed per flush.
         self.debug_state: Dict[str, np.ndarray] = {}
+        # Most recent host-side frame (reference only, no copy): lets the
+        # live debug surface re-run the per-pixel heatmap analysis.
+        self.last_frame = None
+        # Optional attached live-control channel (stopped with the stream).
+        self._control = None
 
     def _log_metrics(self, latency_ms: float, n_frames: int) -> None:
         if self._metrics_log is None:
@@ -209,6 +214,9 @@ class StreamingAuralizer:
         buffers reset, but DSP carries — phases, previous spectrum — are
         retained, matching SoundEngine.swift:459-474)."""
         self._stop_event.set()
+        if self._control is not None:
+            self._control.stop()
+            self._control = None
         if self._thread is not None:
             self._thread.join(timeout=10.0)
             self._thread = None
@@ -225,6 +233,19 @@ class StreamingAuralizer:
             self.stop()
         elif source is not None:
             self.start(source)
+
+    def attach_control(self, path_or_file, **kwargs):
+        """Attach a JSON-lines live-parameter control channel (FIFO/file/
+        file object) mutating this stream's :class:`LiveParams` mid-run —
+        the ControlPanelView slider surface for the streaming front door
+        (vaudio.runtime.control.ControlChannel).  Started immediately;
+        stopped automatically by :meth:`stop`.  Returns the channel."""
+        from vaudio.runtime.control import ControlChannel
+        if self._control is not None:
+            self._control.stop()
+        self._control = ControlChannel(self.params, path_or_file,
+                                       **kwargs).start()
+        return self._control
 
     def run_until_exhausted(self, source: Iterable[np.ndarray],
                             timeout: float = 60.0) -> None:
@@ -303,12 +324,18 @@ class StreamingAuralizer:
             self.metrics.record(latency_ms, n_hops)
             self._log_metrics(latency_ms, n_hops)
             if self.debug:
-                self.debug_state = {
+                state = {
                     k: np.asarray(v)[-1] if n_hops > 1 else np.asarray(v)
                     for k, v in out.items() if k != "pcm"}
+                last = pcm[-1]
+                state["pcm"] = (last if self.cfg.channels == 1
+                                else last.reshape(-1, self.cfg.channels))
+                self.debug_state = state
 
         def dispatch(frames_np, t_capture):
             nonlocal pending
+            if self.debug:
+                self.last_frame = frames_np[-1]
             params_arrays = self.params.as_arrays()
             if len(frames_np) == 1:
                 frame_dev = jax.device_put(frames_np[0])

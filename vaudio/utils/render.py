@@ -174,7 +174,9 @@ def render_debug_surface(inspect_out: Dict[str, np.ndarray],
                          cfg: AuralizerConfig, out_dir: str,
                          spectrum: Optional[np.ndarray] = None,
                          pcm: Optional[np.ndarray] = None,
-                         heatmap_upscale: int = 4) -> Dict[str, str]:
+                         heatmap_upscale: int = 4,
+                         refresh_seconds: Optional[float] = None
+                         ) -> Dict[str, str]:
     """Write the ConvolutionDebugView + SpectrumView + TimeDomainFrameView
     surfaces for one analyzed frame as PNGs (+ a JSON with the numeric
     4x4 grid-overlay values).
@@ -184,6 +186,10 @@ def render_debug_surface(inspect_out: Dict[str, np.ndarray],
         (hues, grads, histogram, {hue,saturation,intensity}_map).
       spectrum / pcm: optional synthesis state to also render the
         spectrum and waveform views.
+      refresh_seconds: emit a ``<meta http-equiv=refresh>`` tag in
+        index.html so a browser pointed at a live-updating directory
+        re-reads it — the TimelineView(.animation) equivalent
+        (Views/SpectrumView.swift:18).  None = static page.
     Returns: {name: written path}.
     """
     os.makedirs(out_dir, exist_ok=True)
@@ -223,12 +229,14 @@ def render_debug_surface(inspect_out: Dict[str, np.ndarray],
         json.dump(grid, f, indent=2)
     written["grid_overlay"] = grid_path
 
-    written["index"] = write_debug_html(out_dir, written, grid)
+    written["index"] = write_debug_html(out_dir, written, grid,
+                                        refresh_seconds=refresh_seconds)
     return written
 
 
 def write_debug_html(out_dir: str, written: Dict[str, str],
-                     grid: Dict) -> str:
+                     grid: Dict,
+                     refresh_seconds: Optional[float] = None) -> str:
     """Assemble the rendered artifacts into one ``index.html`` — the
     single-page equivalent of the reference's debug screen (heatmap +
     pickers + grid overlay + hue matrix + spectrum + waveform on one
@@ -261,7 +269,10 @@ def write_debug_html(out_dir: str, written: Dict[str, str],
                                    lambda v: f"{v:.3f}")
         for mode in MODE_NAMES if mode in grid["grads"])
 
-    html = f"""<!doctype html><meta charset="utf-8">
+    refresh = (f'<meta http-equiv="refresh" '
+               f'content="{refresh_seconds:g}">'
+               if refresh_seconds else "")
+    html = f"""<!doctype html><meta charset="utf-8">{refresh}
 <title>vaudio debug surface</title>
 <style>
  body {{ background:#111; color:#ddd; font:14px system-ui; margin:2em; }}

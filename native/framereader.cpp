@@ -16,8 +16,11 @@
 //   * EOF or read error marks the stream done; va_fr_next then returns -1
 //     after draining;
 //   * acquire/release protocol: va_fr_next hands out a filled slot index,
-//     va_fr_release returns it to the pool (zero-copy on the consumer
-//     side — NumPy wraps the slot's memory directly).
+//     va_fr_release returns it to the pool.  The Python binding exposes
+//     both a copying API (frames_bytes: slot released immediately) and a
+//     true zero-copy API (frames_view: NumPy wraps the slot's memory
+//     directly; release deferred by a lag so in-flight consumers finish
+//     before the slot is recycled) — vaudio/io/sources.py.
 //
 // Plain C ABI for ctypes binding (no pybind11 in the image).
 

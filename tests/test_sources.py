@@ -127,6 +127,52 @@ class TestRawVideoSource:
         np.testing.assert_array_equal(frame["u"], u)
         np.testing.assert_array_equal(frame["v"], v)
 
+    def test_zero_copy_views_correct_and_recycled(self, tmp_path, rng):
+        """frames_view yields correct read-only views over POOL memory
+        (addresses cycle through <= n_buffers slots — true zero copy),
+        and a view held past the release lag is overwritten."""
+        from vaudio.io import NativeFrameReader
+        n, fb = 8, 192
+        frames = rng.integers(0, 256, (n, fb), dtype=np.uint8)
+        p = str(tmp_path / "clip.raw")
+        frames.tofile(p)
+        r = NativeFrameReader(p, frame_bytes=fb, n_buffers=4)
+        addrs, held = [], None
+        held_copy = None
+        for i, view in enumerate(r.frames_view(release_lag=2)):
+            assert not view.flags.writeable
+            np.testing.assert_array_equal(view, frames[i])  # in-window
+            addrs.append(view.__array_interface__["data"][0])
+            if i == 0:
+                held, held_copy = view, view.copy()
+        r.close()
+        assert len(addrs) == n
+        assert len(set(addrs)) <= 4          # pool memory, not fresh allocs
+        # Frame 0's slot was recycled and refilled by a later frame.
+        assert not np.array_equal(held, held_copy)
+
+    def test_zero_copy_stream_matches_copying_stream(self, fifo, tmp_path,
+                                                     rng):
+        """End to end on the real consumer: the pipelined streaming
+        producer over a zero-copy source produces the same PCM as the
+        copying source — the lag-2 release window is honored."""
+        from vaudio.api import Auralizer
+        from vaudio.config import AuralizerConfig
+        h, w, n = 32, 32, 8
+        frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        path = str(tmp_path / "clip.rgb")
+        frames.tofile(path)
+        cfg = AuralizerConfig(mip_level=2)
+        pcms = {}
+        for zc in (False, True):
+            aur = Auralizer(config=cfg, debug=False)
+            src = RawVideoSource(path, width=w, height=h, zero_copy=zc,
+                                 max_frames=n)
+            aur.run_until_exhausted(src.frames(), timeout=120)
+            pcms[zc] = aur.pull(n * 2048)
+            aur.stop()
+        np.testing.assert_array_equal(pcms[True], pcms[False])
+
     def test_rejects_bad_format(self):
         with pytest.raises(ValueError, match="pix_fmt"):
             RawVideoSource("x", 8, 8, pix_fmt="yuyv")

@@ -150,7 +150,8 @@ def cmd_stream(args) -> int:
     path = "/dev/stdin" if args.input == "-" else args.input
     src = RawVideoSource(path, width=w, height=h, pix_fmt=args.pix_fmt,
                          fps=args.fps, raw=args.raw_yuv,
-                         max_frames=args.max_frames)
+                         max_frames=args.max_frames,
+                         zero_copy=args.zero_copy)
     if args.control:
         # Live runtime control: JSON lines on a FIFO/file mutating the
         # LiveParams mid-stream (the control-panel slider surface).
@@ -365,6 +366,11 @@ def main(argv=None) -> int:
                         "EOF)")
     p.add_argument("--realtime", action="store_true",
                    help="pace at --fps instead of max throughput")
+    p.add_argument("--zero-copy", action="store_true",
+                   help="zero-copy ingest: frames are NumPy views over "
+                        "the native reader's buffer pool (saves a "
+                        "frame-sized memcpy per frame; safe for this "
+                        "single-frame pipelined stream loop)")
     p.add_argument("--control", default=None, metavar="PATH",
                    help="JSON-lines live-control feed (FIFO or file): "
                         "each line is an object of LiveParams updates "

@@ -91,8 +91,13 @@ class NativeFrameReader:
     native equivalent of the reference's capture-delegate thread
     (VisionEngine.swift:55-75).
 
-    Iterate :meth:`frames_bytes` for per-frame ``bytes`` (one copy out of
-    the pool slot; the slot is recycled immediately).
+    Two consumption APIs:
+
+    * :meth:`frames_bytes` — per-frame ``bytes`` (one copy out of the
+      pool slot; the slot is recycled immediately; no lifetime rules).
+    * :meth:`frames_view` — TRUE zero-copy: read-only NumPy views over
+      the slot memory itself, with a deferred release protocol (a slot
+      is recycled ``release_lag`` iterations after it was yielded).
     """
 
     def __init__(self, path: str, frame_bytes: int, n_buffers: int = 4,
@@ -112,23 +117,70 @@ class NativeFrameReader:
         self.frame_bytes = frame_bytes
         self.timeout_ms = timeout_ms
 
-    def frames_bytes(self) -> Iterator[bytes]:
-        import ctypes
+    def _next_slot(self) -> int:
+        """Block for the next filled slot; -1 = stream done and drained."""
         while True:
             slot = self._lib.va_fr_next(
                 self._h,
                 self.timeout_ms if self.timeout_ms is not None else 1000)
-            if slot == -1:
-                return                     # stream done and drained
             if slot == -2:
                 if self.timeout_ms is None:
                     continue               # block until frames arrive
                 raise TimeoutError(
                     f"no frame within {self.timeout_ms} ms")
+            return slot
+
+    def frames_bytes(self) -> Iterator[bytes]:
+        import ctypes
+        while True:
+            slot = self._next_slot()
+            if slot == -1:
+                return                     # stream done and drained
             ptr = self._lib.va_fr_buffer(self._h, slot)
             data = ctypes.string_at(ptr, self.frame_bytes)
             self._lib.va_fr_release(self._h, slot)
             yield data
+
+    def frames_view(self, release_lag: int = 2) -> Iterator[np.ndarray]:
+        """Zero-copy frame iteration: yields read-only u8[frame_bytes]
+        NumPy views wrapping the pool slot's memory directly (the
+        protocol framereader.cpp's acquire/release was built for — no
+        per-frame memcpy, ~6 MB saved per 1080p RGB frame).
+
+        Lifetime contract: the view yielded at iteration *n* is backed
+        by pool memory that is recycled at iteration ``n + release_lag``
+        (and on generator close).  The consumer must be finished reading
+        a frame — e.g. its device transfer forced — within that window;
+        consumers that buffer frames longer (the chunk-batched stream
+        path) must copy or use :meth:`frames_bytes`.  The default lag of
+        2 matches the pipelined streaming producer, which fully consumes
+        frame k while dispatching frame k+1 (vaudio/runtime/stream.py).
+
+        Requires ``n_buffers > release_lag`` so the reader thread always
+        has a free slot to fill ahead.
+        """
+        import ctypes
+        from collections import deque
+        if release_lag < 1:
+            raise ValueError("release_lag must be >= 1")
+        pending: deque = deque()
+        try:
+            while True:
+                slot = self._next_slot()
+                if slot == -1:
+                    return
+                ptr = self._lib.va_fr_buffer(self._h, slot)
+                buf = (ctypes.c_uint8 * self.frame_bytes).from_address(
+                    ctypes.addressof(ptr.contents))
+                view = np.frombuffer(buf, np.uint8)
+                view.flags.writeable = False
+                pending.append(slot)
+                while len(pending) > release_lag:
+                    self._lib.va_fr_release(self._h, pending.popleft())
+                yield view
+        finally:
+            while pending:
+                self._lib.va_fr_release(self._h, pending.popleft())
 
     @property
     def frames_read(self) -> int:
@@ -190,12 +242,24 @@ class RawVideoSource:
                  pix_fmt: str = "rgb24", fps: float = 30.0,
                  studio_swing: bool = True, raw: bool = False,
                  max_frames: Optional[int] = None,
-                 native: Optional[bool] = None):
+                 native: Optional[bool] = None,
+                 zero_copy: bool = False):
         """``native``: use the C++ double-buffered reader
         (:class:`NativeFrameReader` — a background thread overlaps frame
         I/O with the consumer's device dispatch).  None = auto (native
         when the library loads, silent Python fallback otherwise);
-        True = required; False = pure Python."""
+        True = required; False = pure Python.
+
+        ``zero_copy``: with the native reader, yield frames as read-only
+        NumPy views over the reader's pool slots instead of copying each
+        frame out (:meth:`NativeFrameReader.frames_view` — saves a
+        frame-sized memcpy per frame, ~6 MB at 1080p RGB).  Lifetime
+        contract: a yielded frame's memory is recycled two iterations
+        later, so the consumer must be done with frame k before pulling
+        frame k+2 — true for the pipelined single-frame streaming
+        producer, NOT for consumers that buffer frames (chunked
+        streaming) or keep long-lived references.  Ignored (plain
+        copies) when the native reader is unavailable."""
         if pix_fmt not in ("rgb24", "i420", "nv12"):
             raise ValueError(f"unknown pix_fmt {pix_fmt!r} "
                              f"(expected rgb24, i420 or nv12)")
@@ -209,6 +273,7 @@ class RawVideoSource:
         self.raw = raw
         self.max_frames = max_frames
         self.native = native
+        self.zero_copy = zero_copy
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -247,7 +312,10 @@ class RawVideoSource:
                     raise
             if reader is not None:
                 try:
-                    yield from reader.frames_bytes()
+                    if self.zero_copy:
+                        yield from reader.frames_view()
+                    else:
+                        yield from reader.frames_bytes()
                 finally:
                     reader.close()
                 return

@@ -335,7 +335,11 @@ class StreamingAuralizer:
         def dispatch(frames_np, t_capture):
             nonlocal pending
             if self.debug:
-                self.last_frame = frames_np[-1]
+                # Copy: a zero-copy source view's memory is recycled two
+                # iterations later, but last_frame outlives that window.
+                last = frames_np[-1]
+                self.last_frame = (last if isinstance(last, dict)
+                                   else np.array(last))
             params_arrays = self.params.as_arrays()
             if len(frames_np) == 1:
                 frame_dev = jax.device_put(frames_np[0])

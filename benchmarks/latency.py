@@ -1,17 +1,22 @@
 #!/usr/bin/env python
 """Frame->audio latency benchmark (north star: p50 < 33 ms on one chip).
 
-Produces a committed JSON artifact (default benchmarks/LATENCY_r02.json)
-with BOTH quantities the budget question needs:
+Produces a committed JSON artifact (default benchmarks/LATENCY_r03.json)
+with the quantities the budget question needs:
 
-1. ``streaming``: the reference's probe semantics through the live host
-   loop — wall clock from frame capture to PCM landing in the ring buffer
-   (SoundEngine.swift:430-434), using the PIPELINED producer (frame k+1
-   dispatched before blocking on frame k, vaudio/runtime/stream.py).  On
-   the CI environment this is dominated by the TPU tunnel's per-dispatch
-   relay overhead; the artifact records it as the honest end-to-end
-   number FOR THIS TRANSPORT.
-2. ``decomposed``: each hardware-bound term measured separately —
+1. ``steady_state``: the reference's probe semantics through the live
+   host loop — wall clock from frame capture to PCM landing in the ring
+   buffer (SoundEngine.swift:430-434) — measured the way a latency
+   number must be: input paced at a rate the transport sustains and a
+   CONSUMER thread draining the ring at the audio cadence (the
+   AVAudioSourceNode pull, SoundEngine.swift:167-217), so p50/p99 are
+   steady-state figures, not a growing-backlog artifact.  Also a
+   ``chunked`` variant (chunk_frames > 1: adds buffering latency,
+   amortizes per-dispatch overhead).
+2. ``overloaded``: the same loop deliberately fed at 30 fps with no
+   consumer — the saturation behavior (ring drops, backlog growth),
+   labeled as such.
+3. ``decomposed``: each hardware-bound term measured separately —
    H2D of a uint8 frame (distinct data per rep, defeating the tunnel's
    identical-dispatch dedup), the marginal device step time (scan slope,
    the same method as bench.py), and the PCM readback — whose sum is the
@@ -37,27 +42,81 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_streaming(cfg, frames):
-    """The reference-probe number through the pipelined host loop."""
-    from vaudio.api import Auralizer
-    # Warm the compile cache outside the timed run.
-    warm = Auralizer(config=cfg, realtime=True, debug=False)
-    warm.run_until_exhausted(frames[:2], timeout=600)
-    warm.stop()
+def measure_streaming(cfg, frames, fps, chunk_frames=1, drain=True):
+    """The reference-probe number through the pipelined host loop.
 
-    aur = Auralizer(config=cfg, realtime=True, debug=False)
-    aur.run_until_exhausted(frames, timeout=600)
-    m = aur.metrics
-    aur.stop()
-    return {
-        "frames": m["frames_processed"],
-        "p50_ms": round(m["latency_p50_ms"], 2),
-        "p99_ms": round(m["latency_p99_ms"], 2),
-        "hardware_latency_ms": round(m["hardware_latency_ms"], 2),
-        "total_p50_ms": round(m["total_latency_p50_ms"], 2),
-        "achieved_fps": round(m["achieved_fps"], 2),
-        "dropped_frames": m["dropped_frames"],
+    ``fps``: producer pacing.  ``drain``: run a consumer thread pulling
+    512-sample quanta at the audio-hardware cadence (the
+    AVAudioSourceNode equivalent) so the ring never backs up — required
+    for a steady-state p50.  ``fps`` above the sustainable rate with
+    ``drain=False`` gives the labeled overload case."""
+    import dataclasses
+    import threading
+    import time as _time
+
+    from vaudio.runtime.stream import StreamingAuralizer
+    cfg_run = dataclasses.replace(cfg, video_fps=fps)
+    # Warm the compile cache outside the timed run.
+    s = StreamingAuralizer(cfg_run, realtime=True, debug=False,
+                           chunk_frames=chunk_frames)
+    s.run_until_exhausted(list(frames[:max(2, 2 * chunk_frames)]),
+                          timeout=900)
+    s.stop()
+    s = StreamingAuralizer(cfg_run, realtime=True, debug=False,
+                           chunk_frames=chunk_frames)
+
+    stop_drain = threading.Event()
+
+    def consumer():
+        quantum = 512 * cfg.channels
+        period = 512.0 / cfg.sample_rate
+        while not stop_drain.is_set():
+            t0 = _time.monotonic()
+            s.pull(quantum)
+            dt = period - (_time.monotonic() - t0)
+            if dt > 0:
+                _time.sleep(dt)
+
+    # Trim to a chunk multiple: a trailing partial chunk is re-dispatched
+    # as single frames through a DIFFERENT (untraced) graph and its
+    # compile would pollute the tail percentiles.
+    if chunk_frames > 1:
+        frames = frames[:len(frames) // chunk_frames * chunk_frames]
+
+    drain_thread = None
+    if drain:
+        drain_thread = threading.Thread(target=consumer, daemon=True)
+        drain_thread.start()
+    try:
+        s.run_until_exhausted(iter(frames), timeout=900)
+    finally:
+        stop_drain.set()
+        if drain_thread is not None:
+            drain_thread.join(timeout=5)
+    m = s.metrics
+    ring = s.ring
+    # Steady-state percentiles: drop the first few records (fresh-process
+    # trace/cache-load transients), keeping the full set if the run is
+    # too short to spare them.
+    lat = list(m._latencies_ms)
+    skip = 3 if len(lat) > 8 else 0
+    lat_ss = np.asarray(lat[skip:]) if lat else np.asarray([0.0])
+    out = {
+        "input_fps": fps,
+        "chunk_frames": chunk_frames,
+        "drained": drain,
+        "frames": m.frames_processed,
+        "skipped_warmup_records": skip,
+        "p50_ms": round(float(np.percentile(lat_ss, 50)), 2),
+        "p99_ms": round(float(np.percentile(lat_ss, 99)), 2),
+        "hardware_latency_ms": round(s.sink_latency_ms, 2),
+        "total_p50_ms": round(float(np.percentile(lat_ss, 50))
+                              + s.sink_latency_ms, 2),
+        "achieved_fps": round(m.achieved_fps, 2),
+        "dropped_frames": int(getattr(ring, "dropped_frames", 0)),
     }
+    s.stop()
+    return out
 
 
 def measure_decomposed(cfg, h, w):
@@ -183,27 +242,44 @@ def main():
     out_path = os.environ.get(
         "VAUDIO_LAT_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "LATENCY_r02.json"))
+                     "LATENCY_r03.json"))
 
     cfg = AuralizerConfig(sample_rate=48000.0)
     log(f"latency: backend={jax.default_backend()} device="
         f"{jax.devices()[0]} frame={h}x{w}")
 
-    rng = np.random.default_rng(0)
+    # Per-process seed salt: the relay's dispatch dedup spans processes
+    # (CLAUDE.md) — a fixed seed would replay last run's chain.
+    rng = np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
     frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
 
     decomposed = measure_decomposed(cfg, h, w)
     log(f"latency decomposed: {decomposed}")
-    streaming = measure_streaming(cfg, frames)
-    log(f"latency streaming (pipelined host loop): {streaming}")
+
+    # Steady state: pace input at 80% of what one pipelined dispatch
+    # sustains through THIS transport, with a draining consumer.
+    sustainable = 1000.0 / max(decomposed["device_step_with_dispatch_ms"],
+                               1e-3)
+    steady_fps = round(min(30.0, 0.8 * sustainable), 2)
+    steady = measure_streaming(cfg, frames, fps=steady_fps, drain=True)
+    log(f"latency steady-state ({steady_fps} fps, drained): {steady}")
+    steady_chunked = measure_streaming(cfg, frames, fps=steady_fps,
+                                       chunk_frames=8, drain=True)
+    log(f"latency steady-state chunked x8: {steady_chunked}")
+    overloaded = measure_streaming(cfg, frames, fps=30.0, drain=False)
+    log(f"latency overloaded (30 fps, no consumer): {overloaded}")
 
     artifact = {
         "config": {"frame": f"{h}x{w}", "sample_rate": cfg.sample_rate,
                    "frames": n,
                    "backend": str(jax.devices()[0])},
         "budget_ms": 33.0,
-        "streaming_tunnel": streaming,
+        "steady_state": steady,
+        "steady_state_chunked": steady_chunked,
+        "overloaded": overloaded,
         "decomposed_hardware_bound": decomposed,
+        "steady_state_within_budget":
+            steady["total_p50_ms"] < 33.0,
         "hardware_bound_within_budget":
             decomposed["hardware_bound_total_ms"] < 33.0,
     }

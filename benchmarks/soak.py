@@ -1,26 +1,42 @@
 #!/usr/bin/env python
-"""Long-run DSP-state stability soak (VERDICT r1 item 10).
+"""Long-run DSP-state stability soak (VERDICT r1 item 10, realism r2 #2).
 
 Streams N frames (default 100k ≈ 55 minutes of video ≈ 1.16 h of audio)
-at 64x64 through the scan runtime in chunks, asserting the recurrent
-state stays healthy the whole way:
+through the scan runtime in chunks, asserting the recurrent state stays
+healthy the whole way:
 
-* PCM finite and within the post-OLA amplitude bound every chunk;
-* the AGC envelope (running_max) bounded — no slow blow-up or collapse
-  (SoundEngine.swift:412-426's running max is the state most exposed to
-  drift);
+* PCM finite, within the post-OLA amplitude bound, and with NON-TRIVIAL
+  RMS every chunk — the synthesis path is actually producing audio;
+* the hue EMA actually moves: input frames are structured (per-cell
+  solid colors cycling through the hue wheel) so every cell passes the
+  count>20 histogram gate (VisionEngine.swift:263-269) and the smoothed
+  hues change across the run — asserted, not assumed;
+* the AGC envelope (running_max) bounded in a realistic-signal range —
+  no slow blow-up or collapse (SoundEngine.swift:412-426's running max
+  is the state most exposed to drift);
 * phase accumulators within [0, 2pi) — the mod-2pi wrap never degrades
   (SoundEngine.swift:257-286);
 * OLA tail finite.
+
+Input realism: each frame is a 4x4 grid of solid-color cells; the base
+hue advances a small irrational-ish step per frame (several full hue
+cycles per chunk) and each cell carries a fixed hue offset, so the hue
+argmax, EMA recurrence, per-cell f0 mapping and full synthesis all run
+at realistic amplitudes.  Three hue-offset banks alternate so
+consecutive chunks end in different hue states (a single reused bank
+would make every chunk end identically — the EMA forgets its start
+within a chunk).
 
 Usage: python benchmarks/soak.py
   VAUDIO_SOAK_FRAMES=N      total frames (default 100000)
   VAUDIO_SOAK_BUDGET_S=S    wall-clock bound, 0 = none (default 0)
   VAUDIO_SOAK_CHUNK=T       frames per device dispatch (default 2000)
-  VAUDIO_SOAK_SIZE=S        frame side (default 256 — large enough that
-                            cells pass the count>20 hue gate, so the hue
-                            EMA and full synthesis run; 64 keeps the
-                            CPU-bounded CI variant cheap)
+  VAUDIO_SOAK_SIZE=S        frame side (default 256: mip-3 gives 64
+                            px/cell, comfortably past the count>20 hue
+                            gate for solid cells)
+  VAUDIO_SOAK_MIP=L         mip level (default 3; the CPU-bounded CI
+                            variant uses size 64 + mip 1 for the same
+                            64 px/cell gate margin at 9x less pixel work)
   VAUDIO_SOAK_OUT=path      write the summary JSON artifact
 
 Exits non-zero on the first health violation; prints one JSON line.
@@ -36,11 +52,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def build_bank(chunk: int, size: int, bank_idx: int, grid: int = 4
+               ) -> np.ndarray:
+    """u8[chunk, size, size, 3] of per-cell solid colors.
+
+    Frame ``i`` of bank ``b`` uses base hue ``(b*chunk + i) * step`` with
+    a fixed per-cell offset — deterministic, structured, hue-cycling
+    content (the tutorial screen's solid-color harness semantics,
+    Tutorial/TutorialStart.swift:109-124, tiled per cell)."""
+    from vaudio.utils.render import hsb_to_rgb_array
+    step = 0.003819            # ~7.6 hue cycles per 2000-frame chunk
+    idx = np.arange(bank_idx * chunk, (bank_idx + 1) * chunk)
+    base = (idx * step) % 1.0
+    cell_off = (np.arange(grid * grid, dtype=np.float64)
+                .reshape(grid, grid) / 20.0)
+    hues = (base[:, None, None] + cell_off) % 1.0
+    rgb8 = (hsb_to_rgb_array(hues.astype(np.float32)) * 255.0 + 0.5
+            ).astype(np.uint8)                       # (chunk, g, g, 3)
+    rep = size // grid
+    return np.repeat(np.repeat(rgb8, rep, axis=1), rep, axis=2)
+
+
 def run_soak(total_frames: int = 100_000, budget_s: float = 0.0,
-             chunk: int = 2000, size: int = 256, seed: int = 0,
-             log=print) -> dict:
+             chunk: int = 2000, size: int = 256, mip_level: int = 3,
+             n_banks: int = 3, log=print) -> dict:
     """Run the soak; returns the summary dict (raises AssertionError on a
     health violation)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -50,16 +89,17 @@ def run_soak(total_frames: int = 100_000, budget_s: float = 0.0,
                                      init_carry)
     from vaudio.synth import SynthConstants
 
-    cfg = AuralizerConfig()
+    cfg = dataclasses.replace(AuralizerConfig(), mip_level=mip_level)
+    mip_px_per_cell = (size >> mip_level) ** 2 // cfg.num_cells
+    assert mip_px_per_cell > cfg.hist_count_gate, \
+        (f"soak input would not pass the hue gate: {mip_px_per_cell} "
+         f"mip px/cell <= gate {cfg.hist_count_gate}")
     consts = SynthConstants.create(cfg)
     window = jnp.asarray(hann_window_norm(cfg.nfft))
     params = default_params(cfg)
 
-    # A bank of varied frames reused cyclically: content changes per frame
-    # (hue jumps exercise the phase/EMA paths) without host regeneration.
-    rng = np.random.default_rng(seed)
-    bank = rng.integers(0, 256, (chunk, size, size, 3), dtype=np.uint8)
-    frames = jax.device_put(jnp.asarray(bank))
+    banks = [jax.device_put(jnp.asarray(build_bank(chunk, size, b)))
+             for b in range(n_banks)]
 
     @jax.jit
     def scan_chunk(carry, frames):
@@ -71,8 +111,11 @@ def run_soak(total_frames: int = 100_000, budget_s: float = 0.0,
     done = 0
     timed_from = 0
     t0 = time.monotonic()
-    max_envelope = 0.0
+    max_envelope, min_envelope = 0.0, float("inf")
+    min_rms = float("inf")
+    hue_states = set()
     two_pi = 2.0 * np.pi
+    chunk_i = 0
     while done < total_frames:
         # The wall-clock budget excludes the first chunk's compile time
         # (restart the clock after it) so a bounded CI run still covers
@@ -82,7 +125,8 @@ def run_soak(total_frames: int = 100_000, budget_s: float = 0.0,
             timed_from = done
         if budget_s and done > 0 and time.monotonic() - t0 > budget_s:
             break
-        carry, outs = scan_chunk(carry, frames)
+        carry, outs = scan_chunk(carry, banks[chunk_i % n_banks])
+        chunk_i += 1
         pcm = np.asarray(outs["pcm"])
         done += chunk
 
@@ -92,25 +136,51 @@ def run_soak(total_frames: int = 100_000, budget_s: float = 0.0,
         # Per-frame OLA renormalizes to peak 1; two overlapped windows of
         # the normalized Hann (sqrt(2/3)*2 amplitude) bound the output.
         assert peak <= 4.0, f"PCM peak {peak} blown up at {done}"
+        rms = float(np.sqrt(np.mean(np.square(pcm))))
+        min_rms = min(min_rms, rms)
+        # Solid-color cells above the hue gate must synthesize real
+        # audio — a near-silent chunk means the hue path died (the r2
+        # soak's failure mode: gate never opened, agc_envelope 3e-5).
+        assert rms > 1e-2, f"near-silent chunk (rms {rms:.2e}) at {done}"
+        # Envelope scale note: active full synthesis sits near ~3e-5 in
+        # absolute terms (per-cell 1/16 normalization spread over a
+        # 4096-pt frame) — the bound guards drift/blow-up/collapse, not
+        # absolute loudness; loudness is asserted via PCM RMS above.
         rm = float(np.asarray(carry.running_max))
-        assert np.isfinite(rm) and 1e-6 < rm < 1e6, \
+        assert np.isfinite(rm) and 1e-8 < rm < 1e3, \
             f"AGC envelope {rm} unhealthy at {done}"
         max_envelope = max(max_envelope, rm)
+        min_envelope = min(min_envelope, rm)
         ph = np.asarray(carry.phases)
         assert np.all((ph >= 0.0) & (ph < two_pi + 1e-4)), \
             f"phase accumulator left [0, 2pi) at {done}"
         assert np.all(np.isfinite(np.asarray(carry.ola_tail))), \
             f"non-finite OLA tail at {done}"
+        hue_states.add(tuple(np.asarray(carry.hues).tolist()))
+
+    # The hue EMA must actually have moved: different chunk-end states
+    # (offset banks guarantee distinct targets) and non-degenerate hues.
+    n_chunks = done // chunk
+    assert len(hue_states) >= min(n_chunks, 2), \
+        f"hue EMA frozen: {len(hue_states)} distinct states in " \
+        f"{n_chunks} chunks"
+    assert any(any(h != 0 for h in s) for s in hue_states), \
+        "hues never left 0 — the histogram gate never opened"
 
     dt = time.monotonic() - t0
     timed = done - (timed_from if done > chunk else 0)
     summary = {
         "metric": "soak_frames_healthy",
         "frames": done,
+        "size": size,
+        "mip_level": mip_level,
         "audio_seconds": round(done * cfg.hop_size / cfg.sample_rate, 1),
         "wall_s": round(dt, 1),
         "fps": round(timed / dt, 1) if dt > 0 else None,
         "agc_envelope_max": float(f"{max_envelope:.4g}"),
+        "agc_envelope_min": float(f"{min_envelope:.4g}"),
+        "pcm_rms_min": float(f"{min_rms:.4g}"),
+        "distinct_hue_states": len(hue_states),
         "ok": True,
     }
     log(json.dumps(summary))
@@ -127,4 +197,5 @@ if __name__ == "__main__":
         budget_s=float(os.environ.get("VAUDIO_SOAK_BUDGET_S", "0")),
         chunk=int(os.environ.get("VAUDIO_SOAK_CHUNK", "2000")),
         size=int(os.environ.get("VAUDIO_SOAK_SIZE", "256")),
+        mip_level=int(os.environ.get("VAUDIO_SOAK_MIP", "3")),
     )

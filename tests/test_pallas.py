@@ -187,3 +187,86 @@ class TestPoolKernel:
         assert not supports(64, 64, 0)          # level out of range
         # huge plane with an un-splittable width (prime-ish) falls back
         assert not supports(4096, 4096 + 8, 3)
+
+
+class TestVisionEpilogueKernel:
+    """Fused HSI+histogram+stencil+stats kernel vs the XLA stages
+    (interpret mode: same acos, so integer counts must match exactly)."""
+
+    def _xla_reference(self, mip, cfg):
+        from vaudio.vision import features as F
+        h, s, i = F.rgb_to_hsi_planes(mip[0], mip[1], mip[2])
+        hist = F.hue_histogram_planes(h, s, i, cfg)
+        imodes = F.feature_stencil_plane(i)
+        grads = F.cell_gradient_stats_planes(imodes, cfg)
+        return np.asarray(hist), np.asarray(grads)
+
+    @pytest.mark.parametrize("shape", [(16, 16), (135, 240), (34, 48)])
+    def test_matches_xla_stages(self, rng, shape):
+        from vaudio.ops.vision_kernel import supports, vision_stats_pallas
+        cfg = CFG
+        mip = rng.uniform(0, 1, (3,) + shape).astype(np.float32)
+        assert supports(shape[0], shape[1], cfg)
+        hist, grads = vision_stats_pallas(jnp.asarray(mip), cfg,
+                                          interpret=True)
+        hist_ref, grads_ref = self._xla_reference(jnp.asarray(mip), cfg)
+        np.testing.assert_array_equal(np.asarray(hist), hist_ref)
+        np.testing.assert_allclose(np.asarray(grads), grads_ref,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_gates_and_greys(self, rng):
+        """Grey pixels (den == 0) and dark pixels must gate exactly like
+        the XLA path."""
+        from vaudio.ops.vision_kernel import vision_stats_pallas
+        cfg = CFG
+        mip = rng.uniform(0, 1, (3, 32, 32)).astype(np.float32)
+        mip[:, :8, :] = 0.05          # dark: fails intensity gate
+        mip[:, 8:16, :] = 0.7         # grey: S == 0, fails sat gate
+        hist, grads = vision_stats_pallas(jnp.asarray(mip), cfg,
+                                          interpret=True)
+        hist_ref, grads_ref = self._xla_reference(jnp.asarray(mip), cfg)
+        np.testing.assert_array_equal(np.asarray(hist), hist_ref)
+        np.testing.assert_allclose(np.asarray(grads), grads_ref,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_supports_gating(self):
+        from vaudio.ops.vision_kernel import supports
+        cfg = CFG
+        assert not supports(16, 17, cfg)       # wm % cells != 0
+        assert not supports(1, 16, cfg)        # degenerate
+        cfg2 = dataclasses.replace(CFG, linear_cell_grads=False)
+        assert not supports(16, 16, cfg2)      # spatial grads unsupported
+
+    def test_frame_stats_integration(self, rng, monkeypatch):
+        """cfg.use_pallas_vision routes frame_stats through the fused
+        kernel (CPU interpret escape hatch) with identical outputs."""
+        from vaudio import vision
+        from vaudio.vision import features
+        frame = rng.integers(0, 256, (128, 128, 3)).astype(np.uint8)
+        cfg_off = dataclasses.replace(CFG, mip_level=3)
+        h_off, g_off, _ = vision.frame_stats(frame, cfg_off)
+        monkeypatch.setattr(features, "_PALLAS_POOL_ON_CPU", True)
+        cfg_on = dataclasses.replace(CFG, mip_level=3,
+                                     use_pallas_vision=True,
+                                     use_pallas_pool=False)
+        h_on, g_on, _ = vision.frame_stats(frame, cfg_on)
+        np.testing.assert_array_equal(np.asarray(h_on), np.asarray(h_off))
+        np.testing.assert_allclose(np.asarray(g_on), np.asarray(g_off),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_vmapped_over_frames(self, rng):
+        """The chunked pipeline vmaps frame_stats; the kernel must batch."""
+        import jax
+        from vaudio.ops.vision_kernel import vision_stats_pallas
+        cfg = CFG
+        mips = rng.uniform(0, 1, (4, 3, 32, 32)).astype(np.float32)
+        hist_b, grads_b = jax.vmap(
+            lambda m: vision_stats_pallas(m, cfg, interpret=True))(
+                jnp.asarray(mips))
+        for t in range(4):
+            h1, g1 = vision_stats_pallas(jnp.asarray(mips[t]), cfg,
+                                         interpret=True)
+            np.testing.assert_array_equal(np.asarray(hist_b[t]),
+                                          np.asarray(h1))
+            np.testing.assert_allclose(np.asarray(grads_b[t]),
+                                       np.asarray(g1), atol=1e-6)

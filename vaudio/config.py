@@ -109,6 +109,14 @@ class AuralizerConfig:
     # chunked on the v5e (docs/BENCHMARKS.md round 2).  Only consulted
     # on TPU backends; CPU always uses the XLA banded matmuls.
     use_pallas_pool: bool = True
+    # Use the fused Pallas vision-epilogue kernel (ops/vision_kernel.py):
+    # HSI + tiled histogram + intensity stencils + per-cell stats in one
+    # VMEM pass on the mip planes, replacing ~4 small XLA stages.  Only
+    # consulted on TPU backends for shapes ops.vision_kernel.supports
+    # accepts (tiled bin factorization + linear-slice grad fast path);
+    # integer histogram counts are conserved but a pixel whose hue lands
+    # exactly on a bin edge can move one bin (VPU vs XLA acos ulps).
+    use_pallas_vision: bool = False
     # Apply the spectral HP/LP filter driven by the hp/lp live params.
     # The reference plumbs these parameters all the way into its kernel but
     # the application is commented out (SpectrumCompute.metal:200-209) — the

@@ -12,6 +12,7 @@ from vaudio.ops.spectrum_kernel import (
     hann_peak_weighted_sum_batched,
     spectrum_pallas,
 )
+from vaudio.ops.vision_kernel import vision_stats_pallas
 
 __all__ = ["hann_peak_weighted_sum", "hann_peak_weighted_sum_batched",
-           "mip_pool_pallas", "spectrum_pallas"]
+           "mip_pool_pallas", "spectrum_pallas", "vision_stats_pallas"]

@@ -650,6 +650,20 @@ def frame_stats(frame, cfg: AuralizerConfig,
         else:
             mip = mip_downsample_planes(planes, cfg.mip_level,
                                         cfg.quantize_mips, scale=scale)
+    from vaudio.ops import vision_kernel
+    backend = jax.default_backend()
+    if (cfg.use_pallas_vision and not compute_debug_maps
+            and vision_kernel.supports(mip.shape[1], mip.shape[2], cfg)
+            and (backend in ("tpu", "axon")
+                 or (backend == "cpu" and _PALLAS_POOL_ON_CPU))):
+        # Fused epilogue: HSI + tiled histogram + intensity stencils +
+        # cell stats in one VMEM-resident kernel (ops/vision_kernel.py);
+        # the XLA stages below are the reference implementation and the
+        # fallback for debug maps / unsupported shapes / CPU.
+        hist, grads = vision_kernel.vision_stats_pallas(
+            mip, cfg, interpret=backend == "cpu")
+        return hist, grads, {"histogram": hist}
+
     h, s, i = rgb_to_hsi_planes(mip[0], mip[1], mip[2])
 
     hist = hue_histogram_planes(h, s, i, cfg)

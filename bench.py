@@ -28,7 +28,13 @@ Environment overrides:
   VAUDIO_BENCH_PALLAS=0/1   use the Pallas synthesis kernel
   VAUDIO_BENCH_PALLAS_AUDIO=0/1  use the Pallas AGC+OLA kernel
   VAUDIO_BENCH_PALLAS_POOL=0/1   fused Pallas mip-pool kernel (default 1)
+  VAUDIO_BENCH_PALLAS_VISION=0/1 fused vision-epilogue kernel (default 0:
+                                 measured 2.1x SLOWER in-pipeline even
+                                 frame-blocked — see docs/BENCHMARKS.md)
   VAUDIO_BENCH_CHANNELS=1/2 stereo (default) or mono headline config
+  VAUDIO_BENCH_QUANTIZE=0/1 strict-parity 8-bit mip chain
+                            (cfg.quantize_mips; disables the int8 pool
+                            fast paths by construction)
   VAUDIO_BENCH_MONO=0/1     also measure the mono config (default 1)
   VAUDIO_BENCH_SCAN=0/1     also measure the per-frame scan path (default 1)
   VAUDIO_BENCH_UNROLL=N     scan unroll factor (default 4)
@@ -77,6 +83,9 @@ def main() -> int:
                                       "0") == "1"
     use_pallas_pool = os.environ.get("VAUDIO_BENCH_PALLAS_POOL",
                                      "1") == "1"
+    use_pallas_vision = os.environ.get("VAUDIO_BENCH_PALLAS_VISION",
+                                       "0") == "1"
+    quantize = os.environ.get("VAUDIO_BENCH_QUANTIZE", "0") == "1"
     channels = int(os.environ.get("VAUDIO_BENCH_CHANNELS", "2"))
     also_mono = os.environ.get("VAUDIO_BENCH_MONO", "1") == "1" \
         and channels == 2
@@ -86,7 +95,8 @@ def main() -> int:
     dev = jax.devices()[0]
     log(f"bench: backend={backend} device={dev} frame={h}x{w} "
         f"chunks={chunks} pallas={use_pallas} pallas_audio="
-        f"{use_pallas_audio} pallas_pool={use_pallas_pool}")
+        f"{use_pallas_audio} pallas_pool={use_pallas_pool} "
+        f"pallas_vision={use_pallas_vision}")
 
     def measure(ch, mode="chunked"):
         """``mode``: 'chunked' = the chunk-batched pipeline (serial scan
@@ -97,6 +107,8 @@ def main() -> int:
         cfg = AuralizerConfig(sample_rate=48000.0, use_pallas=use_pallas,
                               use_pallas_audio=use_pallas_audio,
                               use_pallas_pool=use_pallas_pool,
+                              use_pallas_vision=use_pallas_vision,
+                              quantize_mips=quantize,
                               channels=ch)
         consts = SynthConstants.create(cfg)
         window = jnp.asarray(hann_window_norm(cfg.nfft))
@@ -194,6 +206,8 @@ def main() -> int:
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 10.0, 3),
     }
+    if quantize:
+        record["quantize_mips"] = True   # strict-parity 8-bit mip chain
     if os.environ.get("VAUDIO_BENCH_SCAN", "1") == "1":
         record["scan_path_x_realtime"] = round(measure(channels, "scan"),
                                                2)

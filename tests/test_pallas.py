@@ -270,3 +270,33 @@ class TestVisionEpilogueKernel:
                                           np.asarray(h1))
             np.testing.assert_allclose(np.asarray(grads_b[t]),
                                        np.asarray(g1), atol=1e-6)
+
+    def test_batched_matches_per_frame(self, rng):
+        from vaudio.ops.vision_kernel import (vision_stats_pallas,
+                                              vision_stats_pallas_batched)
+        cfg = CFG
+        mips = rng.uniform(0, 1, (6, 3, 32, 32)).astype(np.float32)
+        hb, gb = vision_stats_pallas_batched(jnp.asarray(mips), cfg,
+                                             interpret=True)
+        for t in range(6):
+            h1, g1 = vision_stats_pallas(jnp.asarray(mips[t]), cfg,
+                                         interpret=True)
+            np.testing.assert_array_equal(np.asarray(hb[t]),
+                                          np.asarray(h1))
+            np.testing.assert_allclose(np.asarray(gb[t]), np.asarray(g1),
+                                       atol=1e-6)
+
+    def test_chunked_pipeline_with_vision_kernel(self, rng, monkeypatch):
+        """End to end: the chunk-batched pipeline with the fused epilogue
+        produces the same audio as the XLA stages."""
+        from vaudio.runtime import run_offline_batched
+        from vaudio.vision import features
+        frames = rng.integers(0, 256, (10, 128, 128, 3)).astype(np.uint8)
+        cfg_off = dataclasses.replace(CFG, use_pallas_pool=False)
+        audio_off, _, _ = run_offline_batched(frames, cfg_off)
+        monkeypatch.setattr(features, "_PALLAS_POOL_ON_CPU", True)
+        cfg_on = dataclasses.replace(CFG, use_pallas_vision=True,
+                                     use_pallas_pool=False)
+        audio_on, _, _ = run_offline_batched(frames, cfg_on)
+        np.testing.assert_allclose(np.asarray(audio_on),
+                                   np.asarray(audio_off), atol=2e-5)

@@ -116,8 +116,12 @@ def supports(hm: int, wm: int, cfg) -> bool:
         return False
     if hm < 2 or wm < 2:
         return False
-    # ~13 f32 planes of intermediates live at once; stay well under VMEM.
-    return hm * wm * 4 * 16 <= (8 << 20)
+    # ~25 f32 planes of intermediates live at once (9 taps + HSI + bin
+    # digits + 4 stencil maps + temporaries): the 4K mip (270x480, ~13 MB
+    # of stack) overflows VMEM (measured), 1080p (135x240, ~3.4 MB) fits
+    # comfortably.  Budget keeps everything through ~1440p on-kernel;
+    # larger mips take the XLA stages.
+    return hm * wm * 4 * 26 <= (10 << 20)
 
 
 def _shifted_taps(p):
@@ -152,11 +156,15 @@ def _shifted_taps(p):
             for dy in (-1, 0, 1) for dx in (-1, 0, 1)}
 
 
-def _vision_kernel(mip_ref, hist_ref, grads_ref, *, cfg_vals, tiles):
+def _epilogue_one_frame(r, g, b, store_hist, store_grads, cfg_vals,
+                        tiles):
+    """Full epilogue for one frame's (hm, wm) planes.
+
+    ``store_hist(c, h3_f32)`` / ``store_grads(col, vals)`` are store
+    callbacks — the batched kernel indexes a leading frame dim directly
+    in the store (a ``.at[bi]`` sub-ref lowers to a memref_slice whose
+    unaligned minor dim Mosaic rejects)."""
     (sat_gate, int_gate, bins, f1, f2, cells, cw) = cfg_vals
-    r = mip_ref[0]
-    g = mip_ref[1]
-    b = mip_ref[2]
     hm, wm = r.shape
 
     # --- HSI (convolveFeatures.metal:14-38) ---
@@ -198,7 +206,7 @@ def _vision_kernel(mip_ref, hist_ref, grads_ref, *, cfg_vals, tiles):
             preferred_element_type=jnp.int32)            # (f1, f2)
         # hist stays (cells, f1, f2) in-kernel; the (f1*f2,) flatten is
         # a lane/sublane shape cast Mosaic won't do — caller reshapes.
-        hist_ref[c, :, :] = h3.astype(jnp.float32)
+        store_hist(c, h3.astype(jnp.float32))
 
     # --- intensity stencils (convolveFeatures.metal:94-113) ---
     taps = _shifted_taps(i)
@@ -239,10 +247,45 @@ def _vision_kernel(mip_ref, hist_ref, grads_ref, *, cfg_vals, tiles):
     # Per-band max: masked max per cell (no matmul form exists for max).
     aw = jnp.max(jnp.where(band.T > 0.0, aw_cols, -jnp.inf),
                  axis=1, keepdims=True)                  # (cells, 1)
-    grads_ref[:, 0:1] = jnp.sqrt(band_sum(sq_cols) / n).T
-    grads_ref[:, 1:2] = (band_sum(ay_cols) / n).T
-    grads_ref[:, 2:3] = (band_sum(az_cols) / n).T
-    grads_ref[:, 3:4] = aw
+    store_grads(0, jnp.sqrt(band_sum(sq_cols) / n).T)
+    store_grads(1, (band_sum(ay_cols) / n).T)
+    store_grads(2, (band_sum(az_cols) / n).T)
+    store_grads(3, aw)
+
+
+def _vision_kernel(mip_ref, hist_ref, grads_ref, *, cfg_vals, tiles):
+    """Single-frame block: mip_ref (3, hm, wm)."""
+    def store_hist(c, h3f):
+        hist_ref[c, :, :] = h3f
+
+    def store_grads(col, vals):
+        grads_ref[:, col:col + 1] = vals
+
+    _epilogue_one_frame(mip_ref[0], mip_ref[1], mip_ref[2],
+                        store_hist, store_grads, cfg_vals, tiles)
+
+
+def _vision_kernel_batched(mip_ref, hist_ref, grads_ref, *, cfg_vals,
+                           tiles, block: int):
+    """Frame-blocked batch: mip_ref (B, 3, hm, wm); frames loop inside
+    the kernel so the per-grid-step launch/DMA overhead amortizes (one
+    grid step per frame measured 83 vs 37 us/frame at 1080p chunk-64).
+    The loop is a fori_loop, not a static unroll: unrolling 8 frames of
+    this epilogue produced a >600k-op MLIR module that OOM-killed the
+    Mosaic compiler."""
+    def body(bi, carry):
+        def store_hist(c, h3f):
+            hist_ref[bi, c, :, :] = h3f
+
+        def store_grads(col, vals):
+            grads_ref[bi, :, col:col + 1] = vals
+
+        _epilogue_one_frame(mip_ref[bi, 0], mip_ref[bi, 1],
+                            mip_ref[bi, 2], store_hist, store_grads,
+                            cfg_vals, tiles)
+        return carry
+
+    jax.lax.fori_loop(0, block, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_size", "num_hue_bins",
@@ -285,6 +328,75 @@ def _vision_stats_call(mip, grid_size, num_hue_bins, sat_gate, int_gate,
         interpret=interpret,
     )(mip)
     return hist.reshape(cells, num_hue_bins), grads
+
+
+def _choose_block(t: int, hm: int, wm: int) -> int:
+    """Largest frame block B | T whose double-buffered input block plus
+    per-frame intermediates stay within the VMEM budget."""
+    plane = hm * wm * 4
+    for b in (16, 8, 4, 2, 1):
+        if t % b == 0 and (3 * b * plane * 2 + 26 * plane) <= (12 << 20):
+            return b
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("grid_size", "num_hue_bins",
+                                             "sat_gate", "int_gate",
+                                             "interpret"))
+def _vision_stats_batched_call(mips, grid_size, num_hue_bins, sat_gate,
+                               int_gate, interpret):
+    from vaudio.vision.features import _cell_tile_bounds
+    t, _, hm, wm = mips.shape
+    cells = grid_size * grid_size
+    f1, f2 = _bin_factorization(num_hue_bins)
+    cw = wm // cells
+    xb, yb = _cell_tile_bounds(hm, wm, grid_size)
+    tiles = []
+    for rr in range(grid_size):
+        x0, xw = xb[rr]
+        for cc in range(grid_size):
+            y0, yh = yb[cc]
+            tiles.append((y0, yh, x0, xw))
+    cfg_vals = (np.float32(sat_gate), np.float32(int_gate),
+                num_hue_bins, f1, f2, cells, cw)
+    block = _choose_block(t, hm, wm)
+    hist, grads = pl.pallas_call(
+        functools.partial(_vision_kernel_batched, cfg_vals=cfg_vals,
+                          tiles=tuple(tiles), block=block),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, cells, f1, f2), jnp.float32),
+            jax.ShapeDtypeStruct((t, cells, 4), jnp.float32),
+        ),
+        grid=(t // block,),
+        in_specs=[pl.BlockSpec((block, 3, hm, wm), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((block, cells, f1, f2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, cells, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=t * hm * wm * (30 + 2 * (f1 + f2) + 40),
+            bytes_accessed=t * (3 * hm * wm * 4
+                                + 4 * cells * (num_hue_bins + 4)),
+            transcendentals=2 * t * hm * wm,
+        ),
+        interpret=interpret,
+    )(mips)
+    return hist.reshape(t, cells, num_hue_bins), grads
+
+
+def vision_stats_pallas_batched(mips, cfg, interpret: bool = False):
+    """f32[T, 3, hm, wm] mip planes -> (hist f32[T, cells, bins],
+    grads f32[T, cells, 4]) — the chunk-batched pipeline's entry: frames
+    are processed in blocks per grid step so the kernel-launch overhead
+    amortizes (a one-frame-per-step vmap measured 2.2x SLOWER than the
+    XLA stages; see _vision_kernel_batched)."""
+    mips = jnp.asarray(mips, jnp.float32)
+    return _vision_stats_batched_call(
+        mips, cfg.grid_size, cfg.num_hue_bins,
+        float(cfg.saturation_gate), float(cfg.intensity_gate), interpret)
 
 
 def vision_stats_pallas(mip, cfg, interpret: bool = False):

@@ -102,11 +102,30 @@ def chunk_pipeline(carry: StepCarry, frames, params: Dict[str, Any],
     # independent: mip/HSI/histogram/grad matmuls get a T-deep batch on
     # the MXU); only the hue EMA + phase accumulation — 16 ints + a
     # (16, 32) add per frame — stay in a (tiny) serial scan. ----
-    def stats_one(frame):
-        hist, grads, _ = frame_stats(frame, cfg)
-        return hist, grads
+    from vaudio.vision import frame_mip_planes, use_vision_kernel
+    if isinstance(frames, dict):
+        hh, ww = frames["y"].shape[1], frames["y"].shape[2]
+    else:
+        hh, ww = frames.shape[1], frames.shape[2]
+    hm, wm = hh >> cfg.mip_level, ww >> cfg.mip_level
+    if use_vision_kernel(hm, wm, cfg):
+        # Fused vision-epilogue kernel, frame-blocked: the mips come
+        # from the (vmapped) pool stage, then ONE frame-blocked Pallas
+        # kernel does HSI + histogram + stencils + stats for the whole
+        # chunk (ops/vision_kernel.vision_stats_pallas_batched — a
+        # per-frame grid step measured 2.2x slower; blocking amortizes
+        # the launch overhead).
+        from vaudio.ops.vision_kernel import vision_stats_pallas_batched
+        mips = jax.vmap(lambda f: frame_mip_planes(f, cfg))(frames)
+        hists, grads_seq = vision_stats_pallas_batched(
+            mips, cfg, interpret=jax.default_backend() == "cpu")
+    else:
+        def stats_one(frame):
+            hist, grads, _ = frame_stats(frame, cfg)
+            return hist, grads
 
-    hists, grads_seq = jax.vmap(stats_one)(frames)     # (T,16,360),(T,16,4)
+        hists, grads_seq = jax.vmap(stats_one)(frames)
+        # (T,16,360), (T,16,4)
     max_vals, args = hist_max_and_arg(hists)           # (T, 16) each
 
     def pass_a(c, x):

@@ -17,7 +17,9 @@ live Metal kernels in Metal Functions/convolveFeatures.metal:
 from vaudio.vision.features import (
     cell_gradient_stats,
     extract_features,
+    frame_mip_planes,
     frame_stats,
+    use_vision_kernel,
     hist_max_and_arg,
     feature_stencil,
     hue_histogram,
@@ -32,7 +34,9 @@ from vaudio.vision.features import (
 __all__ = [
     "cell_gradient_stats",
     "extract_features",
+    "frame_mip_planes",
     "frame_stats",
+    "use_vision_kernel",
     "hist_max_and_arg",
     "feature_stencil",
     "hue_histogram",

@@ -609,6 +609,60 @@ def yuv420_mip_to_rgb_planes(y, u, v, cfg: AuralizerConfig,
     return jnp.clip(jnp.stack([r, g, b]), 0.0, 1.0)
 
 
+def frame_mip_planes(frame, cfg: AuralizerConfig):
+    """The mip-pool stage of the vision pass: frame -> f32[3, hm, wm]
+    RGB mip planes (blit + generateMipmaps + mip-level sampling,
+    VisionEngine.swift:130-173,189-192).  Factored out of
+    :func:`frame_stats` so the chunk-batched pipeline can follow it with
+    the frame-blocked fused epilogue kernel."""
+    if isinstance(frame, dict):
+        return yuv420_mip_to_rgb_planes(jnp.asarray(frame["y"]),
+                                        jnp.asarray(frame["u"]),
+                                        jnp.asarray(frame["v"]), cfg)
+    frame = jnp.asarray(frame)
+    # uint8 camera frames: the 1/255 normalization folds into the
+    # pooling matrix — no separate full-resolution memory pass.
+    scale = 1.0 / 255.0 if frame.dtype == jnp.uint8 else 1.0
+    planes = jnp.transpose(frame, (2, 0, 1))              # (3, H, W)
+    h, w = planes.shape[1:]
+    from vaudio.ops import pool_kernel
+    # The kernel is TPU-Mosaic (pltpu VMEM block specs): select it only
+    # on an actual TPU backend ("tpu", or "axon" — this container's
+    # tunneled TPU plugin); any other backend (CPU, GPU) takes the XLA
+    # banded path, except tests' interpret-mode escape hatch on CPU.
+    backend = jax.default_backend()
+    if (cfg.use_pallas_pool and frame.dtype == jnp.uint8
+            and not cfg.quantize_mips
+            and pool_kernel.supports(h, w, cfg.mip_level)
+            and (backend in ("tpu", "axon")
+                 or (backend == "cpu" and _PALLAS_POOL_ON_CPU))):
+        # Fused single-pass VMEM kernel — same integer math as the
+        # XLA path (vaudio/ops/pool_kernel.py, bit-identical); falls
+        # through to the banded matmuls for f32 inputs, quantize
+        # mode, shapes the kernel's VMEM blocking can't take, and on
+        # CPU (where Mosaic would need slow interpret mode —
+        # _PALLAS_POOL_ON_CPU is the tests' interpret escape hatch).
+        return pool_kernel.mip_pool_pallas(
+            planes, cfg.mip_level, scale=scale,
+            interpret=backend == "cpu")
+    return mip_downsample_planes(planes, cfg.mip_level,
+                                 cfg.quantize_mips, scale=scale)
+
+
+def use_vision_kernel(hm: int, wm: int, cfg: AuralizerConfig) -> bool:
+    """Gate for the fused vision-epilogue kernel (ops/vision_kernel.py):
+    flag on, shape/config supported, and an actual TPU backend (or the
+    tests' CPU interpret escape hatch)."""
+    from vaudio.ops import vision_kernel
+    if not cfg.use_pallas_vision:
+        return False
+    if not vision_kernel.supports(hm, wm, cfg):
+        return False
+    backend = jax.default_backend()
+    return (backend in ("tpu", "axon")
+            or (backend == "cpu" and _PALLAS_POOL_ON_CPU))
+
+
 def frame_stats(frame, cfg: AuralizerConfig,
                 compute_debug_maps: bool = False):
     """The stateless part of the vision pass: frame -> (hist f32[16,360],
@@ -616,46 +670,11 @@ def frame_stats(frame, cfg: AuralizerConfig,
     chunk-batched pipeline vmaps it over whole frame chunks — only the
     hue EMA (:func:`update_hues_from_stats`) is a serial recurrence.
     """
-    if isinstance(frame, dict):
-        mip = yuv420_mip_to_rgb_planes(jnp.asarray(frame["y"]),
-                                       jnp.asarray(frame["u"]),
-                                       jnp.asarray(frame["v"]), cfg)
-    else:
-        frame = jnp.asarray(frame)
-        # uint8 camera frames: the 1/255 normalization folds into the
-        # pooling matrix — no separate full-resolution memory pass.
-        scale = 1.0 / 255.0 if frame.dtype == jnp.uint8 else 1.0
-        planes = jnp.transpose(frame, (2, 0, 1))          # (3, H, W)
-        h, w = planes.shape[1:]
-        from vaudio.ops import pool_kernel
-        # The kernel is TPU-Mosaic (pltpu VMEM block specs): select it only
-        # on an actual TPU backend ("tpu", or "axon" — this container's
-        # tunneled TPU plugin); any other backend (CPU, GPU) takes the XLA
-        # banded path, except tests' interpret-mode escape hatch on CPU.
-        backend = jax.default_backend()
-        if (cfg.use_pallas_pool and frame.dtype == jnp.uint8
-                and not cfg.quantize_mips
-                and pool_kernel.supports(h, w, cfg.mip_level)
-                and (backend in ("tpu", "axon")
-                     or (backend == "cpu" and _PALLAS_POOL_ON_CPU))):
-            # Fused single-pass VMEM kernel — same integer math as the
-            # XLA path (vaudio/ops/pool_kernel.py, bit-identical); falls
-            # through to the banded matmuls for f32 inputs, quantize
-            # mode, shapes the kernel's VMEM blocking can't take, and on
-            # CPU (where Mosaic would need slow interpret mode —
-            # _PALLAS_POOL_ON_CPU is the tests' interpret escape hatch).
-            mip = pool_kernel.mip_pool_pallas(
-                planes, cfg.mip_level, scale=scale,
-                interpret=jax.default_backend() == "cpu")
-        else:
-            mip = mip_downsample_planes(planes, cfg.mip_level,
-                                        cfg.quantize_mips, scale=scale)
+    mip = frame_mip_planes(frame, cfg)
     from vaudio.ops import vision_kernel
     backend = jax.default_backend()
-    if (cfg.use_pallas_vision and not compute_debug_maps
-            and vision_kernel.supports(mip.shape[1], mip.shape[2], cfg)
-            and (backend in ("tpu", "axon")
-                 or (backend == "cpu" and _PALLAS_POOL_ON_CPU))):
+    if (not compute_debug_maps
+            and use_vision_kernel(mip.shape[1], mip.shape[2], cfg)):
         # Fused epilogue: HSI + tiled histogram + intensity stencils +
         # cell stats in one VMEM-resident kernel (ops/vision_kernel.py);
         # the XLA stages below are the reference implementation and the

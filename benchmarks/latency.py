@@ -42,27 +42,31 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_streaming(cfg, frames, fps, chunk_frames=1, drain=True):
+def measure_streaming(cfg, frames, fps, chunk_frames=1, drain=True,
+                      pace=True, warm=True):
     """The reference-probe number through the pipelined host loop.
 
-    ``fps``: producer pacing.  ``drain``: run a consumer thread pulling
-    512-sample quanta at the audio-hardware cadence (the
-    AVAudioSourceNode equivalent) so the ring never backs up — required
-    for a steady-state p50.  ``fps`` above the sustainable rate with
-    ``drain=False`` gives the labeled overload case."""
+    ``fps``: producer pacing (ignored when ``pace=False`` — the producer
+    free-runs, which is the calibration mode: its ``achieved_fps`` is
+    what the FULL loop+transport actually sustains).  ``drain``: run a
+    consumer thread pulling 512-sample quanta at the audio-hardware
+    cadence (the AVAudioSourceNode equivalent) so the ring never backs
+    up — required for a steady-state p50.  ``fps`` above the sustainable
+    rate with ``drain=False`` gives the labeled overload case."""
     import dataclasses
     import threading
     import time as _time
 
     from vaudio.runtime.stream import StreamingAuralizer
     cfg_run = dataclasses.replace(cfg, video_fps=fps)
-    # Warm the compile cache outside the timed run.
-    s = StreamingAuralizer(cfg_run, realtime=True, debug=False,
-                           chunk_frames=chunk_frames)
-    s.run_until_exhausted(list(frames[:max(2, 2 * chunk_frames)]),
-                          timeout=900)
-    s.stop()
-    s = StreamingAuralizer(cfg_run, realtime=True, debug=False,
+    if warm:
+        # Warm the compile cache outside the timed run.
+        s = StreamingAuralizer(cfg_run, realtime=True, debug=False,
+                               chunk_frames=chunk_frames)
+        s.run_until_exhausted(list(frames[:max(2, 2 * chunk_frames)]),
+                              timeout=900)
+        s.stop()
+    s = StreamingAuralizer(cfg_run, realtime=pace, debug=False,
                            chunk_frames=chunk_frames)
 
     stop_drain = threading.Event()
@@ -102,7 +106,7 @@ def measure_streaming(cfg, frames, fps, chunk_frames=1, drain=True):
     skip = 3 if len(lat) > 8 else 0
     lat_ss = np.asarray(lat[skip:]) if lat else np.asarray([0.0])
     out = {
-        "input_fps": fps,
+        "input_fps": fps if pace else "free_run",
         "chunk_frames": chunk_frames,
         "drained": drain,
         "frames": m.frames_processed,
@@ -256,16 +260,56 @@ def main():
     decomposed = measure_decomposed(cfg, h, w)
     log(f"latency decomposed: {decomposed}")
 
-    # Steady state: pace input at 80% of what one pipelined dispatch
-    # sustains through THIS transport, with a draining consumer.
-    sustainable = 1000.0 / max(decomposed["device_step_with_dispatch_ms"],
-                               1e-3)
-    steady_fps = round(min(30.0, 0.8 * sustainable), 2)
-    steady = measure_streaming(cfg, frames, fps=steady_fps, drain=True)
-    log(f"latency steady-state ({steady_fps} fps, drained): {steady}")
-    steady_chunked = measure_streaming(cfg, frames, fps=steady_fps,
-                                       chunk_frames=8, drain=True)
-    log(f"latency steady-state chunked x8: {steady_chunked}")
+    # Steady state: pace input at 80% of what the FULL loop + transport
+    # actually sustains, measured by a free-running calibration pass of
+    # the same streaming loop (drained).  The single-dispatch estimate
+    # is NOT a valid proxy: it misses per-frame H2D prep, PCM readback
+    # and host-loop overhead — deriving the pacing from it once produced
+    # a 25.95 fps target against a 2 fps loop, i.e. the saturated-queue
+    # artifact this benchmark exists to avoid.
+    def calibrated_steady(label):
+        calib = measure_streaming(cfg, frames[:24], fps=30.0,
+                                  chunk_frames=1, drain=True, pace=False)
+        log(f"latency calibration {label} (free-run, drained): {calib}")
+        steady_fps = round(0.8 * max(calib["achieved_fps"], 0.1), 2)
+        # Saturation guard: a short free-run calibration can overestimate
+        # (warm-cache transients).  If the paced run could not keep up —
+        # achieved well below the pacing — its percentiles are a queueing
+        # artifact, not steady state: re-pace at 80% of the rate the
+        # paced run itself demonstrated.
+        for _ in range(2):
+            out = measure_streaming(cfg, frames, fps=steady_fps,
+                                    chunk_frames=1, drain=True,
+                                    warm=False)
+            out["calibration_free_run_fps"] = calib["achieved_fps"]
+            log(f"latency steady-state {label} ({steady_fps} fps, "
+                f"drained): {out}")
+            if out["achieved_fps"] >= 0.88 * steady_fps:
+                out["saturated"] = False
+                return out
+            steady_fps = round(0.8 * max(out["achieved_fps"], 0.1), 2)
+            log(f"latency {label}: paced run saturated, re-pacing at "
+                f"{steady_fps} fps")
+        out["saturated"] = True   # still not converged: label it honestly
+        return out
+
+    steady = calibrated_steady("")
+    # The chunked pipeline is a THROUGHPUT configuration: it buffers
+    # chunk_frames frames before dispatching, so per-frame latency
+    # includes the chunk-fill time (chunk_frames / input_fps) by
+    # construction — pacing it *below* its capacity makes latency
+    # WORSE, not better (measured: 2.3 s free-run -> 10.8 s at 1.74
+    # fps), and a paced "steady state" search cannot converge.  Its
+    # honest latency figure is the drained FREE-RUN row, labeled as
+    # such: fill + service time at capacity.
+    steady_chunked = measure_streaming(cfg, frames[:48], fps=30.0,
+                                       chunk_frames=8, drain=True,
+                                       pace=False)
+    steady_chunked["note"] = (
+        "throughput configuration measured free-running (drained): "
+        "latency includes the inherent 8-frame chunk-fill time; pacing "
+        "below capacity only inflates fill time")
+    log(f"latency chunked x8 (free-run, drained): {steady_chunked}")
     overloaded = measure_streaming(cfg, frames, fps=30.0, drain=False)
     log(f"latency overloaded (30 fps, no consumer): {overloaded}")
 
@@ -275,7 +319,7 @@ def main():
                    "backend": str(jax.devices()[0])},
         "budget_ms": 33.0,
         "steady_state": steady,
-        "steady_state_chunked": steady_chunked,
+        "chunked_free_run": steady_chunked,
         "overloaded": overloaded,
         "decomposed_hardware_bound": decomposed,
         "steady_state_within_budget":

@@ -1,0 +1,216 @@
+"""Live HTTP control panel / observability server tests.
+
+The browser equivalent of the reference's SwiftUI surface
+(vaudio/runtime/server.py): sliders POST param updates mid-stream
+(ControlPanelView.swift:11-43 -> SoundEngine.swift:66-75), views poll
+live-rendered PNGs (SpectrumView.swift:18, DebuggingView.swift:37-93),
+and /audio.wav is the pull-model speaker (SoundEngine.swift:156-228).
+"""
+
+import json
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from vaudio.api import Auralizer
+from vaudio.config import AuralizerConfig, LiveParams
+from vaudio.io import hsb_frames
+
+
+def _get(url, timeout=30):
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return r.status, r.headers.get_content_type(), r.read()
+
+
+def _post(url, obj, timeout=30):
+    req = urllib.request.Request(url, data=json.dumps(obj).encode(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture
+def served_aur():
+    """An Auralizer with a running LiveServer (no stream started)."""
+    aur = Auralizer(config=AuralizerConfig(mip_level=2), debug=True)
+    server = aur.serve(port=0)
+    yield aur, server
+    server.stop()
+    aur.stop()
+
+
+class TestEndpoints:
+    def test_control_panel_page(self, served_aur):
+        _aur, server = served_aur
+        status, ctype, body = _get(server.url)
+        assert status == 200 and ctype == "text/html"
+        text = body.decode()
+        # Every slider the reference exposes is on the page.
+        for name in ("attack", "release", "spectrum_mixing", "hp_cutoff",
+                     "lp_cutoff", "stereo_width"):
+            assert name in text
+        assert "/audio.wav" in text and "/metrics" in text
+
+    def test_params_roundtrip(self, served_aur):
+        aur, server = served_aur
+        status, _, body = _get(server.url + "params")
+        assert status == 200
+        p = json.loads(body)
+        assert p["attack"] == aur.params.attack
+        assert p["pan_angles"] is None
+
+        status, resp = _post(server.url + "params",
+                             {"attack": 0.25, "stereo_width": 0.5})
+        assert status == 200 and resp["applied"] == 2
+        assert aur.params.attack == 0.25
+        assert aur.params.stereo_width == 0.5
+        assert resp["params"]["attack"] == 0.25
+
+    def test_params_pan_angles(self, served_aur):
+        aur, server = served_aur
+        n = aur.config.num_cells
+        _status, resp = _post(server.url + "params",
+                              {"pan_angles": [0.3] * n})
+        assert resp["applied"] == 1
+        assert isinstance(aur.params.pan_angles, np.ndarray)
+        _status, body = _post(server.url + "params", {"pan_angles": None})
+        assert aur.params.pan_angles is None
+
+    def test_params_unknown_key_warns(self, served_aur):
+        aur, server = served_aur
+        _status, resp = _post(server.url + "params", {"bogus": 1.0})
+        assert resp["applied"] == 0
+        assert any("bogus" in w for w in resp["warnings"])
+
+    def test_params_bad_json_is_400(self, served_aur):
+        _aur, server = served_aur
+        req = urllib.request.Request(server.url + "params",
+                                     data=b"not json", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+
+    def test_metrics(self, served_aur):
+        _aur, server = served_aur
+        status, _, body = _get(server.url + "metrics")
+        assert status == 200
+        m = json.loads(body)
+        assert "frames_processed" in m and "buffer_fill" in m
+
+    def test_debug_png_404_before_any_frame(self, served_aur):
+        _aur, server = served_aur
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(server.url + "debug/hue_matrix.png",
+                                   timeout=30)
+        assert e.value.code == 404
+
+    def test_unknown_path_404(self, served_aur):
+        _aur, server = served_aur
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(server.url + "nope", timeout=30)
+        assert e.value.code == 404
+
+
+class TestLiveStreamSurface:
+    def test_views_and_params_during_stream(self):
+        """Mid-stream: the debug PNGs render from live state and a POST
+        mutates the params the running step reads (no recompile)."""
+        cfg = AuralizerConfig(mip_level=2)
+        params = LiveParams(spectrum_mixing=0.0)
+        aur = Auralizer(config=cfg, params=params, debug=True)
+        server = aur.serve(port=0)
+        frames = hsb_frames(0.33, 1.0, 1.0, 96, 96, 12)
+        try:
+            aur.run_until_exhausted(list(frames), timeout=300)
+            for name in ("hue_matrix", "spectrum", "waveform"):
+                status, ctype, body = _get(
+                    f"{server.url}debug/{name}.png?t=1")
+                assert status == 200 and ctype == "image/png"
+                assert body.startswith(b"\x89PNG"), name
+            _status, resp = _post(server.url + "params", {"release": 2.5})
+            assert resp["applied"] == 1 and aur.params.release == 2.5
+            status, _, body = _get(server.url + "metrics")
+            assert json.loads(body)["frames_processed"] == 12
+        finally:
+            server.stop()
+            aur.stop()
+
+    def test_audio_wav_streams_pcm(self):
+        """/audio.wav delivers a WAV header + live int16 PCM from the
+        ring (the browser <audio> speaker path)."""
+        cfg = AuralizerConfig(mip_level=2)
+        aur = Auralizer(config=cfg, debug=True)
+        server = aur.serve(port=0)
+        frames = hsb_frames(0.6, 1.0, 1.0, 96, 96, 10)
+        try:
+            aur.run_until_exhausted(list(frames), timeout=300)
+            req = urllib.request.urlopen(server.url + "audio.wav",
+                                         timeout=30)
+            assert req.headers.get_content_type() == "audio/wav"
+            head = req.read(44)
+            assert head[:4] == b"RIFF" and head[8:12] == b"WAVE"
+            body = req.read(4 * cfg.hop_size)   # ~2 hops of int16 PCM
+            pcm = np.frombuffer(body, "<i2")
+            assert pcm.size > 0 and np.abs(pcm).max() > 50, \
+                "audio endpoint delivered silence for an active stream"
+            req.close()
+        finally:
+            server.stop()
+            aur.stop()
+
+
+class TestCLIServe:
+    def test_stream_serve_flag(self, tmp_path):
+        """`vaudio stream --serve` brings the panel up for the stream's
+        duration (subprocess on CPU; frames via stdin pipe)."""
+        import os
+        import re
+        import subprocess
+        import sys
+        import threading
+
+        h = w = 64
+        frames = hsb_frames(0.8, 1.0, 1.0, w, h, 40)
+        raw = (np.asarray(frames) * 255.0 + 0.5).astype(np.uint8).tobytes()
+        env = {**os.environ, "VAUDIO_PLATFORM": "cpu"}
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "vaudio", "stream", "--size",
+             f"{h}x{w}", "--serve", "127.0.0.1:0", "--fps", "5"],
+            stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE, env=env)
+
+        def feed():
+            try:
+                proc.stdin.write(raw)
+                proc.stdin.close()
+            except BrokenPipeError:
+                pass
+
+        feeder = threading.Thread(target=feed, daemon=True)
+        feeder.start()
+        url = None
+        deadline = time.monotonic() + 600
+        lines = []
+        try:
+            while time.monotonic() < deadline:
+                line = proc.stderr.readline().decode()
+                if not line and proc.poll() is not None:
+                    break
+                lines.append(line)
+                m = re.search(r"control panel at (http://\S+/)", line)
+                if m:
+                    url = m.group(1)
+                    break
+            assert url, f"no server URL in stderr: {''.join(lines)}"
+            status, _, body = _get(url + "metrics", timeout=60)
+            assert status == 200 and b"frames_processed" in body
+        finally:
+            proc.stderr.close()
+            try:
+                proc.wait(timeout=600)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                raise

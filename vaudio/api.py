@@ -183,8 +183,25 @@ class Auralizer:
         """Pull PCM — the AVAudioSourceNode render-callback equivalent."""
         return self._stream.pull(n)
 
-    def audio_stream(self, quantum: int = 512) -> Iterator[np.ndarray]:
-        return self._stream.audio_stream(quantum)
+    def audio_stream(self, quantum: int = 512,
+                     pace: Optional[bool] = None) -> Iterator[np.ndarray]:
+        return self._stream.audio_stream(quantum, pace=pace)
+
+    def serve(self, port: int = 0, host: str = "127.0.0.1",
+              refresh_ms: int = 500):
+        """Start the live HTTP control panel + observability server — the
+        browser equivalent of the reference's SwiftUI surface: sliders
+        mutating live params mid-run (ControlPanelView.swift:11-43,
+        ExtraControlView.swift:10-52), continuously-refreshing hue/
+        spectrum/waveform views (SpectrumView.swift:18,
+        DebuggingView.swift:37-93), and a live ``/audio.wav`` stream a
+        browser ``<audio>`` element can play (the AVAudioSourceNode pull,
+        SoundEngine.swift:156-228).  Non-blocking; returns the started
+        :class:`~vaudio.runtime.server.LiveServer` (``.url``, ``.stop()``).
+        ``port=0`` binds an ephemeral port.  Views need ``debug=True``."""
+        from vaudio.runtime.server import LiveServer
+        return LiveServer(self, host=host, port=port,
+                          refresh_ms=refresh_ms).start()
 
     # ------------------------------------------------------------------
     # Observability

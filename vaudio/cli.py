@@ -145,7 +145,7 @@ def cmd_stream(args) -> int:
     cfg, params = _build_config(args)
     h, w = (int(x) for x in args.size.split("x"))
     aur = Auralizer(config=cfg, params=params, realtime=args.realtime,
-                    debug=bool(args.live_debug))
+                    debug=bool(args.live_debug or args.serve))
 
     path = "/dev/stdin" if args.input == "-" else args.input
     src = RawVideoSource(path, width=w, height=h, pix_fmt=args.pix_fmt,
@@ -167,12 +167,41 @@ def cmd_stream(args) -> int:
         player = SubprocessPlayer(cfg.sample_rate, cfg.channels)
         print(f"stream: playing via {' '.join(player.command)}",
               file=sys.stderr)
+    server = None
+    if args.serve:
+        host, _, port = args.serve.rpartition(":")
+        server = aur.serve(port=int(port), host=host or "127.0.0.1")
+        print(f"stream: live control panel at {server.url}",
+              file=sys.stderr)
     aur.start(src.frames())
     out = sys.stdout.buffer
     quantum = 2048 * cfg.channels
     hop_samples = cfg.hop_size * cfg.channels
     written = 0
     import time as _time
+
+    # Interactive serve mode: with --serve and stdout on a TTY, raw PCM
+    # on the terminal is useless AND the stdout drain would steal every
+    # sample from /audio.wav listeners — leave the ring to the server
+    # (drop-on-full keeps it bounded, SoundEngine.swift:448) and just
+    # babysit the producer.
+    if server is not None and sys.stdout.isatty():
+        print("stream: stdout is a TTY; PCM goes to /audio.wav "
+              "listeners only (pipe stdout to also capture it)",
+              file=sys.stderr)
+        while aur.is_running:
+            aur.raise_if_failed()
+            _time.sleep(0.05)
+        aur.raise_if_failed()
+        print(f"stream: source exhausted; metrics: {aur.metrics}",
+              file=sys.stderr)
+        if live is not None:
+            live.stop()
+        if player is not None:
+            player.close()
+        server.stop()
+        aur.stop()
+        return 0
 
     def emit(pcm) -> int:
         out.write(pcm.astype("<f4").tobytes())
@@ -215,6 +244,8 @@ def cmd_stream(args) -> int:
         code = player.close()
         if code != 0:
             print(f"stream: player exited with {code}", file=sys.stderr)
+    if server is not None:
+        server.stop()
     aur.stop()
     return 0
 
@@ -388,6 +419,11 @@ def main(argv=None) -> int:
     p.add_argument("--play", action="store_true",
                    help="also play the PCM through a system audio player "
                         "(aplay/pw-play/paplay/ffplay or $VAUDIO_PLAYER)")
+    p.add_argument("--serve", default=None, metavar="[HOST:]PORT",
+                   help="serve the live HTTP control panel (sliders "
+                        "mutating LiveParams mid-stream, refreshing hue/"
+                        "spectrum/waveform views, /audio.wav live "
+                        "listen) on this port while streaming")
     _add_config_args(p)
     p.set_defaults(fn=cmd_stream)
 

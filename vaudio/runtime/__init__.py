@@ -18,6 +18,7 @@ Execution modes:
 
 from vaudio.runtime.checkpoint import load_state, save_state
 from vaudio.runtime.control import ControlChannel, LiveDebugRenderer
+from vaudio.runtime.server import LiveServer
 from vaudio.runtime.chunked import (
     chunk_pipeline,
     make_chunk_pipeline,
@@ -34,6 +35,7 @@ from vaudio.runtime.step import (
 __all__ = [
     "ControlChannel",
     "LiveDebugRenderer",
+    "LiveServer",
     "StepCarry",
     "load_state",
     "save_state",

@@ -1,0 +1,314 @@
+"""Live HTTP control panel + observability server for a running stream.
+
+The reference's interaction model is a SwiftUI surface: sliders mutating
+``@Published`` synthesis parameters while processing runs
+(Views/ControlPanelView.swift:11-43, Views/ExtraControlView.swift:10-52,
+SoundEngine.swift:66-75), views that redraw continuously from the live
+engine state (Views/SpectrumView.swift:18 ``TimelineView(.animation)``,
+Views/TimeDomainFrameView.swift:15, Views/DebuggingView.swift:37-93), and
+a speaker fed by a pull-model source node (SoundEngine.swift:156-228).
+
+:class:`LiveServer` is the framework's browser equivalent, built on the
+stdlib only (``http.server``): one ephemeral HTTP endpoint exposing
+
+* ``GET /``            — the control panel: sliders for every
+  :class:`~vaudio.config.LiveParams` field, live-refreshing hue-matrix /
+  spectrum / waveform views, and a metrics readout;
+* ``GET /params``      — current live parameters as JSON;
+* ``POST /params``     — a JSON object of parameter updates, applied via
+  :func:`~vaudio.runtime.control.apply_control_message` (same validation
+  as the ``--control`` FIFO channel; values are traced so updates never
+  recompile);
+* ``GET /metrics``     — :attr:`Auralizer.metrics` as JSON;
+* ``GET /debug/hue_matrix.png`` / ``spectrum.png`` / ``waveform.png`` —
+  the latest published debug state rendered on demand (in-memory PNG;
+  the stream must run with ``debug=True``);
+* ``GET /audio.wav``   — a live 16-bit WAV stream pulled from the audio
+  ring at the hardware cadence (the AVAudioSourceNode equivalent, so a
+  browser ``<audio>`` element IS the speaker).  One listener at a time;
+  note any other ring consumer (the CLI's stdout pipe, ``--play``)
+  splits samples with it.
+
+Usage::
+
+    aur = Auralizer(config=cfg, realtime=True, debug=True)
+    server = aur.serve(port=8000)      # -> LiveServer, non-blocking
+    aur.start(frames)
+    ...
+    server.stop()
+
+or ``python -m vaudio stream --serve 8000 ...``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from vaudio.runtime.control import CONTROLLABLE, apply_control_message
+
+#: Slider ranges for the control panel (min, max, step) — spans matching
+#: the reference's slider surfaces (ControlPanelView.swift:24,31 cutoff
+#: ranges; ExtraControlView.swift:21-28 attack/release/mixing).
+_SLIDERS = (
+    ("attack", 0.01, 5.0, 0.01),
+    ("release", 0.01, 5.0, 0.01),
+    ("spectrum_mixing", 0.0, 0.999, 0.001),
+    ("hp_cutoff", 20.0, 2000.0, 1.0),
+    ("lp_cutoff", 1000.0, 22050.0, 10.0),
+    ("hp_order", 0.0, 8.0, 0.125),
+    ("lp_order", 0.0, 8.0, 0.125),
+    ("stereo_width", 0.0, 2.0, 0.01),
+)
+
+_PAGE = """<!doctype html><meta charset="utf-8">
+<title>vaudio live</title>
+<style>
+ body {{ font: 14px system-ui, sans-serif; background: #101014;
+        color: #d8d8e0; margin: 1.5em; }}
+ h1 {{ font-size: 1.2em; }} h2 {{ font-size: 1em; color: #9ab; }}
+ .row {{ display: flex; gap: 2em; flex-wrap: wrap; }}
+ .panel {{ background: #17171d; border-radius: 8px; padding: 1em; }}
+ label {{ display: grid; grid-template-columns: 10em 14em 4.5em;
+          align-items: center; gap: .6em; margin: .35em 0; }}
+ output {{ font-variant-numeric: tabular-nums; color: #8fd; }}
+ img {{ image-rendering: pixelated; border-radius: 4px; display: block;
+        margin-top: .5em; }}
+ pre {{ color: #9a9; }}
+</style>
+<h1>vaudio — live stream control</h1>
+<div class="row">
+ <div class="panel"><h2>parameters</h2><div id="sliders"></div>
+  <h2>audio</h2><audio controls preload="none" src="/audio.wav"></audio>
+ </div>
+ <div class="panel"><h2>dominant hues</h2>
+  <img id="hue_matrix" width="190"></div>
+ <div class="panel"><h2>spectrum</h2><img id="spectrum">
+  <h2>waveform</h2><img id="waveform"></div>
+ <div class="panel"><h2>metrics</h2><pre id="metrics">...</pre></div>
+</div>
+<script>
+const SLIDERS = {sliders};
+const box = document.getElementById("sliders");
+let current = {{}};
+fetch("/params").then(r => r.json()).then(p => {{
+  current = p;
+  for (const [name, lo, hi, step] of SLIDERS) {{
+    const l = document.createElement("label");
+    l.innerHTML = `<span>${{name}}</span>` +
+      `<input type=range min=${{lo}} max=${{hi}} step=${{step}} ` +
+      `value="${{p[name]}}" id="in_${{name}}">` +
+      `<output id="out_${{name}}">${{Number(p[name]).toFixed(3)}}</output>`;
+    box.appendChild(l);
+    const inp = l.querySelector("input"), out = l.querySelector("output");
+    inp.oninput = () => {{
+      out.textContent = Number(inp.value).toFixed(3);
+      fetch("/params", {{method: "POST",
+        body: JSON.stringify({{[name]: Number(inp.value)}})}});
+    }};
+  }}
+}});
+function tick() {{
+  const t = Date.now();
+  for (const id of ["hue_matrix", "spectrum", "waveform"])
+    document.getElementById(id).src = `/debug/${{id}}.png?t=${{t}}`;
+  fetch("/metrics").then(r => r.json()).then(m => {{
+    document.getElementById("metrics").textContent =
+      JSON.stringify(m, null, 1);
+  }});
+}}
+tick(); setInterval(tick, {refresh_ms});
+</script>
+"""
+
+
+def _wav_stream_header(sample_rate: float, channels: int) -> bytes:
+    """A 16-bit WAV header for an unbounded live stream: RIFF/data sizes
+    set to 0xFFFFFFFF, which players treat as 'read until EOF'."""
+    import struct
+    return (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, channels,
+                          int(round(sample_rate)),
+                          int(round(sample_rate)) * channels * 2,
+                          channels * 2, 16)
+            + b"data" + struct.pack("<I", 0xFFFFFFFF))
+
+
+class LiveServer:
+    """Serve the live control/observability surface for an
+    :class:`~vaudio.api.Auralizer` (see module docstring).  Non-blocking:
+    ``start()`` spins a daemon thread; ``stop()`` shuts the listener
+    down.  ``port=0`` binds an ephemeral port (read :attr:`port`)."""
+
+    def __init__(self, aur, host: str = "127.0.0.1", port: int = 0,
+                 refresh_ms: int = 500):
+        self.aur = aur
+        self.refresh_ms = int(refresh_ms)
+        self._audio_lock = threading.Lock()   # one /audio.wav listener
+        self._stopped = threading.Event()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # Quiet by default: per-request stderr lines would interleave
+            # with the stream's own logging.
+            def log_message(self, fmt, *args):
+                pass
+
+            def _send(self, code: int, ctype: str, body: bytes,
+                      extra=()):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                for k, v in extra:
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _json(self, obj, code: int = 200):
+                self._send(code, "application/json",
+                           json.dumps(obj).encode())
+
+            def do_GET(self):
+                path = self.path.split("?", 1)[0]
+                try:
+                    if path == "/":
+                        self._send(200, "text/html; charset=utf-8",
+                                   server._page().encode())
+                    elif path == "/params":
+                        self._json(server._params_dict())
+                    elif path == "/metrics":
+                        self._json(server.aur.metrics)
+                    elif path.startswith("/debug/") and \
+                            path.endswith(".png"):
+                        name = path[len("/debug/"):-len(".png")]
+                        png = server._render_png(name)
+                        if png is None:
+                            self._json({"error": f"no view {name!r} or "
+                                        "no debug state yet"}, 404)
+                        else:
+                            self._send(200, "image/png", png)
+                    elif path == "/audio.wav":
+                        server._stream_audio(self)
+                    else:
+                        self._json({"error": "not found"}, 404)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
+            def do_POST(self):
+                if self.path.split("?", 1)[0] != "/params":
+                    self._json({"error": "not found"}, 404)
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    msg = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(msg, dict):
+                        raise ValueError("expected a JSON object")
+                except (ValueError, json.JSONDecodeError) as e:
+                    self._json({"error": f"bad request: {e}"}, 400)
+                    return
+                warnings: list = []
+                try:
+                    applied = apply_control_message(
+                        server.aur.params, msg, warn=warnings.append)
+                except (TypeError, ValueError) as e:
+                    self._json({"error": f"bad value: {e}"}, 400)
+                    return
+                self._json({"applied": applied, "warnings": warnings,
+                            "params": server._params_dict()})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd.daemon_threads = True
+        self._thread: Optional[threading.Thread] = None
+
+    # -- content -----------------------------------------------------------
+
+    def _page(self) -> str:
+        return _PAGE.format(
+            sliders=json.dumps([list(s) for s in _SLIDERS]),
+            refresh_ms=self.refresh_ms)
+
+    def _params_dict(self):
+        p = self.aur.params
+        out = {k: getattr(p, k) for k in CONTROLLABLE
+               if k != "pan_angles"}
+        pan = p.pan_angles
+        out["pan_angles"] = (None if pan is None
+                             else np.asarray(pan, np.float32).tolist())
+        return out
+
+    def _render_png(self, name: str) -> Optional[bytes]:
+        from vaudio.utils.render import (hue_matrix_image, png_bytes,
+                                         spectrum_image, waveform_image)
+        dbg = self.aur.debug
+        cfg = self.aur.config
+        if name == "hue_matrix" and "hues" in dbg:
+            return png_bytes(hue_matrix_image(dbg["hues"], cfg))
+        if name == "spectrum" and dbg.get("spectrum") is not None:
+            return png_bytes(spectrum_image(dbg["spectrum"], cfg))
+        if name == "waveform" and dbg.get("pcm") is not None:
+            return png_bytes(waveform_image(dbg["pcm"]))
+        return None
+
+    def _stream_audio(self, handler) -> None:
+        """Chunked live WAV: pull 512-sample quanta at the hardware
+        cadence (underruns emit silence — SoundEngine.swift:184-189) and
+        push them to the client until it disconnects."""
+        if not self._audio_lock.acquire(blocking=False):
+            handler._json({"error": "audio stream busy (one listener "
+                           "at a time)"}, 409)
+            return
+        try:
+            cfg = self.aur.config
+            handler.send_response(200)
+            handler.send_header("Content-Type", "audio/wav")
+            handler.send_header("Cache-Control", "no-store")
+            handler.end_headers()
+            handler.wfile.write(_wav_stream_header(cfg.sample_rate,
+                                                   cfg.channels))
+            # Always pace at the hardware cadence: the listener IS the
+            # audio device here; free-running would drain the ring (and
+            # zero-fill) at CPU speed.
+            for quantum in self.aur.audio_stream(512, pace=True):
+                pcm16 = (np.clip(quantum, -1.0, 1.0)
+                         * 32767.0).astype("<i2")
+                handler.wfile.write(pcm16.tobytes())
+                if self._stopped.is_set():
+                    return
+        except (BrokenPipeError, ConnectionResetError):
+            pass
+        finally:
+            self._audio_lock.release()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "LiveServer":
+        if self._thread is not None:
+            return self
+        self._stopped.clear()
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        kwargs={"poll_interval": 0.1},
+                                        daemon=True, name="vaudio-serve")
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stopped.set()
+        self._httpd.shutdown()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+        self._httpd.server_close()
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    @property
+    def url(self) -> str:
+        host = self._httpd.server_address[0]
+        return f"http://{host}:{self.port}/"

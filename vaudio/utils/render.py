@@ -37,8 +37,8 @@ CHANNEL_NAMES = ("hue", "saturation", "intensity")
 # PNG writer (stdlib only)
 # ---------------------------------------------------------------------------
 
-def write_png(path: str, rgb: np.ndarray) -> None:
-    """Write u8[H, W, 3] RGB to ``path`` as an 8-bit truecolor PNG."""
+def png_bytes(rgb: np.ndarray) -> bytes:
+    """Encode u8[H, W, 3] RGB as an 8-bit truecolor PNG byte string."""
     rgb = np.asarray(rgb)
     if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError(f"expected u8[H,W,3], got {rgb.dtype}{rgb.shape}")
@@ -50,11 +50,14 @@ def write_png(path: str, rgb: np.ndarray) -> None:
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
     raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, rgb: np.ndarray) -> None:
+    """Write u8[H, W, 3] RGB to ``path`` as an 8-bit truecolor PNG."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(png_bytes(rgb))
 
 
 # ---------------------------------------------------------------------------

@@ -31,6 +31,7 @@ Environment overrides:
   VAUDIO_BENCH_PALLAS_VISION=0/1 fused vision-epilogue kernel (default 0:
                                  measured 2.1x SLOWER in-pipeline even
                                  frame-blocked — see docs/BENCHMARKS.md)
+  VAUDIO_BENCH_MATMUL_IRFFT=0/1  dense MXU IDFT instead of the XLA FFT
   VAUDIO_BENCH_CHANNELS=1/2 stereo (default) or mono headline config
   VAUDIO_BENCH_QUANTIZE=0/1 strict-parity 8-bit mip chain
                             (cfg.quantize_mips; disables the int8 pool
@@ -85,6 +86,7 @@ def main() -> int:
                                      "1") == "1"
     use_pallas_vision = os.environ.get("VAUDIO_BENCH_PALLAS_VISION",
                                        "0") == "1"
+    matmul_irfft = os.environ.get("VAUDIO_BENCH_MATMUL_IRFFT", "0") == "1"
     quantize = os.environ.get("VAUDIO_BENCH_QUANTIZE", "0") == "1"
     channels = int(os.environ.get("VAUDIO_BENCH_CHANNELS", "2"))
     also_mono = os.environ.get("VAUDIO_BENCH_MONO", "1") == "1" \
@@ -108,6 +110,7 @@ def main() -> int:
                               use_pallas_audio=use_pallas_audio,
                               use_pallas_pool=use_pallas_pool,
                               use_pallas_vision=use_pallas_vision,
+                              use_matmul_irfft=matmul_irfft,
                               quantize_mips=quantize,
                               channels=ch)
         consts = SynthConstants.create(cfg)

@@ -59,6 +59,26 @@ class TestChunkedEquivalence:
     def test_clean_mode(self, rng):
         assert_equivalent(clip(rng), AuralizerConfig(quirk_compat=False))
 
+    def test_matmul_irfft(self, rng):
+        """cfg.use_matmul_irfft: the MXU IDFT path through BOTH runtimes
+        (scan uses it in synth_audio, chunked in pass C2) stays
+        equivalent, mono and stereo."""
+        assert_equivalent(clip(rng), AuralizerConfig(use_matmul_irfft=True))
+        assert_equivalent(clip(rng), AuralizerConfig(use_matmul_irfft=True,
+                                                     channels=2))
+
+    def test_matmul_irfft_matches_fft_path(self, rng):
+        """Audio from the dense-IDFT config matches the FFT config."""
+        frames = clip(rng)
+        for ch in (1, 2):
+            a_fft, _, _ = run_offline_batched(
+                frames, AuralizerConfig(channels=ch), dict(PARAMS), chunk=4)
+            a_mm, _, _ = run_offline_batched(
+                frames, AuralizerConfig(channels=ch, use_matmul_irfft=True),
+                dict(PARAMS), chunk=4)
+            np.testing.assert_allclose(np.asarray(a_mm), np.asarray(a_fft),
+                                       atol=3e-5)
+
     def test_uint8_frames(self, rng):
         frames = rng.integers(0, 256, (8, 64, 64, 3), dtype=np.uint8)
         assert_equivalent(frames, AuralizerConfig())

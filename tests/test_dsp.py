@@ -152,6 +152,26 @@ class TestMirrorIrfft:
         oracle = np.fft.ifft(full).real
         np.testing.assert_allclose(sig, oracle, atol=1e-4)
 
+    def test_irfft_dense_matches_fft_path(self, rng):
+        """The MXU IDFT (cfg.use_matmul_irfft) against the FFT path and
+        an f64 oracle, at production size and batched stereo shapes."""
+        F = CFG.num_bins
+        re = rng.normal(size=(3, 2, F)).astype(np.float32) * 0.02
+        im = rng.normal(size=(3, 2, F)).astype(np.float32) * 0.02
+        dense = np.asarray(dsp.irfft_from_half_dense(re, im))
+        assert dense.shape == (3, 2, CFG.nfft)
+        full = np.zeros((3, 2, CFG.nfft // 2 + 1), np.complex128)
+        full[..., 1:F + 1] = re.astype(np.float64) \
+            + 1j * im.astype(np.float64)
+        oracle = np.fft.irfft(full, n=CFG.nfft, axis=-1)
+        scale = np.abs(oracle).max()
+        # Measured on the v5e: 2.9e-7 of peak (benchmarks/irfft_focus.py);
+        # CPU f32 matmuls land in the same regime.
+        assert np.abs(dense - oracle).max() / scale < 2e-6
+        fft = np.asarray(dsp.irfft_from_half(re[0, 0], im[0, 0]))
+        np.testing.assert_allclose(dense[0, 0], fft,
+                                   atol=2e-6 * scale)
+
     def test_single_bin_is_windowless_cosine(self):
         # A single real bin k produces cos(2*pi*(k+1)*n/NFFT) * 2/NFFT.
         F, k = 63, 5

@@ -117,6 +117,14 @@ class AuralizerConfig:
     # integer histogram counts are conserved but a pixel whose hue lands
     # exactly on a bin edge can move one bin (VPU vs XLA acos ulps).
     use_pallas_vision: bool = False
+    # Inverse-FFT the synthesized half-spectrum with two dense f32
+    # matmuls on the MXU (dsp.irfft_from_half_dense) instead of XLA's
+    # TPU FFT.  Isolated chained-slope at production shapes: 0.21 vs
+    # 0.70 us/frame, accuracy 2.9e-7 of peak vs an f64 oracle (FFT:
+    # 1.6e-7) — benchmarks/irfft_focus.py; in-pipeline verdict in
+    # docs/BENCHMARKS.md.  The (2047, 4096) weight pair costs 33 MB of
+    # HBM each way per chunk, amortized across the frame batch.
+    use_matmul_irfft: bool = False
     # Apply the spectral HP/LP filter driven by the hp/lp live params.
     # The reference plumbs these parameters all the way into its kernel but
     # the application is commented out (SpectrumCompute.metal:200-209) — the

@@ -16,6 +16,7 @@ from vaudio.dsp.core import (
     hash_phase,
     hue_to_f0,
     irfft_from_half,
+    irfft_from_half_dense,
     linear_to_log2,
     linspace,
     mirror_and_conjugate,
@@ -34,6 +35,7 @@ __all__ = [
     "hash_phase",
     "hue_to_f0",
     "irfft_from_half",
+    "irfft_from_half_dense",
     "linear_to_log2",
     "linspace",
     "mirror_and_conjugate",

@@ -8,6 +8,8 @@ file:line citation into /root/reference (the upstream iOS app).  These are
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -216,6 +218,40 @@ def irfft_from_half(half_re, half_im):
     half = half_re.astype(jnp.complex64) + 1j * half_im.astype(jnp.complex64)
     rspec = jnp.concatenate([zero, half, zero])         # F+2 = nfft/2+1 bins
     return jnp.fft.irfft(rspec, n=nfft).astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=4)
+def _idft_matrices(F: int, nfft: int):
+    """f32 inverse-DFT weight matrices (F, nfft) for the MXU path.
+
+    With DC and Nyquist zero (the reference's mirrorAndConjugate layout)
+    the real IDFT collapses to x[n] = (2/N) sum_k (re_k cos(2 pi (k+1)
+    n / N) - im_k sin(...)); the 2/N scale is folded into the weights.
+    Built in f64, cast to f32 once per (F, nfft)."""
+    k = np.arange(1, F + 1, dtype=np.float64)[:, None]
+    n = np.arange(nfft, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * n / nfft
+    return (jnp.asarray((2.0 / nfft) * np.cos(ang), jnp.float32),
+            jnp.asarray((2.0 / nfft) * np.sin(ang), jnp.float32))
+
+
+def irfft_from_half_dense(half_re, half_im):
+    """:func:`irfft_from_half` as two dense f32 matmuls on the MXU.
+
+    XLA's TPU FFT is the weakest kernel of the audio tail; a dense
+    (F, nfft) contraction at ``Precision.HIGHEST`` replaces it with MXU
+    work whose 33 MB weight read amortizes across the chunk batch.
+    Chained-slope isolation at production shapes ([T, 2, 2047] ->
+    [T, 2, 4096], chunk 32/256): 0.21 us/frame vs 0.70 for the FFT;
+    accuracy 2.9e-7 of peak vs an f64 oracle (the FFT path is 1.6e-7)
+    — benchmarks/irfft_focus.py.  Batched over any leading dims.
+    Selected by ``AuralizerConfig.use_matmul_irfft``.
+    """
+    F = half_re.shape[-1]
+    cos_m, sin_m = _idft_matrices(F, 2 * (F + 1))
+    hi = jax.lax.Precision.HIGHEST
+    return (jnp.matmul(half_re, cos_m, precision=hi)
+            - jnp.matmul(half_im, sin_m, precision=hi))
 
 
 # ---------------------------------------------------------------------------

@@ -182,7 +182,13 @@ def chunk_pipeline(carry: StepCarry, frames, params: Dict[str, Any],
 
     # ---- pass C2: audio tail, scalars serial / samples batched ----
     # One big batched irfft over all frames (and channels).
-    if ch == 1:
+    if cfg.use_matmul_irfft:
+        # MXU path: one (T[*ch], F) x (F, nfft) contraction pair; the
+        # 33 MB weight read amortizes over the whole chunk
+        # (dsp.irfft_from_half_dense, benchmarks/irfft_focus.py).
+        from vaudio.dsp import irfft_from_half_dense
+        signals = irfft_from_half_dense(spectra[..., 0], spectra[..., 1])
+    elif ch == 1:
         signals = jax.vmap(
             lambda sp: irfft_from_half(sp[:, 0], sp[:, 1]))(spectra)
     else:

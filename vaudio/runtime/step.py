@@ -70,7 +70,12 @@ def synth_audio(spectrum, ola_tail, running_max, params: Dict[str, Any],
 
     Returns (pcm, new_ola_tail, new_running_max).
     """
-    if cfg.channels == 1:
+    if cfg.use_matmul_irfft:
+        # MXU path (dsp.irfft_from_half_dense): batched over any leading
+        # dims, so mono (F, 2) and stereo (ch, F, 2) need no vmap.
+        from vaudio.dsp import irfft_from_half_dense
+        signal = irfft_from_half_dense(spectrum[..., 0], spectrum[..., 1])
+    elif cfg.channels == 1:
         signal = irfft_from_half(spectrum[:, 0], spectrum[:, 1])
     else:
         signal = jax.vmap(

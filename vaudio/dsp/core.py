@@ -227,12 +227,14 @@ def _idft_matrices(F: int, nfft: int):
     With DC and Nyquist zero (the reference's mirrorAndConjugate layout)
     the real IDFT collapses to x[n] = (2/N) sum_k (re_k cos(2 pi (k+1)
     n / N) - im_k sin(...)); the 2/N scale is folded into the weights.
-    Built in f64, cast to f32 once per (F, nfft)."""
+    Built in f64, cast to f32 once per (F, nfft).  Returned as NumPy
+    host constants — caching jnp arrays would capture the first caller's
+    trace context and leak tracers into later jits."""
     k = np.arange(1, F + 1, dtype=np.float64)[:, None]
     n = np.arange(nfft, dtype=np.float64)[None, :]
     ang = 2.0 * np.pi * k * n / nfft
-    return (jnp.asarray((2.0 / nfft) * np.cos(ang), jnp.float32),
-            jnp.asarray((2.0 / nfft) * np.sin(ang), jnp.float32))
+    return (((2.0 / nfft) * np.cos(ang)).astype(np.float32),
+            ((2.0 / nfft) * np.sin(ang)).astype(np.float32))
 
 
 def irfft_from_half_dense(half_re, half_im):

@@ -281,6 +281,37 @@ class TestStreamCLI:
         assert len(pcm) >= 4 * 2048
         assert np.all(np.isfinite(pcm))
 
+    def test_checkpoint_resume_across_runs(self, tmp_path):
+        """--save-state / --load-state: a stream split across two CLI
+        processes produces the same PCM as one continuous run (the DSP
+        carry — phases, spectrum EMA, OLA tail, AGC — resumes
+        seamlessly; runtime/checkpoint.py)."""
+        import subprocess
+        rng = np.random.default_rng(7)
+        frames = rng.integers(0, 256, (8, 64, 64, 3), dtype=np.uint8)
+        env = dict(os.environ, VAUDIO_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
+                   PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH",
+                                                             ""))
+        ckpt = str(tmp_path / "carry.npz")
+
+        def run(tensor, extra):
+            r = subprocess.run(
+                [sys.executable, "-m", "vaudio", "stream", "--size",
+                 "64x64"] + extra,
+                input=tensor.tobytes(), capture_output=True, env=env,
+                cwd="/root/repo", timeout=300)
+            assert r.returncode == 0, r.stderr.decode()[-500:]
+            return np.frombuffer(r.stdout, "<f4")
+
+        whole = run(frames, [])
+        first = run(frames[:4], ["--save-state", ckpt])
+        second = run(frames[4:], ["--load-state", ckpt])
+        assert os.path.exists(ckpt)
+        split = np.concatenate([first, second])
+        assert split.shape == whole.shape
+        np.testing.assert_allclose(split, whole, atol=1e-5)
+
 
 class TestNv12:
     def test_nv12_equals_i420(self, tmp_path, rng):

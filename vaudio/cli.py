@@ -173,6 +173,12 @@ def cmd_stream(args) -> int:
         server = aur.serve(port=int(port), host=host or "127.0.0.1")
         print(f"stream: live control panel at {server.url}",
               file=sys.stderr)
+    if args.load_state:
+        # Resume a prior stream's DSP carry (runtime/checkpoint.py) —
+        # the next frame continues phases/EMA/OLA seamlessly.
+        aur.load_state(args.load_state)
+        print(f"stream: resumed DSP state from {args.load_state}",
+              file=sys.stderr)
     aur.start(src.frames())
     out = sys.stdout.buffer
     quantum = 2048 * cfg.channels
@@ -199,6 +205,10 @@ def cmd_stream(args) -> int:
             live.stop()
         if player is not None:
             player.close()
+        if args.save_state:
+            aur.save_state(args.save_state)
+            print(f"stream: DSP state saved to {args.save_state}",
+                  file=sys.stderr)
         server.stop()
         aur.stop()
         return 0
@@ -246,6 +256,10 @@ def cmd_stream(args) -> int:
             print(f"stream: player exited with {code}", file=sys.stderr)
     if server is not None:
         server.stop()
+    if args.save_state:
+        aur.save_state(args.save_state)
+        print(f"stream: DSP state saved to {args.save_state}",
+              file=sys.stderr)
     aur.stop()
     return 0
 
@@ -424,6 +438,14 @@ def main(argv=None) -> int:
                         "mutating LiveParams mid-stream, refreshing hue/"
                         "spectrum/waveform views, /audio.wav live "
                         "listen) on this port while streaming")
+    p.add_argument("--load-state", default=None, metavar="NPZ",
+                   help="resume the DSP carry (phases, previous "
+                        "spectrum, OLA tail, AGC envelope, hues) from a "
+                        "checkpoint before streaming")
+    p.add_argument("--save-state", default=None, metavar="NPZ",
+                   help="checkpoint the DSP carry to NPZ when the "
+                        "stream ends (pair with --load-state to resume "
+                        "a stream seamlessly across runs)")
     _add_config_args(p)
     p.set_defaults(fn=cmd_stream)
 

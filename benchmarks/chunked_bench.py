@@ -41,13 +41,15 @@ def main():
     print(f"device={jax.devices()[0]} frame={h}x{w} ch={channels}",
           file=sys.stderr)
 
+    _SALT = (time.time_ns() ^ os.getpid()) % (1 << 20)  # cross-run dedup salt
+
     def frames_for(T, seed):
         # Generate in <=8-frame slices: threefry's u32 intermediates are
         # 4x the u8 output and OOM at 4K x 64 frames in one shot.
         parts = []
         for i in range(0, T, 8):
             n = min(8, T - i)
-            parts.append(jax.random.bits(jax.random.PRNGKey(seed + i),
+            parts.append(jax.random.bits(jax.random.PRNGKey(_SALT + seed + i),
                                          (n, h, w, 3), jnp.uint8))
         fr = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         jax.block_until_ready(fr)

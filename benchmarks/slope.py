@@ -59,7 +59,7 @@ def main():
 
     cfg = AuralizerConfig(sample_rate=48000.0)
     h, w = (1080, 1920)
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey((time.time_ns() ^ os.getpid()) % (1 << 20))  # cross-run dedup salt (CLAUDE.md)
 
     def frames(T):
         return jax.random.uniform(key, (T, h, w, 3), jnp.float32)

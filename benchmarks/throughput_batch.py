@@ -13,6 +13,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+# Per-process seed salt: the relay's dispatch dedup spans PROCESSES
+# (CLAUDE.md) — a fixed PRNGKey would replay last run's whole chain.
+_SALT = (time.time_ns() ^ os.getpid()) % (1 << 20)
+
 
 def main():
     from vaudio.config import AuralizerConfig
@@ -36,7 +40,7 @@ def main():
     def bench_T(T):
         # Device-resident uint8 frames; carry chains between calls (see
         # bench.py for the methodology rationale).
-        frames = jax.random.bits(jax.random.PRNGKey(0),
+        frames = jax.random.bits(jax.random.PRNGKey(_SALT),
                                  (T, n_streams, h, w, 3), jnp.uint8)
         jax.block_until_ready(frames)
 
@@ -73,7 +77,7 @@ def main():
     from vaudio.runtime.chunked import chunk_pipeline
 
     def bench_chunked_T(T):
-        frames = jax.random.bits(jax.random.PRNGKey(1),
+        frames = jax.random.bits(jax.random.PRNGKey(_SALT + 1),
                                  (n_streams, T, h, w, 3), jnp.uint8)
         jax.block_until_ready(frames)
 

@@ -23,7 +23,11 @@ defeat the dedup).
 
 Environment overrides:
   VAUDIO_BENCH_RES=HxW      frame resolution   (default 1080x1920)
-  VAUDIO_BENCH_CHUNKS=a,b   slope chunk sizes  (default 16,64)
+  VAUDIO_BENCH_CHUNKS=a,b   slope chunk sizes  (default 16,128; the
+                            112-frame delta keeps the signal ~4 ms,
+                            an order above the tunnel's ms-level
+                            call-time jitter — 48-frame deltas
+                            occasionally collapsed, see BENCH_r02)
   VAUDIO_BENCH_ITERS=N      timed repetitions  (default 8)
   VAUDIO_BENCH_PALLAS=0/1   use the Pallas synthesis kernel
   VAUDIO_BENCH_PALLAS_AUDIO=0/1  use the Pallas AGC+OLA kernel
@@ -32,6 +36,9 @@ Environment overrides:
                                  measured 2.1x SLOWER in-pipeline even
                                  frame-blocked — see docs/BENCHMARKS.md)
   VAUDIO_BENCH_MATMUL_IRFFT=0/1  dense MXU IDFT instead of the XLA FFT
+  VAUDIO_BENCH_MATMUL_EMA=0/1    spectrum EMA as one triangular MXU
+                                 matmul instead of the serial scan
+  VAUDIO_BENCH_FAST_ACOS=0/1     polynomial hue arccos (<=2e-8 rad)
   VAUDIO_BENCH_CHANNELS=1/2 stereo (default) or mono headline config
   VAUDIO_BENCH_QUANTIZE=0/1 strict-parity 8-bit mip chain
                             (cfg.quantize_mips; disables the int8 pool
@@ -77,7 +84,7 @@ def main() -> int:
     res = os.environ.get("VAUDIO_BENCH_RES", "1080x1920")
     h, w = (int(x) for x in res.split("x"))
     chunks = [int(x) for x in
-              os.environ.get("VAUDIO_BENCH_CHUNKS", "16,64").split(",")]
+              os.environ.get("VAUDIO_BENCH_CHUNKS", "16,128").split(",")]
     iters = int(os.environ.get("VAUDIO_BENCH_ITERS", "12"))
     use_pallas = os.environ.get("VAUDIO_BENCH_PALLAS", "0") == "1"
     use_pallas_audio = os.environ.get("VAUDIO_BENCH_PALLAS_AUDIO",
@@ -87,6 +94,8 @@ def main() -> int:
     use_pallas_vision = os.environ.get("VAUDIO_BENCH_PALLAS_VISION",
                                        "0") == "1"
     matmul_irfft = os.environ.get("VAUDIO_BENCH_MATMUL_IRFFT", "0") == "1"
+    matmul_ema = os.environ.get("VAUDIO_BENCH_MATMUL_EMA", "0") == "1"
+    fast_acos = os.environ.get("VAUDIO_BENCH_FAST_ACOS", "0") == "1"
     quantize = os.environ.get("VAUDIO_BENCH_QUANTIZE", "0") == "1"
     channels = int(os.environ.get("VAUDIO_BENCH_CHANNELS", "2"))
     also_mono = os.environ.get("VAUDIO_BENCH_MONO", "1") == "1" \
@@ -111,6 +120,8 @@ def main() -> int:
                               use_pallas_pool=use_pallas_pool,
                               use_pallas_vision=use_pallas_vision,
                               use_matmul_irfft=matmul_irfft,
+                              use_matmul_ema=matmul_ema,
+                              fast_hue_acos=fast_acos,
                               quantize_mips=quantize,
                               channels=ch)
         consts = SynthConstants.create(cfg)
@@ -166,10 +177,11 @@ def main() -> int:
             return (time.perf_counter() - t0) / iters * 1e3  # ms/call
 
         # The tunnel's per-call latency jitters by milliseconds between
-        # runs, which at a 48-frame delta is the same magnitude as the
-        # signal — take the MEDIAN of several interleaved slope
-        # estimates (compiles are shared; each extra estimate is only
-        # `iters` timed calls).
+        # runs; at the original 48-frame delta that was the same
+        # magnitude as the signal (BENCH_r02 rep2 collapsed to
+        # 4 us/frame), hence the 112-frame default delta AND the
+        # MEDIAN of several interleaved slope estimates (compiles are
+        # shared; each extra estimate is only `iters` timed calls).
         #
         # Per-PROCESS seed salt: the carry chain defeats dedup WITHIN a
         # run, but with fixed seeds the whole dispatch sequence is

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Same-session A/B of AuralizerConfig perf flags on the stereo chunked
+headline config (TPU).
+
+Runs each named flag combo through the full chunk pipeline in ONE
+process with INTERLEAVED slope reps (combo order re-randomized per rep),
+so tunnel drift hits all arms equally — the round-3 A/B methodology
+(docs/BENCHMARKS.md).  Carries chain between calls (dedup defense);
+seeds are salted per process (the relay dedup spans processes).
+
+Usage:  python benchmarks/ab_flags.py [combo ...]
+  combo names: baseline, matmul_ema, fast_acos, both
+Env: VAUDIO_BENCH_RES (1080x1920), VAUDIO_BENCH_CHUNKS (16,128),
+     VAUDIO_BENCH_ITERS (12), VAUDIO_BENCH_SLOPE_REPS (3),
+     VAUDIO_BENCH_JSON (artifact path)
+"""
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+COMBOS = {
+    "baseline": {},
+    "matmul_ema": {"use_matmul_ema": True},
+    "fast_acos": {"fast_hue_acos": True},
+    "both": {"use_matmul_ema": True, "fast_hue_acos": True},
+}
+
+
+def main():
+    import _common
+    _common.enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vaudio.config import AuralizerConfig
+    from vaudio.dsp import hann_window_norm
+    from vaudio.runtime.chunked import chunk_pipeline
+    from vaudio.runtime.step import default_params, init_carry
+    from vaudio.synth import SynthConstants
+
+    names = sys.argv[1:] or list(COMBOS)
+    res = os.environ.get("VAUDIO_BENCH_RES", "1080x1920")
+    h, w = (int(x) for x in res.split("x"))
+    chunks = [int(x) for x in
+              os.environ.get("VAUDIO_BENCH_CHUNKS", "16,128").split(",")]
+    iters = int(os.environ.get("VAUDIO_BENCH_ITERS", "12"))
+    n_reps = int(os.environ.get("VAUDIO_BENCH_SLOPE_REPS", "3"))
+    salt = (time.time_ns() ^ os.getpid()) % (1 << 20)
+
+    print(f"device={jax.devices()[0]} res={h}x{w} chunks={chunks} "
+          f"iters={iters} reps={n_reps} combos={names}", flush=True)
+
+    arms = {}
+    for name in names:
+        cfg = AuralizerConfig(sample_rate=48000.0, channels=2,
+                              **COMBOS[name])
+        consts = SynthConstants.create(cfg)
+        window = jnp.asarray(hann_window_norm(cfg.nfft))
+        params = default_params(cfg)
+
+        def make_step(cfg=cfg, consts=consts, window=window,
+                      params=params):
+            @jax.jit
+            def step(carry, frames):
+                return chunk_pipeline(carry, frames, params, cfg, consts,
+                                      window)
+            return step
+
+        arms[name] = {"cfg": cfg, "step": make_step(), "slopes": []}
+
+    def bench_chunk(arm, T, seed):
+        parts = []
+        for i in range(0, T, 8):
+            n = min(8, T - i)
+            parts.append(jax.random.bits(jax.random.PRNGKey(seed + i),
+                                         (n, h, w, 3), jnp.uint8))
+        frames = (jnp.concatenate(parts, axis=0) if len(parts) > 1
+                  else parts[0])
+        jax.block_until_ready(frames)
+        carry = init_carry(arm["cfg"])
+        t0 = time.perf_counter()
+        carry, outs = arm["step"](carry, frames)
+        jax.block_until_ready(outs["pcm"])
+        dt = time.perf_counter() - t0
+        if dt > 2.0:
+            print(f"  (compile chunk{T}: {dt:.1f}s)", flush=True)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry, outs = arm["step"](carry, frames)
+        jax.block_until_ready(outs["pcm"])
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    for rep in range(n_reps):
+        # Rotate combo order so drift within a rep is not correlated
+        # with a fixed arm position.
+        order = names[rep % len(names):] + names[:rep % len(names)]
+        for name in order:
+            arm = arms[name]
+            t_small = bench_chunk(arm, chunks[0], salt + 13 * rep)
+            t_big = bench_chunk(arm, chunks[1], salt + 997 + 13 * rep)
+            ms = (t_big - t_small) / (chunks[1] - chunks[0])
+            arm["slopes"].append(ms)
+            print(f"rep{rep} {name:12s} chunk{chunks[0]}={t_small:.1f}ms "
+                  f"chunk{chunks[1]}={t_big:.1f}ms -> "
+                  f"{ms * 1e3:.1f} us/frame", flush=True)
+
+    record = {"resolution": f"{h}x{w}", "chunks": chunks, "iters": iters,
+              "slope_reps": n_reps, "device": str(jax.devices()[0]),
+              "arms": {}}
+    for name in names:
+        ms = statistics.median(arms[name]["slopes"])
+        rtf = (1000.0 / ms) / 30.0
+        print(f"{name:12s} median {ms * 1e3:.1f} us/frame = "
+              f"{rtf:.0f}x realtime (slopes "
+              f"{[round(s * 1e3, 1) for s in arms[name]['slopes']]})",
+              flush=True)
+        record["arms"][name] = {
+            "us_per_frame": round(ms * 1e3, 2),
+            "x_realtime": round(rtf, 1),
+            "slopes_us": [round(s * 1e3, 2)
+                          for s in arms[name]["slopes"]]}
+
+    out = os.environ.get("VAUDIO_BENCH_JSON")
+    if out:
+        with open(out, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

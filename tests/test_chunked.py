@@ -79,6 +79,23 @@ class TestChunkedEquivalence:
             np.testing.assert_allclose(np.asarray(a_mm), np.asarray(a_fft),
                                        atol=3e-5)
 
+    def test_matmul_ema(self, rng):
+        """cfg.use_matmul_ema: pass C1's closed-form triangular-matmul
+        EMA stays equivalent to the serial scan (reassociated f32
+        accumulation — the 2e-5 default tolerance covers it), mono and
+        stereo, including the carry.prev_spectrum chunk handoff."""
+        assert_equivalent(clip(rng), AuralizerConfig(use_matmul_ema=True))
+        assert_equivalent(clip(rng), AuralizerConfig(use_matmul_ema=True,
+                                                     channels=2))
+
+    def test_matmul_ema_strong_mixing(self, rng):
+        """High spectrum_mixing exercises the m^t power chain where the
+        closed form differs most from sequential fma."""
+        params = LiveParams(spectrum_mixing=0.95).as_arrays()
+        assert_equivalent(clip(rng, t=12),
+                          AuralizerConfig(use_matmul_ema=True),
+                          params=params, chunk=12)
+
     def test_uint8_frames(self, rng):
         frames = rng.integers(0, 256, (8, 64, 64, 3), dtype=np.uint8)
         assert_equivalent(frames, AuralizerConfig())

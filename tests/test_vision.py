@@ -51,6 +51,49 @@ class TestRgbToHsi:
             assert np.isclose(px[2], 1 / 3, atol=1e-6)  # intensity
 
 
+class TestAcosPoly:
+    def test_accuracy_dense_grid(self):
+        """A&S 4.4.46 promises <= 2e-8 rad; in f32 the sqrt/fma rounding
+        adds ~1 ulp of pi, so assert 5e-7 over a dense [-1, 1] grid
+        including the endpoints."""
+        x = np.linspace(-1.0, 1.0, 200_001).astype(np.float32)
+        got = np.asarray(vision.acos_poly(jnp.asarray(x)))
+        expect = np.arccos(x.astype(np.float64))
+        assert np.max(np.abs(got - expect)) < 5e-7
+
+    def test_endpoints(self):
+        got = np.asarray(vision.acos_poly(
+            jnp.asarray([-1.0, 0.0, 1.0], jnp.float32)))
+        np.testing.assert_allclose(got, [np.pi, np.pi / 2, 0.0], atol=3e-7)
+
+    def test_hsi_fast_acos_matches_exact(self, rng):
+        """fast_acos hue planes agree with the transcendental path to
+        well below a histogram bin (1/360 ~ 2.8e-3)."""
+        frame = random_frame(rng, h=64, w=64)
+        r, g, b = (jnp.asarray(frame[..., k]) for k in range(3))
+        h_exact, s1, i1 = vision.rgb_to_hsi_planes(r, g, b)
+        h_fast, s2, i2 = vision.rgb_to_hsi_planes(r, g, b, fast_acos=True)
+        np.testing.assert_allclose(np.asarray(h_fast),
+                                   np.asarray(h_exact), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_pipeline_equivalent_with_flag(self, rng):
+        """cfg.fast_hue_acos end-to-end: same histogram totals and
+        near-identical per-bin counts on a random frame."""
+        from vaudio.config import AuralizerConfig
+        frame = random_frame(rng, h=64, w=64)
+        hist_e, grads_e, _ = vision.frame_stats(
+            jnp.asarray(frame), AuralizerConfig())
+        hist_f, grads_f, _ = vision.frame_stats(
+            jnp.asarray(frame), AuralizerConfig(fast_hue_acos=True))
+        assert float(jnp.sum(hist_e)) == float(jnp.sum(hist_f))
+        # A count moves bins only for hues within 2e-8 rad of an edge.
+        assert float(jnp.sum(jnp.abs(hist_e - hist_f))) <= 2.0
+        np.testing.assert_allclose(np.asarray(grads_f),
+                                   np.asarray(grads_e), atol=1e-6)
+
+
 class TestMipDownsample:
     def test_matches_box_filter(self, rng):
         frame = random_frame(rng, 32, 48)

@@ -125,6 +125,23 @@ class AuralizerConfig:
     # docs/BENCHMARKS.md.  The (2047, 4096) weight pair costs 33 MB of
     # HBM each way per chunk, amortized across the frame batch.
     use_matmul_irfft: bool = False
+    # Compute the per-chunk spectrum-smoothing EMA (pass C1 of
+    # runtime.chunked) as ONE lower-triangular (T, T) matmul on the MXU
+    # instead of a T-step serial lax.scan: spec_t = m^{t+1} prev +
+    # (1-m) sum_{k<=t} m^{t-k} rot_k.  Mathematically identical;
+    # numerically reassociated (HIGHEST-precision dot accumulation vs
+    # sequential fma — observed <= 1e-6 abs at T=64), so the scan-path
+    # bit-for-near guarantee of runtime.chunked no longer holds exactly
+    # when enabled.  Only affects the chunked pipeline.
+    use_matmul_ema: bool = False
+    # Evaluate the hue arccos (vision.rgb_to_hsi_planes) with the
+    # degree-7 sqrt-polynomial (Abramowitz & Stegun 4.4.46, <= 2e-8 rad
+    # = 3e-9 of a hue turn) instead of the transcendental expansion —
+    # the HSI conversion is a pure-VPU stage (~3.4 us/frame of the
+    # 1080p chunk pipeline, docs/BENCHMARKS.md ablation).  A hue can
+    # only change histogram bin if it lands within 2e-8 rad of a bin
+    # edge.
+    fast_hue_acos: bool = False
     # Apply the spectral HP/LP filter driven by the hp/lp live params.
     # The reference plumbs these parameters all the way into its kernel but
     # the application is commented out (SpectrumCompute.metal:200-209) — the

@@ -15,6 +15,7 @@ live Metal kernels in Metal Functions/convolveFeatures.metal:
 """
 
 from vaudio.vision.features import (
+    acos_poly,
     cell_gradient_stats,
     extract_features,
     frame_mip_planes,
@@ -25,6 +26,7 @@ from vaudio.vision.features import (
     hue_histogram,
     mip_downsample,
     rgb_to_hsi,
+    rgb_to_hsi_planes,
     rotate_cw,
     update_hues,
     update_hues_from_stats,
@@ -32,6 +34,7 @@ from vaudio.vision.features import (
 )
 
 __all__ = [
+    "acos_poly",
     "cell_gradient_stats",
     "extract_features",
     "frame_mip_planes",
@@ -42,6 +45,7 @@ __all__ = [
     "hue_histogram",
     "mip_downsample",
     "rgb_to_hsi",
+    "rgb_to_hsi_planes",
     "rotate_cw",
     "update_hues",
     "update_hues_from_stats",

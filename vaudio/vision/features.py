@@ -44,7 +44,28 @@ _EXACT = jax.lax.Precision.HIGHEST
 # Color space
 # ---------------------------------------------------------------------------
 
-def rgb_to_hsi_planes(r, g, b):
+# Abramowitz & Stegun 4.4.46: acos(x) = sqrt(1-x) * P7(x) on [0, 1],
+# max abs error <= 2e-8 rad (mirrored via acos(-x) = pi - acos(x)).
+_ACOS_COEFFS = tuple(np.float32(c) for c in (
+    1.5707963050, -0.2145988016, 0.0889789874, -0.0501743046,
+    0.0308918810, -0.0170881256, 0.0066700901, -0.0012624911))
+
+
+def acos_poly(x):
+    """Polynomial arccos: one sqrt + 7 fma + a sign select, replacing the
+    transcendental acos expansion on the VPU hue hot path
+    (cfg.fast_hue_acos).  Max abs error 2e-8 rad over [-1, 1] — a hue
+    deviation of 3e-9 of the circle, 6 orders below the 1/360 histogram
+    bin width."""
+    a = jnp.abs(x)
+    p = _ACOS_COEFFS[-1]
+    for c in _ACOS_COEFFS[-2::-1]:
+        p = p * a + c
+    r = jnp.sqrt(jnp.maximum(np.float32(1.0) - a, np.float32(0.0))) * p
+    return jnp.where(x >= 0.0, r, np.float32(np.pi) - r)
+
+
+def rgb_to_hsi_planes(r, g, b, fast_acos: bool = False):
     """RGB planes -> (H, S, I) planes; the Metal helper's exact math
     (convolveFeatures.metal:14-38).
 
@@ -52,6 +73,8 @@ def rgb_to_hsi_planes(r, g, b):
     H = acos-formula angle normalized to [0,1], 0 where the denominator
     vanishes (grey pixels).  The acos argument is clamped to [-1,1] — Metal
     leaves it UB outside; clamping matches the mathematically exact value.
+
+    ``fast_acos`` swaps jnp.arccos for :func:`acos_poly` (<= 2e-8 rad).
     """
     i = (r + g + b) * np.float32(1.0 / 3.0)
     min_val = jnp.minimum(r, jnp.minimum(g, b))
@@ -60,7 +83,8 @@ def rgb_to_hsi_planes(r, g, b):
     num = 0.5 * ((r - g) + (r - b))
     den = jnp.sqrt((r - g) ** 2 + (r - b) * (g - b))
     safe_den = jnp.where(den != 0.0, den, 1.0)
-    theta = jnp.arccos(jnp.clip(num / safe_den, -1.0, 1.0))
+    arg = jnp.clip(num / safe_den, -1.0, 1.0)
+    theta = acos_poly(arg) if fast_acos else jnp.arccos(arg)
     h = jnp.where(b <= g, theta, _TWO_PI - theta) / _TWO_PI
     h = jnp.where(den != 0.0, h, 0.0)
     return h, s, i
@@ -683,7 +707,8 @@ def frame_stats(frame, cfg: AuralizerConfig,
             mip, cfg, interpret=backend == "cpu")
         return hist, grads, {"histogram": hist}
 
-    h, s, i = rgb_to_hsi_planes(mip[0], mip[1], mip[2])
+    h, s, i = rgb_to_hsi_planes(mip[0], mip[1], mip[2],
+                                fast_acos=cfg.fast_hue_acos)
 
     hist = hue_histogram_planes(h, s, i, cfg)
     imodes = feature_stencil_plane(i)                     # (4, hm, wm)

@@ -132,16 +132,23 @@ class AuralizerConfig:
     # numerically reassociated (HIGHEST-precision dot accumulation vs
     # sequential fma — observed <= 1e-6 abs at T=64), so the scan-path
     # bit-for-near guarantee of runtime.chunked no longer holds exactly
-    # when enabled.  Only affects the chunked pipeline.
+    # when enabled.  Only affects the chunked pipeline.  Default off:
+    # measured a WASH in-pipeline at chunk <= 128 (same-session A/B
+    # 37.5 vs 37.2 us/frame, benchmarks/AB_FLAGS_r03.json — the serial
+    # EMA scan's cost is already hidden at these chunk sizes); kept as
+    # a verified alternative for chunk sizes past ~256.
     use_matmul_ema: bool = False
     # Evaluate the hue arccos (vision.rgb_to_hsi_planes) with the
     # degree-7 sqrt-polynomial (Abramowitz & Stegun 4.4.46, <= 2e-8 rad
     # = 3e-9 of a hue turn) instead of the transcendental expansion —
-    # the HSI conversion is a pure-VPU stage (~3.4 us/frame of the
-    # 1080p chunk pipeline, docs/BENCHMARKS.md ablation).  A hue can
-    # only change histogram bin if it lands within 2e-8 rad of a bin
-    # edge.
-    fast_hue_acos: bool = False
+    # the HSI conversion is a pure-VPU stage and the polynomial saves
+    # ~0.6 us/frame at 1080p (same-session A/B, benchmarks/
+    # AB_FLAGS_r03.json: 36.6 vs 37.2 us/frame stereo chunked).  On by
+    # default: the deviation is two orders below the default peak-math
+    # tolerance (dsp.hann_sinc_peak_fast, <= 2e-7) already accepted as
+    # exact; a hue can only change histogram bin if it lands within
+    # 2e-8 rad of a bin edge.  False restores jnp.arccos.
+    fast_hue_acos: bool = True
     # Apply the spectral HP/LP filter driven by the hp/lp live params.
     # The reference plumbs these parameters all the way into its kernel but
     # the application is commented out (SpectrumCompute.metal:200-209) — the

@@ -38,7 +38,8 @@ Environment overrides:
   VAUDIO_BENCH_MATMUL_IRFFT=0/1  dense MXU IDFT instead of the XLA FFT
   VAUDIO_BENCH_MATMUL_EMA=0/1    spectrum EMA as one triangular MXU
                                  matmul instead of the serial scan
-  VAUDIO_BENCH_FAST_ACOS=0/1     polynomial hue arccos (<=2e-8 rad)
+  VAUDIO_BENCH_FAST_ACOS=0/1     polynomial hue arccos (<=2e-8 rad;
+                                 default 1 = the config default)
   VAUDIO_BENCH_CHANNELS=1/2 stereo (default) or mono headline config
   VAUDIO_BENCH_QUANTIZE=0/1 strict-parity 8-bit mip chain
                             (cfg.quantize_mips; disables the int8 pool
@@ -95,7 +96,9 @@ def main() -> int:
                                        "0") == "1"
     matmul_irfft = os.environ.get("VAUDIO_BENCH_MATMUL_IRFFT", "0") == "1"
     matmul_ema = os.environ.get("VAUDIO_BENCH_MATMUL_EMA", "0") == "1"
-    fast_acos = os.environ.get("VAUDIO_BENCH_FAST_ACOS", "0") == "1"
+    # Default "1" tracks the AuralizerConfig default (fast_hue_acos=True)
+    # so bench.py measures what production runs.
+    fast_acos = os.environ.get("VAUDIO_BENCH_FAST_ACOS", "1") == "1"
     quantize = os.environ.get("VAUDIO_BENCH_QUANTIZE", "0") == "1"
     channels = int(os.environ.get("VAUDIO_BENCH_CHANNELS", "2"))
     also_mono = os.environ.get("VAUDIO_BENCH_MONO", "1") == "1" \
@@ -144,8 +147,18 @@ def main() -> int:
             # pipeline: f32 threefry ~0.13 ms/frame vs 0.10 ms of actual
             # work.)  Carries chain between calls, which defeats the
             # tunnel's identical-dispatch dedup.
-            frames = jax.random.bits(jax.random.PRNGKey(seed0),
-                                     (T, h, w, 3), jnp.uint8)
+            # Generate in <=8-frame slices: threefry's u32 intermediates
+            # are 4x the u8 output and RESOURCE_EXHAUST the chip in one
+            # shot at 4K x 64 frames (observed), let alone 1080p x 128.
+            parts = []
+            for i in range(0, T, 8):
+                n = min(8, T - i)
+                parts.append(jax.random.bits(
+                    jax.random.PRNGKey(seed0 + 7919 * i),
+                    (n, h, w, 3), jnp.uint8))
+            frames = (jnp.concatenate(parts, axis=0) if len(parts) > 1
+                      else parts[0])
+            del parts
             jax.block_until_ready(frames)
 
             if mode == "chunked":

@@ -23,11 +23,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Arms pin EVERY flag they differ on explicitly, so they keep meaning
+# the same thing when an AuralizerConfig default flips (fast_hue_acos
+# became the default after this harness's first run).
 COMBOS = {
-    "baseline": {},
-    "matmul_ema": {"use_matmul_ema": True},
-    "fast_acos": {"fast_hue_acos": True},
+    "baseline": {"use_matmul_ema": False, "fast_hue_acos": False},
+    "matmul_ema": {"use_matmul_ema": True, "fast_hue_acos": False},
+    "fast_acos": {"use_matmul_ema": False, "fast_hue_acos": True},
     "both": {"use_matmul_ema": True, "fast_hue_acos": True},
+    "default": {},   # whatever AuralizerConfig currently defaults to
 }
 
 

@@ -46,7 +46,10 @@ Environment overrides:
                             fast paths by construction)
   VAUDIO_BENCH_MONO=0/1     also measure the mono config (default 1)
   VAUDIO_BENCH_SCAN=0/1     also measure the per-frame scan path (default 1)
-  VAUDIO_BENCH_UNROLL=N     scan unroll factor (default 4)
+  VAUDIO_BENCH_UNROLL=N     scan unroll factor (default 8; measured
+                            sweep at 1080p stereo: 4 -> 73 us/frame,
+                            8 -> 65, 16 -> 81 — larger unrolls blow
+                            the live-intermediate footprint)
   VAUDIO_JAX_CACHE=dir      persistent compile cache location
 """
 
@@ -103,7 +106,7 @@ def main() -> int:
     channels = int(os.environ.get("VAUDIO_BENCH_CHANNELS", "2"))
     also_mono = os.environ.get("VAUDIO_BENCH_MONO", "1") == "1" \
         and channels == 2
-    unroll = int(os.environ.get("VAUDIO_BENCH_UNROLL", "4"))
+    unroll = int(os.environ.get("VAUDIO_BENCH_UNROLL", "8"))
 
     backend = jax.default_backend()
     dev = jax.devices()[0]

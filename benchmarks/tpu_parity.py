@@ -111,6 +111,35 @@ def main(argv=None):
     np.add.at(oracle_h, (cell[gate], bins_i[gate]), 1.0)
     check("hue_histogram_tiled", np.abs(got - oracle_h).max(), 0.0)
 
+    # -- polynomial acos (the fast_hue_acos default) on the VPU:
+    # (a) acos_poly vs the true f64 arccos on a dense f32 grid — the
+    # polynomial's promise (2e-8 rad) plus VPU sqrt/fma rounding;
+    # (b) the hue planes with fast_acos True vs False BOTH on device —
+    # the deviation the flag itself introduces on identical f32
+    # arguments.  (Comparing either f32 path against an f64 *formula*
+    # oracle instead is dominated by d(acos)/dx = 1/sqrt(1-x^2) input
+    # amplification near x = +-1 — a conditioning property every f32
+    # implementation shares, incl. the reference's Metal acos: measured
+    # 4.1e-5 for both paths on random planes, so it cannot distinguish
+    # them.)
+    from vaudio.vision.features import acos_poly, rgb_to_hsi_planes
+    xg = np.linspace(-1.0, 1.0, 200_001).astype(np.float32)
+    got_a = np.asarray(acos_poly(jnp.asarray(xg)))
+    # tol = ~3 ulps of pi: near x=-1 the result is ~pi (f32 ulp 2.4e-7)
+    # and the VPU's sqrt/fma rounding differs from the CPU's by an ulp
+    # (measured 5.1e-7 on the v5e vs <5e-7 on CPU).
+    check("acos_poly_dense_grid",
+          np.abs(got_a - np.arccos(xg.astype(np.float64))).max(), 8e-7)
+    rp = rng.random((hm, wm), dtype=np.float64).astype(np.float32)
+    gp = rng.random((hm, wm), dtype=np.float64).astype(np.float32)
+    bp = rng.random((hm, wm), dtype=np.float64).astype(np.float32)
+    h_poly, _, _ = rgb_to_hsi_planes(jnp.asarray(rp), jnp.asarray(gp),
+                                     jnp.asarray(bp), fast_acos=True)
+    h_ref, _, _ = rgb_to_hsi_planes(jnp.asarray(rp), jnp.asarray(gp),
+                                    jnp.asarray(bp), fast_acos=False)
+    check("hsi_hue_poly_vs_exact",
+          np.abs(np.asarray(h_poly) - np.asarray(h_ref)).max(), 1e-6)
+
     # -- spectrum contraction (F x NP peak matrix @ weights)
     cfg = AuralizerConfig()
     consts = SynthConstants.create(cfg)

@@ -183,8 +183,12 @@ def run_offline(frames, cfg: AuralizerConfig,
     Args:
       frames: f32[T, H, W, 3] RGB video tensor in [0,1].
       unroll: lax.scan unroll factor; >1 lets XLA overlap kernels across
-        frames (~17% on TPU where the step is scheduling-gap-bound) at the
-        cost of longer compiles.
+        frames at the cost of longer compiles.  Measured sweep on the
+        v5e at 1080p stereo (bench.py scan path): unroll 4 = 73
+        us/frame, 8 = 65 (the sweet spot, 514x realtime), 16 = 81
+        (live intermediates overflow).  Default 1 keeps CPU test
+        compiles cheap; production streaming uses the chunked pipeline
+        (runtime.chunked), which owns its own unrolling.
     Returns:
       (audio f32[T*hop], final_carry, debug_dict) — debug_dict has stacked
       per-frame hues/grads/spectra when ``debug``.

@@ -106,8 +106,15 @@ def main():
         order = names[rep % len(names):] + names[:rep % len(names)]
         for name in order:
             arm = arms[name]
-            t_small = bench_chunk(arm, chunks[0], salt + 13 * rep)
-            t_big = bench_chunk(arm, chunks[1], salt + 997 + 13 * rep)
+            # Seed salted per (rep, ARM): two arms with identical configs
+            # (hence identical compiled graphs) must never replay each
+            # other's dispatch chain byte-for-byte, or the relay's dedup
+            # hands the later arm a bogus-fast slope.
+            a_ix = names.index(name)
+            t_small = bench_chunk(arm, chunks[0],
+                                  salt + 13 * rep + 10007 * a_ix)
+            t_big = bench_chunk(arm, chunks[1],
+                                salt + 997 + 13 * rep + 10007 * a_ix)
             ms = (t_big - t_small) / (chunks[1] - chunks[0])
             arm["slopes"].append(ms)
             print(f"rep{rep} {name:12s} chunk{chunks[0]}={t_small:.1f}ms "

@@ -46,6 +46,38 @@ class TestApplyControlMessage:
         apply_control_message(p, {"pan_angles": None})
         assert p.pan_angles is None
 
+    def test_pan_angles_wrong_length_warned_not_applied(self):
+        """A wrong-length pan_angles must be REJECTED at apply time —
+        accepted, it would crash the producer thread at the next trace
+        (live_pan_gains shape mismatch), killing a live stream."""
+        p = LiveParams()
+        warnings = []
+        n = apply_control_message(p, {"pan_angles": [0.2, 0.3]},
+                                  warn=warnings.append, num_cells=16)
+        assert n == 0 and p.pan_angles is None
+        assert len(warnings) == 1 and "pan_angles" in warnings[0]
+        # 2-D arrays rejected even without num_cells.
+        n = apply_control_message(p, {"pan_angles": [[0.1] * 4] * 4},
+                                  warn=warnings.append)
+        assert n == 0 and p.pan_angles is None
+        # Non-finite entries rejected.
+        n = apply_control_message(
+            p, {"pan_angles": [float("nan")] * 16},
+            warn=warnings.append, num_cells=16)
+        assert n == 0 and p.pan_angles is None
+        # Correct length still applies.
+        n = apply_control_message(p, {"pan_angles": [0.1] * 16},
+                                  warn=warnings.append, num_cells=16)
+        assert n == 1 and p.pan_angles.shape == (16,)
+
+    def test_non_finite_scalar_warned_not_applied(self):
+        p = LiveParams()
+        warnings = []
+        n = apply_control_message(p, {"attack": float("inf")},
+                                  warn=warnings.append)
+        assert n == 0 and p.attack == LiveParams().attack
+        assert len(warnings) == 1
+
 
 class TestControlChannelFile:
     def test_scripted_schedule_from_regular_file(self, tmp_path):

@@ -179,6 +179,68 @@ class TestRawVideoSource:
         with pytest.raises(ValueError, match="raw planar"):
             RawVideoSource("x", 8, 8, pix_fmt="rgb24", raw=True)
 
+    def test_frames_view_rejects_lag_ge_buffers(self, tmp_path, rng):
+        """Holding every pool slot un-released starves the reader thread
+        of free slots — a silent deadlock; must raise up front."""
+        from vaudio.io import NativeFrameReader
+        p = str(tmp_path / "c.raw")
+        rng.integers(0, 256, (4, 64), dtype=np.uint8).tofile(p)
+        r = NativeFrameReader(p, frame_bytes=64, n_buffers=4)
+        try:
+            with pytest.raises(ValueError, match="n_buffers"):
+                next(r.frames_view(release_lag=4))
+        finally:
+            r.close()
+
+    def test_borrowed_marker_and_own_frame(self, tmp_path, rng):
+        """Zero-copy sources must yield BorrowedFrame-marked arrays (so
+        buffering consumers know to copy); own_frame copies exactly the
+        marked ones."""
+        from vaudio.io.sources import BorrowedFrame, own_frame
+        h, w, n = 8, 8, 4
+        frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        p = str(tmp_path / "c.rgb")
+        frames.tofile(p)
+        src = RawVideoSource(p, width=w, height=h, zero_copy=True,
+                             max_frames=n)
+        it = iter(src.frames())   # keep referenced: generator close
+        got = next(it)            # frees the pool the view points into
+        assert isinstance(got, BorrowedFrame)
+        owned = own_frame(got)
+        assert type(owned) is np.ndarray and owned.base is None
+        np.testing.assert_array_equal(owned, frames[0])
+        it.close()
+        # Owned frames pass through untouched (no spurious copy).
+        plain = np.zeros((h, w, 3), np.uint8)
+        assert own_frame(plain) is plain
+        d = {"y": plain, "u": plain, "v": got[: h * w].reshape(h, w, 3)[
+            ..., 0].view(BorrowedFrame)}
+        od = own_frame(d)
+        assert od["y"] is plain and type(od["v"]) is np.ndarray
+
+    def test_zero_copy_chunked_stream_matches_copying(self, tmp_path,
+                                                      rng):
+        """chunk_frames > 1 buffers frames past the pool's lag-2 recycle
+        window; the producer must copy borrowed frames into the chunk
+        buffer or audio is silently corrupted.  PCM must match the
+        copying source exactly."""
+        from vaudio.config import AuralizerConfig
+        h, w, n = 32, 32, 8
+        frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        path = str(tmp_path / "clip.rgb")
+        frames.tofile(path)
+        from vaudio.runtime.stream import StreamingAuralizer
+        cfg = AuralizerConfig(mip_level=2)
+        pcms = {}
+        for zc in (False, True):
+            s = StreamingAuralizer(cfg, debug=False, chunk_frames=4)
+            src = RawVideoSource(path, width=w, height=h, zero_copy=zc,
+                                 max_frames=n)
+            s.run_until_exhausted(src.frames(), timeout=240)
+            pcms[zc] = s.pull(n * 2048)
+            s.stop()
+        np.testing.assert_array_equal(pcms[True], pcms[False])
+
 
 class TestFifoToAudio:
     def test_sonify_live_fifo(self, fifo):

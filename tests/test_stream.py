@@ -141,8 +141,18 @@ class TestStreamingAuralizer:
         try:
             with pytest.raises(TimeoutError, match="still running"):
                 s.run_until_exhausted(hung_source(), timeout=0.5)
+            # The wedged producer thread is still alive (blocked in the
+            # source); starting a SECOND producer over it would
+            # interleave carries and ring writes — start() must refuse.
+            with pytest.raises(RuntimeError, match="has not exited"):
+                s.start(iter([]))
         finally:
             release.set()
+        # Once the zombie exits, restarting works again.
+        if s._thread is not None:
+            s._thread.join(timeout=10)
+        s.start(iter([]))
+        s.stop()
 
     def test_stop_clears_buffer_keeps_dsp_state(self):
         cfg = AuralizerConfig()

@@ -80,11 +80,13 @@ class TestAcosPoly:
 
     def test_pipeline_equivalent_with_flag(self, rng):
         """cfg.fast_hue_acos end-to-end: same histogram totals and
-        near-identical per-bin counts on a random frame."""
+        near-identical per-bin counts on a random frame.  The exact arm
+        pins fast_hue_acos=False EXPLICITLY — the flag defaults to True,
+        so AuralizerConfig() would make this a vacuous self-comparison."""
         from vaudio.config import AuralizerConfig
         frame = random_frame(rng, h=64, w=64)
         hist_e, grads_e, _ = vision.frame_stats(
-            jnp.asarray(frame), AuralizerConfig())
+            jnp.asarray(frame), AuralizerConfig(fast_hue_acos=False))
         hist_f, grads_f, _ = vision.frame_stats(
             jnp.asarray(frame), AuralizerConfig(fast_hue_acos=True))
         assert float(jnp.sum(hist_e)) == float(jnp.sum(hist_f))

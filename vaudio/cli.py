@@ -192,12 +192,27 @@ def cmd_stream(args) -> int:
     # (drop-on-full keeps it bounded, SoundEngine.swift:448) and just
     # babysit the producer.
     if server is not None and sys.stdout.isatty():
-        print("stream: stdout is a TTY; PCM goes to /audio.wav "
-              "listeners only (pipe stdout to also capture it)",
-              file=sys.stderr)
-        while aur.is_running:
-            aur.raise_if_failed()
-            _time.sleep(0.05)
+        if player is not None:
+            # --play is an explicit ask for speaker output: drive the
+            # player from the ring at the real-time cadence.  The ring
+            # is single-consumer, so /audio.wav listeners will mostly
+            # read zero-fill while the player drains — say so.
+            print("stream: stdout is a TTY; PCM goes to the --play "
+                  "player (note: /audio.wav listeners share the same "
+                  "ring and will be starved while --play drains)",
+                  file=sys.stderr)
+            while aur.is_running:
+                aur.raise_if_failed()
+                player.write(aur.pull(quantum))
+                _time.sleep(quantum / cfg.sample_rate / cfg.channels
+                            * 0.9)
+        else:
+            print("stream: stdout is a TTY; PCM goes to /audio.wav "
+                  "listeners only (pipe stdout to also capture it)",
+                  file=sys.stderr)
+            while aur.is_running:
+                aur.raise_if_failed()
+                _time.sleep(0.05)
         aur.raise_if_failed()
         print(f"stream: source exhausted; metrics: {aur.metrics}",
               file=sys.stderr)

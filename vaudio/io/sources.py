@@ -83,6 +83,25 @@ def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
+class BorrowedFrame(np.ndarray):
+    """Marker subclass: an ndarray VIEW whose backing memory belongs to
+    the native reader's slot pool and is recycled a few iterations later
+    (:meth:`NativeFrameReader.frames_view` lifetime contract).  Carries
+    no behavior — it exists so consumers that buffer frames past the
+    current iteration (e.g. the chunk-batched streaming producer) can
+    detect borrowed memory and copy it; plain owned arrays are passed
+    through untouched."""
+
+
+def own_frame(frame):
+    """Return ``frame`` with any borrowed (pool-backed) arrays copied —
+    safe to hold indefinitely.  Accepts an ndarray or a planar-YUV dict."""
+    if isinstance(frame, dict):
+        return {k: (np.array(v) if isinstance(v, BorrowedFrame) else v)
+                for k, v in frame.items()}
+    return np.array(frame) if isinstance(frame, BorrowedFrame) else frame
+
+
 class NativeFrameReader:
     """ctypes binding to the C++ double-buffered frame reader
     (native/framereader.cpp): a background thread reads fixed-size raw
@@ -115,6 +134,7 @@ class NativeFrameReader:
         if not self._h:
             raise FileNotFoundError(f"cannot open {path!r}")
         self.frame_bytes = frame_bytes
+        self.n_buffers = n_buffers
         self.timeout_ms = timeout_ms
 
     def _next_slot(self) -> int:
@@ -157,12 +177,18 @@ class NativeFrameReader:
         frame k while dispatching frame k+1 (vaudio/runtime/stream.py).
 
         Requires ``n_buffers > release_lag`` so the reader thread always
-        has a free slot to fill ahead.
+        has a free slot to fill ahead (enforced: holding every slot
+        un-released would deadlock the reader silently).
         """
         import ctypes
         from collections import deque
         if release_lag < 1:
             raise ValueError("release_lag must be >= 1")
+        if release_lag >= self.n_buffers:
+            raise ValueError(
+                f"release_lag ({release_lag}) must be < n_buffers "
+                f"({self.n_buffers}): holding every pool slot leaves the "
+                f"reader thread no free slot and deadlocks the stream")
         pending: deque = deque()
         try:
             while True:
@@ -172,7 +198,7 @@ class NativeFrameReader:
                 ptr = self._lib.va_fr_buffer(self._h, slot)
                 buf = (ctypes.c_uint8 * self.frame_bytes).from_address(
                     ctypes.addressof(ptr.contents))
-                view = np.frombuffer(buf, np.uint8)
+                view = np.frombuffer(buf, np.uint8).view(BorrowedFrame)
                 view.flags.writeable = False
                 pending.append(slot)
                 while len(pending) > release_lag:
@@ -338,11 +364,18 @@ class RawVideoSource:
                 if buf is None:
                     break
                 n += 1
+                borrowed = isinstance(buf, BorrowedFrame)
                 if self.pix_fmt == "rgb24":
-                    yield np.frombuffer(buf, np.uint8).reshape(h, w, 3)
+                    frame = np.frombuffer(buf, np.uint8).reshape(h, w, 3)
+                    # np.frombuffer strips the subclass; re-mark so
+                    # buffering consumers know to copy (zero-copy mode).
+                    yield frame.view(BorrowedFrame) if borrowed else frame
                     continue
                 y, u, v = parse_yuv420(buf, h, w, self.pix_fmt)
                 if self.raw:
+                    if borrowed:     # planes are views into the pool slot
+                        y, u, v = (p.view(BorrowedFrame)
+                                   for p in (y, u, v))
                     yield {"y": y, "u": u, "v": v}
                 else:
                     yield yuv420_to_rgb(y, u, v, self.studio_swing)

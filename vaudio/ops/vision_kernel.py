@@ -96,11 +96,10 @@ def _acosf(x):
     return jnp.where(ax < 0.5, r1, jnp.where(x < 0.0, r2, r3))
 
 
-def _bin_factorization(bins: int):
-    """360 = f1 * f2 with f2 the largest factor <= 16 (same rule as
-    vision.features.hue_histogram_planes method='tiled')."""
-    f2 = next((f for f in range(16, 1, -1) if bins % f == 0), None)
-    return (None, None) if f2 is None else (bins // f2, f2)
+# The bin split MUST match the XLA tiled histogram bit-for-bit, so the
+# rule lives in exactly one place and is imported here.
+from vaudio.vision.features import \
+    hue_bin_factorization as _bin_factorization  # noqa: E402
 
 
 def supports(hm: int, wm: int, cfg) -> bool:
@@ -288,19 +287,15 @@ def _vision_kernel_batched(mip_ref, hist_ref, grads_ref, *, cfg_vals,
     jax.lax.fori_loop(0, block, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("grid_size", "num_hue_bins",
-                                             "sat_gate", "int_gate",
-                                             "interpret"))
-def _vision_stats_call(mip, grid_size, num_hue_bins, sat_gate, int_gate,
-                       interpret):
+def _kernel_setup(hm, wm, grid_size, num_hue_bins, sat_gate, int_gate):
+    """Shared static setup for both pallas_call wrappers: the cell tile
+    list (order must match hue_histogram_planes: cell row = x band,
+    cell col = flipped-y band) and the packed config tuple."""
     from vaudio.vision.features import _cell_tile_bounds
-    _, hm, wm = mip.shape
     cells = grid_size * grid_size
     f1, f2 = _bin_factorization(num_hue_bins)
     cw = wm // cells
     xb, yb = _cell_tile_bounds(hm, wm, grid_size)
-    # Tile order must match hue_histogram_planes: cell row = x band,
-    # cell col = flipped-y band.
     tiles = []
     for rr in range(grid_size):
         x0, xw = xb[rr]
@@ -309,9 +304,20 @@ def _vision_stats_call(mip, grid_size, num_hue_bins, sat_gate, int_gate,
             tiles.append((y0, yh, x0, xw))
     cfg_vals = (np.float32(sat_gate), np.float32(int_gate),
                 num_hue_bins, f1, f2, cells, cw)
+    return tuple(tiles), cfg_vals, f1, f2, cells
+
+
+@functools.partial(jax.jit, static_argnames=("grid_size", "num_hue_bins",
+                                             "sat_gate", "int_gate",
+                                             "interpret"))
+def _vision_stats_call(mip, grid_size, num_hue_bins, sat_gate, int_gate,
+                       interpret):
+    _, hm, wm = mip.shape
+    tiles, cfg_vals, f1, f2, cells = _kernel_setup(
+        hm, wm, grid_size, num_hue_bins, sat_gate, int_gate)
     hist, grads = pl.pallas_call(
         functools.partial(_vision_kernel, cfg_vals=cfg_vals,
-                          tiles=tuple(tiles)),
+                          tiles=tiles),
         out_shape=(
             jax.ShapeDtypeStruct((cells, f1, f2), jnp.float32),
             jax.ShapeDtypeStruct((cells, 4), jnp.float32),
@@ -345,24 +351,13 @@ def _choose_block(t: int, hm: int, wm: int) -> int:
                                              "interpret"))
 def _vision_stats_batched_call(mips, grid_size, num_hue_bins, sat_gate,
                                int_gate, interpret):
-    from vaudio.vision.features import _cell_tile_bounds
     t, _, hm, wm = mips.shape
-    cells = grid_size * grid_size
-    f1, f2 = _bin_factorization(num_hue_bins)
-    cw = wm // cells
-    xb, yb = _cell_tile_bounds(hm, wm, grid_size)
-    tiles = []
-    for rr in range(grid_size):
-        x0, xw = xb[rr]
-        for cc in range(grid_size):
-            y0, yh = yb[cc]
-            tiles.append((y0, yh, x0, xw))
-    cfg_vals = (np.float32(sat_gate), np.float32(int_gate),
-                num_hue_bins, f1, f2, cells, cw)
+    tiles, cfg_vals, f1, f2, cells = _kernel_setup(
+        hm, wm, grid_size, num_hue_bins, sat_gate, int_gate)
     block = _choose_block(t, hm, wm)
     hist, grads = pl.pallas_call(
         functools.partial(_vision_kernel_batched, cfg_vals=cfg_vals,
-                          tiles=tuple(tiles), block=block),
+                          tiles=tiles, block=block),
         out_shape=(
             jax.ShapeDtypeStruct((t, cells, f1, f2), jnp.float32),
             jax.ShapeDtypeStruct((t, cells, 4), jnp.float32),

@@ -39,10 +39,13 @@ CONTROLLABLE = ("attack", "release", "spectrum_mixing", "hp_cutoff",
 
 
 def apply_control_message(params: LiveParams, msg: Dict,
-                          warn=None) -> int:
+                          warn=None, num_cells: Optional[int] = None) -> int:
     """Apply one parsed control message to ``params``; returns the number
-    of fields updated.  Unknown keys are reported via ``warn`` (a callable
-    taking a string) and skipped — a typo must not kill a live stream."""
+    of fields updated.  Unknown keys and malformed values are reported
+    via ``warn`` (a callable taking a string) and skipped — a typo must
+    not kill a live stream.  ``num_cells`` (when known) validates the
+    ``pan_angles`` length: a wrong-length array would otherwise be
+    accepted here and crash the producer thread at the next trace."""
     applied = 0
     for key, value in msg.items():
         if key not in CONTROLLABLE:
@@ -53,10 +56,24 @@ def apply_control_message(params: LiveParams, msg: Dict,
         if key == "pan_angles":
             # None clears the override (back to the column pan law);
             # flipping None <-> array re-traces the jit once (config.py).
-            value = (None if value is None
-                     else np.asarray(value, np.float32))
+            if value is not None:
+                value = np.asarray(value, np.float32)
+                bad = (value.ndim != 1
+                       or not np.all(np.isfinite(value))
+                       or (num_cells is not None
+                           and value.shape[0] != num_cells))
+                if bad:
+                    if warn is not None:
+                        warn(f"control: pan_angles must be a flat list "
+                             f"of {num_cells or 'num_cells'} finite "
+                             f"floats; got shape {value.shape} — ignored")
+                    continue
         else:
             value = float(value)
+            if not np.isfinite(value):
+                if warn is not None:
+                    warn(f"control: non-finite value for {key!r} ignored")
+                continue
         setattr(params, key, value)
         applied += 1
     return applied
@@ -86,8 +103,10 @@ class ControlChannel:
     def __init__(self, params: LiveParams, path_or_file,
                  on_update: Optional[Callable[[Dict], None]] = None,
                  warn: Callable[[str], None] = lambda m: print(
-                     m, file=sys.stderr)):
+                     m, file=sys.stderr),
+                 num_cells: Optional[int] = None):
         self.params = params
+        self.num_cells = num_cells
         self._path: Optional[str] = None
         self._file = None
         if isinstance(path_or_file, (str, os.PathLike)):
@@ -150,7 +169,8 @@ class ControlChannel:
         self.messages += 1
         try:
             self.applied += apply_control_message(self.params, msg,
-                                                  warn=self.warn)
+                                                  warn=self.warn,
+                                                  num_cells=self.num_cells)
         except (TypeError, ValueError) as e:
             self.warn(f"control: bad value ignored ({e})")
             return
@@ -242,8 +262,18 @@ class LiveDebugRenderer:
                 except Exception as e:   # rendering must not kill a stream
                     print(f"live-debug: render failed: {e}",
                           file=sys.stderr)
-            if not self.aur.is_running and m["frames_processed"] == done:
-                # Stream ended and no new frames will arrive.
+            if (not self.aur.is_running
+                    and self.aur.metrics["frames_processed"] == done):
+                # Stream ended and no frame arrived since the snapshot
+                # above (metrics must be RE-READ: ``m`` is the same dict
+                # ``done`` came from, so comparing against it is always
+                # true and frames landing between render and check would
+                # exit with a stale surface).
+                if done > last_rendered and self.aur.debug:
+                    try:
+                        self._render()   # catch-up final surface
+                    except Exception:
+                        pass
                 return
             self._stop.wait(0.05)
 

@@ -214,7 +214,8 @@ class LiveServer:
                 warnings: list = []
                 try:
                     applied = apply_control_message(
-                        server.aur.params, msg, warn=warnings.append)
+                        server.aur.params, msg, warn=warnings.append,
+                        num_cells=server.aur.config.num_cells)
                 except (TypeError, ValueError) as e:
                     self._json({"error": f"bad value: {e}"}, 400)
                     return

@@ -187,6 +187,14 @@ class StreamingAuralizer:
         """Start processing frames from ``source`` on a producer thread."""
         if self._running:
             return
+        if self._thread is not None and self._thread.is_alive():
+            # A previous producer is still wedged (e.g. run_until_exhausted
+            # timed out while the source blocked in next()).  Starting a
+            # second producer would interleave carries and ring writes
+            # with the zombie if its source ever yields again.
+            raise RuntimeError(
+                "previous stream producer has not exited (hung source?); "
+                "cannot start a new one over it")
         self._stop_event.clear()
         self._running = True
         self._error = None
@@ -219,7 +227,10 @@ class StreamingAuralizer:
             self._control = None
         if self._thread is not None:
             self._thread.join(timeout=10.0)
-            self._thread = None
+            if not self._thread.is_alive():
+                self._thread = None
+            # else: keep the zombie referenced so start() refuses to
+            # overlap a second producer with it.
         self._running = False
         self.metrics.end_time = time.monotonic()
         self.ring.reset()
@@ -243,6 +254,7 @@ class StreamingAuralizer:
         from vaudio.runtime.control import ControlChannel
         if self._control is not None:
             self._control.stop()
+        kwargs.setdefault("num_cells", self.cfg.num_cells)
         self._control = ControlChannel(self.params, path_or_file,
                                        **kwargs).start()
         return self._control
@@ -261,6 +273,11 @@ class StreamingAuralizer:
         while self._thread is not None and self._thread.is_alive():
             if time.monotonic() - t0 > timeout:
                 self._stop_event.set()
+                self._thread.join(timeout=1.0)
+                if not self._thread.is_alive():
+                    self._thread = None
+                # else: leave the wedged thread referenced — start()
+                # refuses to run a second producer over a live zombie.
                 self._running = False
                 self.metrics.end_time = time.monotonic()
                 self.raise_if_failed()
@@ -306,6 +323,7 @@ class StreamingAuralizer:
     # -- producer ----------------------------------------------------------
 
     def _producer_loop(self, frames: Iterator[np.ndarray]) -> None:
+        from vaudio.io.sources import own_frame
         frame_period = 1.0 / self.cfg.video_fps
         pending = None        # (out, capture_time, n_hops)
         next_deadline = time.monotonic()
@@ -336,10 +354,12 @@ class StreamingAuralizer:
             nonlocal pending
             if self.debug:
                 # Copy: a zero-copy source view's memory is recycled two
-                # iterations later, but last_frame outlives that window.
+                # iterations later, but last_frame outlives that window
+                # (dicts too — planar-YUV planes can be pool views).
                 last = frames_np[-1]
-                self.last_frame = (last if isinstance(last, dict)
-                                   else np.array(last))
+                self.last_frame = (
+                    {k: np.array(v) for k, v in last.items()}
+                    if isinstance(last, dict) else np.array(last))
             params_arrays = self.params.as_arrays()
             if len(frames_np) == 1:
                 frame_dev = jax.device_put(frames_np[0])
@@ -368,10 +388,12 @@ class StreamingAuralizer:
                 next_deadline = max(next_deadline + frame_period,
                                     time.monotonic())
             if isinstance(frame, dict):       # planar YUV 4:2:0
-                frame_np = {k: np.asarray(v) for k, v in frame.items()}
+                # asanyarray, not asarray: the BorrowedFrame marker of a
+                # zero-copy source must survive to the chunk-buffer copy.
+                frame_np = {k: np.asanyarray(v) for k, v in frame.items()}
                 shape = tuple(frame_np["y"].shape)
             else:
-                frame_np = np.asarray(frame)
+                frame_np = np.asanyarray(frame)
                 if frame_np.dtype != np.uint8:  # uint8 ships 4x fewer bytes
                     frame_np = frame_np.astype(np.float32, copy=False)
                 shape = tuple(frame_np.shape)
@@ -390,7 +412,12 @@ class StreamingAuralizer:
             else:
                 if not chunk_buf:
                     chunk_t0 = time.monotonic()
-                chunk_buf.append(frame_np)
+                # Zero-copy sources yield BorrowedFrame views whose pool
+                # memory is recycled two source iterations later; a
+                # chunk buffer holds frames for up to chunk_frames
+                # iterations, so borrowed frames MUST be copied here
+                # (owned frames pass through untouched).
+                chunk_buf.append(own_frame(frame_np))
                 if len(chunk_buf) >= self.chunk_frames:
                     dispatch(chunk_buf, chunk_t0)
                     chunk_buf = []

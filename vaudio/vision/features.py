@@ -374,6 +374,17 @@ def _cell_tile_bounds(hm: int, wm: int, grid: int):
     return xb, yb
 
 
+def hue_bin_factorization(bins: int):
+    """``bins = f1 * f2`` with ``f2`` the LARGEST factor <= 16 — the
+    tiled histogram's two-level split (360 -> 24 x 15).  Returns
+    ``(None, None)`` for unfactorable (prime) counts.  THE shared rule:
+    the fused Pallas vision kernel (ops/vision_kernel.py) imports this
+    so it can never split bins differently from the XLA tiled path it
+    is asserted bit-compatible with."""
+    f2 = next((f for f in range(16, 1, -1) if bins % f == 0), None)
+    return (None, None) if f2 is None else (bins // f2, f2)
+
+
 def hue_histogram_planes(h, s, i, cfg: AuralizerConfig,
                          method: str = "tiled"):
     """Per-cell hue histogram over gated pixels, from HSI planes in image
@@ -415,10 +426,9 @@ def hue_histogram_planes(h, s, i, cfg: AuralizerConfig,
                        0, bins - 1)
 
     if method == "tiled":
-        f2 = next((f for f in range(16, 1, -1) if bins % f == 0), None)
+        f1, f2 = hue_bin_factorization(bins)
         if f2 is None:              # prime bin count: dense fallback
             return hue_histogram_planes(h, s, i, cfg, method="matmul")
-        f1 = bins // f2
         xb, yb = _cell_tile_bounds(hm, wm, grid)
         cw = max(n for _, n in xb) or 1
         rh = max(n for _, n in yb) or 1

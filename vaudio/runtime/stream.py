@@ -362,7 +362,16 @@ class StreamingAuralizer:
                     if isinstance(last, dict) else np.array(last))
             params_arrays = self.params.as_arrays()
             if len(frames_np) == 1:
-                frame_dev = jax.device_put(frames_np[0])
+                # Strip the BorrowedFrame marker down to a base-class
+                # VIEW (same memory, no copy) before device_put: jax's
+                # ndarray fast path is type-exact, and a subclass could
+                # route through a slower/deferred conversion.  The
+                # single-frame dispatch is inside the lag-2 validity
+                # window, so the view itself is safe to transfer.
+                f0 = frames_np[0]
+                f0 = ({k: np.asarray(v) for k, v in f0.items()}
+                      if isinstance(f0, dict) else np.asarray(f0))
+                frame_dev = jax.device_put(f0)
                 self._carry, out = self._step(self._carry, frame_dev,
                                               params_arrays)
             else:

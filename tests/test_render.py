@@ -96,6 +96,40 @@ class TestImageBuilders:
         wav = waveform_image(np.sin(np.linspace(0, 40, 2048)))
         assert wav.shape == (160, 640, 3) and wav.std() > 0
 
+    def test_input_preview_rgb(self):
+        from vaudio.utils.render import input_preview_image
+        rng = np.random.default_rng(2)
+        frame = rng.integers(0, 256, (1080, 1920, 3), np.uint8)
+        img = input_preview_image(frame, max_dim=256)
+        assert img.dtype == np.uint8
+        assert max(img.shape[:2]) <= 256
+        # Strided subsample: pixels come straight from the frame
+        # (step = ceil(1920 / 256) = 8).
+        np.testing.assert_array_equal(img, frame[::8, ::8])
+        # Float frames in [0, 1] quantize to the same u8 values.
+        imgf = input_preview_image(frame.astype(np.float32) / 255.0,
+                                   max_dim=256)
+        np.testing.assert_array_equal(imgf, img)
+        # Small frames pass through unscaled.
+        small = frame[:64, :64]
+        np.testing.assert_array_equal(
+            input_preview_image(small, max_dim=256), small)
+        with pytest.raises(ValueError):
+            input_preview_image(np.zeros((4, 4), np.uint8))
+
+    def test_input_preview_yuv_dict(self):
+        from vaudio.io.sources import yuv420_to_rgb
+        from vaudio.utils.render import input_preview_image
+        rng = np.random.default_rng(3)
+        frame = {"y": rng.integers(0, 256, (64, 64), np.uint8),
+                 "u": rng.integers(0, 256, (32, 32), np.uint8),
+                 "v": rng.integers(0, 256, (32, 32), np.uint8)}
+        img = input_preview_image(frame, max_dim=256)   # no subsample
+        np.testing.assert_array_equal(
+            img, yuv420_to_rgb(frame["y"], frame["u"], frame["v"]))
+        small = input_preview_image(frame, max_dim=16)  # step 4
+        assert small.shape == (16, 16, 3)
+
 
 class TestDebugCli:
     def test_end_to_end_synthetic(self, tmp_path):

@@ -102,10 +102,11 @@ class TestEndpoints:
 
     def test_debug_png_404_before_any_frame(self, served_aur):
         _aur, server = served_aur
-        with pytest.raises(urllib.error.HTTPError) as e:
-            urllib.request.urlopen(server.url + "debug/hue_matrix.png",
-                                   timeout=30)
-        assert e.value.code == 404
+        for name in ("hue_matrix", "input"):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(
+                    f"{server.url}debug/{name}.png", timeout=30)
+            assert e.value.code == 404, name
 
     def test_unknown_path_404(self, served_aur):
         _aur, server = served_aur
@@ -125,11 +126,28 @@ class TestLiveStreamSurface:
         frames = hsb_frames(0.33, 1.0, 1.0, 96, 96, 12)
         try:
             aur.run_until_exhausted(list(frames), timeout=300)
-            for name in ("hue_matrix", "spectrum", "waveform"):
+            for name in ("hue_matrix", "spectrum", "waveform", "input"):
                 status, ctype, body = _get(
                     f"{server.url}debug/{name}.png?t=1")
                 assert status == 200 and ctype == "image/png"
                 assert body.startswith(b"\x89PNG"), name
+            # The input preview (CameraPreview equivalent) shows the
+            # last ingested frame: hue 0.33 -> dominant green.
+            import struct
+            import zlib
+            status, _, body = _get(server.url + "debug/input.png")
+            (w, h) = struct.unpack(">II", body[16:24])
+            assert (h, w) == frames[0].shape[:2]   # 96x96, no downsample
+            idat, pos = b"", 8
+            while pos < len(body):
+                (ln,) = struct.unpack(">I", body[pos:pos + 4])
+                if body[pos + 4:pos + 8] == b"IDAT":
+                    idat += body[pos + 8:pos + 8 + ln]
+                pos += 12 + ln
+            raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+            px = raw.reshape(h, -1)[:, 1:].reshape(h, w, 3)
+            mean = px.reshape(-1, 3).mean(0)
+            assert mean[1] > mean[0] and mean[1] > mean[2]
             _status, resp = _post(server.url + "params", {"release": 2.5})
             assert resp["applied"] == 1 and aur.params.release == 2.5
             status, _, body = _get(server.url + "metrics")

@@ -285,14 +285,15 @@ class LiveDebugRenderer:
         info = {"hues": dbg["hues"],
                 "grads": dbg.get("grads", np.zeros(
                     (self.aur.config.num_cells, 4), np.float32))}
-        if self.full_heatmaps:
-            frame = getattr(self.aur._stream, "last_frame", None)
-            if frame is not None and not isinstance(frame, dict):
-                full = self.aur.inspect_frame(frame)
-                full["hues"] = dbg["hues"]   # stream-smoothed, not re-run
-                info = full
+        frame = getattr(self.aur._stream, "last_frame", None)
+        if self.full_heatmaps and frame is not None \
+                and not isinstance(frame, dict):
+            full = self.aur.inspect_frame(frame)
+            full["hues"] = dbg["hues"]   # stream-smoothed, not re-run
+            info = full
         render_debug_surface(
             info, self.aur.config, self.out_dir,
             spectrum=dbg.get("spectrum"), pcm=dbg.get("pcm"),
-            refresh_seconds=self.refresh_seconds if live else None)
+            refresh_seconds=self.refresh_seconds if live else None,
+            input_frame=frame)
         self.renders += 1

@@ -23,6 +23,9 @@ stdlib only (``http.server``): one ephemeral HTTP endpoint exposing
 * ``GET /debug/hue_matrix.png`` / ``spectrum.png`` / ``waveform.png`` —
   the latest published debug state rendered on demand (in-memory PNG;
   the stream must run with ``debug=True``);
+* ``GET /debug/input.png`` — a downsampled preview of the last ingested
+  frame (the CameraPreview surface, Views/CameraPreview.swift:11-51;
+  also needs ``debug=True``, which makes the stream keep the frame);
 * ``GET /audio.wav``   — a live 16-bit WAV stream pulled from the audio
   ring at the hardware cadence (the AVAudioSourceNode equivalent, so a
   browser ``<audio>`` element IS the speaker).  One listener at a time;
@@ -85,8 +88,8 @@ _PAGE = """<!doctype html><meta charset="utf-8">
  <div class="panel"><h2>parameters</h2><div id="sliders"></div>
   <h2>audio</h2><audio controls preload="none" src="/audio.wav"></audio>
  </div>
- <div class="panel"><h2>dominant hues</h2>
-  <img id="hue_matrix" width="190"></div>
+ <div class="panel"><h2>input</h2><img id="input" width="240">
+  <h2>dominant hues</h2><img id="hue_matrix" width="190"></div>
  <div class="panel"><h2>spectrum</h2><img id="spectrum">
   <h2>waveform</h2><img id="waveform"></div>
  <div class="panel"><h2>metrics</h2><pre id="metrics">...</pre></div>
@@ -114,7 +117,7 @@ fetch("/params").then(r => r.json()).then(p => {{
 }});
 function tick() {{
   const t = Date.now();
-  for (const id of ["hue_matrix", "spectrum", "waveform"])
+  for (const id of ["input", "hue_matrix", "spectrum", "waveform"])
     document.getElementById(id).src = `/debug/${{id}}.png?t=${{t}}`;
   fetch("/metrics").then(r => r.json()).then(m => {{
     document.getElementById("metrics").textContent =
@@ -243,10 +246,15 @@ class LiveServer:
         return out
 
     def _render_png(self, name: str) -> Optional[bytes]:
-        from vaudio.utils.render import (hue_matrix_image, png_bytes,
+        from vaudio.utils.render import (hue_matrix_image,
+                                         input_preview_image, png_bytes,
                                          spectrum_image, waveform_image)
         dbg = self.aur.debug
         cfg = self.aur.config
+        if name == "input":
+            frame = getattr(self.aur._stream, "last_frame", None)
+            return None if frame is None else \
+                png_bytes(input_preview_image(frame))
         if name == "hue_matrix" and "hues" in dbg:
             return png_bytes(hue_matrix_image(dbg["hues"], cfg))
         if name == "spectrum" and dbg.get("spectrum") is not None:

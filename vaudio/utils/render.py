@@ -97,6 +97,42 @@ def hsb_to_rgb_array(h: np.ndarray, s: float = 1.0, b: float = 1.0
     return np.take_along_axis(lut, i[None, ..., None], axis=0)[0]
 
 
+def input_preview_image(frame, max_dim: int = 256) -> np.ndarray:
+    """Ingested frame -> u8[h, w, 3] RGB preview, strided-subsampled to
+    at most ``max_dim`` on the long edge — the live camera-preview
+    surface (Views/CameraPreview.swift:11-51 wraps the capture feed in
+    ``AVCaptureVideoPreviewLayer``; here the last ingested frame is the
+    feed).
+
+    Accepts what the streaming pipeline ingests: ``[H, W, 3]`` RGB
+    (uint8, or float in [0, 1]) or a planar-YUV dict ``{'y','u','v'}``
+    (converted BT.601 studio-swing, matching the device ingest path
+    :func:`vaudio.vision.yuv420_mip_to_rgb_planes`).  Subsampling
+    happens BEFORE any dtype/color conversion so a 1080p preview costs
+    ~0.2 MB of host work, not a full-frame pass.
+    """
+    if isinstance(frame, dict):
+        y = np.asarray(frame["y"])
+        step = max(1, (max(y.shape[:2]) + max_dim - 1) // max_dim)
+        # The same stride on all three planes keeps u/v at half the
+        # subsampled luma resolution (4:2:0 geometry preserved; even
+        # frame heights make the 2x repeat in yuv420_to_rgb line up).
+        from vaudio.io.sources import yuv420_to_rgb
+        return yuv420_to_rgb(y[::step, ::step],
+                             np.asarray(frame["u"])[::step, ::step],
+                             np.asarray(frame["v"])[::step, ::step])
+    rgb = np.asarray(frame)
+    if rgb.ndim != 3 or rgb.shape[-1] != 3:
+        raise ValueError(f"expected [H, W, 3] RGB or a YUV dict, got "
+                         f"shape {rgb.shape}")
+    step = max(1, (max(rgb.shape[:2]) + max_dim - 1) // max_dim)
+    rgb = rgb[::step, ::step]
+    if rgb.dtype != np.uint8:
+        rgb = (np.clip(rgb.astype(np.float32), 0.0, 1.0)
+               * 255.0 + 0.5).astype(np.uint8)
+    return np.ascontiguousarray(rgb)
+
+
 def hue_matrix_image(hues: np.ndarray, cfg: AuralizerConfig,
                      cell_px: int = 45, gap: int = 2) -> np.ndarray:
     """i32[16] hue bins -> the 4x4 dominant-hue swatch matrix
@@ -178,8 +214,8 @@ def render_debug_surface(inspect_out: Dict[str, np.ndarray],
                          spectrum: Optional[np.ndarray] = None,
                          pcm: Optional[np.ndarray] = None,
                          heatmap_upscale: int = 4,
-                         refresh_seconds: Optional[float] = None
-                         ) -> Dict[str, str]:
+                         refresh_seconds: Optional[float] = None,
+                         input_frame=None) -> Dict[str, str]:
     """Write the ConvolutionDebugView + SpectrumView + TimeDomainFrameView
     surfaces for one analyzed frame as PNGs (+ a JSON with the numeric
     4x4 grid-overlay values).
@@ -193,6 +229,9 @@ def render_debug_surface(inspect_out: Dict[str, np.ndarray],
         index.html so a browser pointed at a live-updating directory
         re-reads it — the TimelineView(.animation) equivalent
         (Views/SpectrumView.swift:18).  None = static page.
+      input_frame: optional ingested frame (RGB array or YUV dict) to
+        render as a downsampled ``input.png`` preview — the
+        CameraPreview surface (Views/CameraPreview.swift:11-51).
     Returns: {name: written path}.
     """
     os.makedirs(out_dir, exist_ok=True)
@@ -215,6 +254,9 @@ def render_debug_surface(inspect_out: Dict[str, np.ndarray],
                 signed_heatmap(maps[..., m], upscale=heatmap_upscale))
 
     put("hue_matrix", hue_matrix_image(inspect_out["hues"], cfg))
+
+    if input_frame is not None:
+        put("input", input_preview_image(input_frame))
 
     if spectrum is not None:
         put("spectrum", spectrum_image(spectrum, cfg))
@@ -286,6 +328,8 @@ def write_debug_html(out_dir: str, written: Dict[str, str],
  td {{ border:1px solid #333; padding:3px 8px; font-family:monospace; }}
 </style>
 <h1>vaudio debug surface</h1>
+{('<h2>Input</h2><div class="row">' + img('input', 240) + '</div>')
+ if 'input' in written else ''}
 <h2>Dominant hues (4x4)</h2>
 <div class="row">{img('hue_matrix')}
 <div>{table(grid['hues'], lambda v: int(v))}</div></div>

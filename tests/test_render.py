@@ -124,11 +124,16 @@ class TestImageBuilders:
         frame = {"y": rng.integers(0, 256, (64, 64), np.uint8),
                  "u": rng.integers(0, 256, (32, 32), np.uint8),
                  "v": rng.integers(0, 256, (32, 32), np.uint8)}
-        img = input_preview_image(frame, max_dim=256)   # no subsample
+        # The subsampled preview must equal convert-then-subsample
+        # (chroma sampled at the same spatial sites as the luma), for
+        # even AND odd steps.
+        full = yuv420_to_rgb(frame["y"], frame["u"], frame["v"])
         np.testing.assert_array_equal(
-            img, yuv420_to_rgb(frame["y"], frame["u"], frame["v"]))
-        small = input_preview_image(frame, max_dim=16)  # step 4
-        assert small.shape == (16, 16, 3)
+            input_preview_image(frame, max_dim=256), full)  # step 1
+        np.testing.assert_array_equal(
+            input_preview_image(frame, max_dim=16), full[::4, ::4])
+        np.testing.assert_array_equal(
+            input_preview_image(frame, max_dim=13), full[::5, ::5])
 
 
 class TestDebugCli:

@@ -108,6 +108,21 @@ class TestEndpoints:
                     f"{server.url}debug/{name}.png", timeout=30)
             assert e.value.code == 404, name
 
+    def test_debug_png_500_on_malformed_last_frame(self, served_aur):
+        # A malformed ingested frame (e.g. RGBA) can land in last_frame
+        # before the stream dies; the view must answer 500 with a JSON
+        # error body, not reset the socket on every poll tick.
+        aur, server = served_aur
+        aur._stream.last_frame = np.zeros((4, 4, 4), np.uint8)
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(server.url + "debug/input.png",
+                                       timeout=30)
+            assert e.value.code == 500
+            assert b"render" in e.value.read()
+        finally:
+            aur._stream.last_frame = None
+
     def test_unknown_path_404(self, served_aur):
         _aur, server = served_aur
         with pytest.raises(urllib.error.HTTPError) as e:

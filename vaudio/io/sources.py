@@ -62,15 +62,20 @@ def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     conversion for those sources (``studio_swing``: 16-235/16-240 range,
     the common camera output; False = full swing).
 
-    Args: y: u8[H, W]; u, v: u8[H/2, W/2].  Returns u8[H, W, 3].
+    Args: y: u8[H, W]; u, v: u8[H/2, W/2] — or pre-aligned at full luma
+    resolution (same shape as ``y``), in which case the 2x upsample is
+    skipped (used by the subsampled preview path,
+    :func:`vaudio.utils.render.input_preview_image`).
+    Returns u8[H, W, 3].
     """
     y = y.astype(np.float32)
     u = u.astype(np.float32) - 128.0
     v = v.astype(np.float32) - 128.0
-    u = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:y.shape[0],
-                                                      :y.shape[1]]
-    v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:y.shape[0],
-                                                      :y.shape[1]]
+    if u.shape != y.shape:
+        u = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:y.shape[0],
+                                                          :y.shape[1]]
+        v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:y.shape[0],
+                                                          :y.shape[1]]
     if studio_swing:
         yv = (y - 16.0) * (255.0 / 219.0)
         scale = 255.0 / 224.0

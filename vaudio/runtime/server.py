@@ -189,12 +189,22 @@ class LiveServer:
                     elif path.startswith("/debug/") and \
                             path.endswith(".png"):
                         name = path[len("/debug/"):-len(".png")]
-                        png = server._render_png(name)
-                        if png is None:
-                            self._json({"error": f"no view {name!r} or "
-                                        "no debug state yet"}, 404)
+                        try:
+                            png = server._render_png(name)
+                        except Exception as e:
+                            # e.g. a malformed ingested frame that killed
+                            # the stream but is still in last_frame: the
+                            # view must degrade to an error body, not
+                            # reset the socket on every poll tick.
+                            self._json({"error":
+                                        f"render {name!r} failed: {e}"},
+                                       500)
                         else:
-                            self._send(200, "image/png", png)
+                            if png is None:
+                                self._json({"error": f"no view {name!r} "
+                                            "or no debug state yet"}, 404)
+                            else:
+                                self._send(200, "image/png", png)
                     elif path == "/audio.wav":
                         server._stream_audio(self)
                     else:

@@ -112,20 +112,27 @@ def input_preview_image(frame, max_dim: int = 256) -> np.ndarray:
     ~0.2 MB of host work, not a full-frame pass.
     """
     if isinstance(frame, dict):
-        y = np.asarray(frame["y"])
-        step = max(1, (max(y.shape[:2]) + max_dim - 1) // max_dim)
-        # The same stride on all three planes keeps u/v at half the
-        # subsampled luma resolution (4:2:0 geometry preserved; even
-        # frame heights make the 2x repeat in yuv420_to_rgb line up).
+        plane = np.asarray(frame["y"])
+    else:
+        plane = rgb = np.asarray(frame)
+        if rgb.ndim != 3 or rgb.shape[-1] != 3:
+            raise ValueError(f"expected [H, W, 3] RGB or a YUV dict, got "
+                             f"shape {rgb.shape}")
+    step = max(1, (max(plane.shape[:2]) + max_dim - 1) // max_dim)
+    if isinstance(frame, dict):
+        # Chroma is sampled at the SAME spatial sites as the luma
+        # (4:2:0 puts luma row r's chroma at plane row r//2), so the
+        # preview stays color-aligned for odd steps too; the chroma
+        # then already matches the subsampled luma's shape and
+        # yuv420_to_rgb skips its 2x upsample.
+        yi = np.arange(0, plane.shape[0], step)
+        xi = np.arange(0, plane.shape[1], step)
+        u, v = np.asarray(frame["u"]), np.asarray(frame["v"])
+        ci = np.minimum(yi // 2, u.shape[0] - 1)   # clamp: odd-height
+        cj = np.minimum(xi // 2, u.shape[1] - 1)   # luma, floored chroma
         from vaudio.io.sources import yuv420_to_rgb
-        return yuv420_to_rgb(y[::step, ::step],
-                             np.asarray(frame["u"])[::step, ::step],
-                             np.asarray(frame["v"])[::step, ::step])
-    rgb = np.asarray(frame)
-    if rgb.ndim != 3 or rgb.shape[-1] != 3:
-        raise ValueError(f"expected [H, W, 3] RGB or a YUV dict, got "
-                         f"shape {rgb.shape}")
-    step = max(1, (max(rgb.shape[:2]) + max_dim - 1) // max_dim)
+        return yuv420_to_rgb(plane[np.ix_(yi, xi)],
+                             u[np.ix_(ci, cj)], v[np.ix_(ci, cj)])
     rgb = rgb[::step, ::step]
     if rgb.dtype != np.uint8:
         rgb = (np.clip(rgb.astype(np.float32), 0.0, 1.0)

@@ -70,7 +70,8 @@ def main():
         # phases a per-frame function (no accumulation).
         hues_seq = args.astype(jnp.int32)
         phases_seq = (jnp.arange(T, dtype=jnp.float32)[:, None, None]
-                      * jnp.ones((cfg.num_cells, 32), jnp.float32) * 0.1)
+                      * jnp.ones((cfg.num_cells, cfg.phase_stride),
+                                 jnp.float32) * 0.1)
         pan = live_pan_from_params(cfg, params)
 
         def weights_one(hues, grads, phases):
@@ -93,8 +94,9 @@ def main():
         spectra = (carry.prev_spectrum[None] * mixing
                    + rot * (1.0 - mixing)).astype(jnp.float32)
 
-        signals = jax.vmap(jax.vmap(
-            lambda sp: irfft_from_half(sp[:, 0], sp[:, 1])))(spectra)
+        irfft_one = lambda sp: irfft_from_half(sp[:, 0], sp[:, 1])
+        signals = (jax.vmap(jax.vmap(irfft_one))(spectra) if ch == 2
+                   else jax.vmap(irfft_one)(spectra))
 
         # STUB AGC: batched (no running-max recurrence).
         axes = tuple(range(1, signals.ndim))

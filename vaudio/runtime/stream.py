@@ -365,9 +365,15 @@ class StreamingAuralizer:
                 # Strip the BorrowedFrame marker down to a base-class
                 # VIEW (same memory, no copy) before device_put: jax's
                 # ndarray fast path is type-exact, and a subclass could
-                # route through a slower/deferred conversion.  The
-                # single-frame dispatch is inside the lag-2 validity
-                # window, so the view itself is safe to transfer.
+                # route through a slower/deferred conversion.  Why the
+                # view is safe to transfer: the dispatch pipeline is
+                # depth-1 — flush(pending) below blocks on dispatch N's
+                # output during iteration N+1, strictly before the
+                # source recycles slot N at iteration N+2 (the lag-2
+                # window).  INVARIANT: deepening `pending` to 2+
+                # outstanding dispatches breaks this — dispatch N could
+                # then still be reading the aliased pool slot when it
+                # is recycled; copy borrowed frames (own_frame) first.
                 f0 = frames_np[0]
                 f0 = ({k: np.asarray(v) for k, v in f0.items()}
                       if isinstance(f0, dict) else np.asarray(f0))

@@ -281,6 +281,44 @@ class TestStreamCLI:
         assert len(pcm) >= 4 * 2048
         assert np.all(np.isfinite(pcm))
 
+    def test_sigterm_graceful_shutdown_saves_state(self, tmp_path):
+        """SIGTERM mid-stream exits cleanly (rc 143): PCM flushed,
+        --save-state honored, 'interrupted' reported — the deliberate
+        stop path (SoundEngine.swift:459-474), not a mid-write death."""
+        import signal
+        import subprocess
+        frames = (solid_color_frames([1, 0.2, 0.1], 64, 64, 6)
+                  * 255).astype(np.uint8)
+        env = dict(os.environ, VAUDIO_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
+                   PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH",
+                                                             ""))
+        ckpt = str(tmp_path / "sig_carry.npz")
+        p = subprocess.Popen(
+            [sys.executable, "-m", "vaudio", "stream", "--size", "64x64",
+             "--save-state", ckpt],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, env=env, cwd="/root/repo")
+        try:
+            # Feed frames but keep stdin open: the stream stays live
+            # until the signal arrives.
+            p.stdin.write(frames.tobytes())
+            p.stdin.flush()
+            pcm0 = p.stdout.read(2048 * 4)     # one hop of f32 PCM
+            assert len(pcm0) == 2048 * 4       # drain loop is running
+            p.send_signal(signal.SIGTERM)
+            out, err = p.communicate(timeout=120)
+        except Exception:
+            p.kill()
+            raise
+        assert p.returncode == 143, err.decode()[-500:]
+        assert b"interrupted; shutting down cleanly" in err
+        assert b"DSP state saved" in err
+        data = np.load(ckpt)
+        assert "phases" in data.files          # a real carry snapshot
+        pcm = np.frombuffer(pcm0 + out, "<f4")
+        assert np.all(np.isfinite(pcm))
+
     def test_checkpoint_resume_across_runs(self, tmp_path):
         """--save-state / --load-state: a stream split across two CLI
         processes produces the same PCM as one continuous run (the DSP

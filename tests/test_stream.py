@@ -223,6 +223,31 @@ class TestCheckpoint:
         with pytest.raises(ValueError):
             load_state(path, other)
 
+    def test_save_state_during_live_stream(self, tmp_path):
+        """save_state must be safe WHILE the producer dispatches: the
+        step functions donate the carry (donate_argnums=(0,)), so a bare
+        carry reference captured by a concurrent reader is deleted by
+        the very next dispatch ("Array has been deleted").  Regression
+        test for the SIGTERM --save-state race: hammer save_state from
+        the consumer thread through the whole stream."""
+        from vaudio.runtime.checkpoint import load_state, save_state
+        cfg = AuralizerConfig()
+        s = StreamingAuralizer(cfg)
+        frames = solid_color_frames([0.9, 0.3, 0.2], width=64, height=64,
+                                    num_frames=60)
+        path = str(tmp_path / "live.npz")
+        s.start(list(frames))
+        saves = 0
+        while s.is_running:
+            save_state(path, s.snapshot_carry())
+            saves += 1
+        s.raise_if_failed()
+        save_state(path, s.snapshot_carry())
+        s.stop()
+        assert saves >= 1
+        restored = load_state(path, cfg)   # loadable, shape-valid
+        assert np.all(np.isfinite(np.asarray(restored.phases)))
+
 
 class TestChunkedStreaming:
     def test_chunked_matches_single(self):

@@ -258,7 +258,7 @@ class Auralizer:
         if frame.dtype == np.uint8:
             frame = frame.astype(np.float32) / 255.0
         hues, grads, dbg = extract_features(
-            jnp.asarray(frame), self._stream._carry.hues,
+            jnp.asarray(frame), jnp.asarray(self._stream.snapshot_carry().hues),
             jnp.float32(self.params.spectrum_mixing), self.config,
             compute_debug_maps=True)
         out = {"hues": np.asarray(hues), "grads": np.asarray(grads)}
@@ -272,12 +272,14 @@ class Auralizer:
 
     def save_state(self, path: str) -> None:
         """Serialize the stream's DSP carry (phases, previous spectrum,
-        OLA tail, AGC envelope, hues) to ``path`` (.npz)."""
+        OLA tail, AGC envelope, hues) to ``path`` (.npz).  Safe to call
+        while the stream runs: the carry is donated per dispatch, so the
+        snapshot materializes under the stream's carry lock."""
         from vaudio.runtime.checkpoint import save_state
-        save_state(path, self._stream._carry)
+        save_state(path, self._stream.snapshot_carry())
 
     def load_state(self, path: str) -> None:
         """Restore a previously saved DSP carry; the next frame continues
         the stream seamlessly."""
         from vaudio.runtime.checkpoint import load_state
-        self._stream._carry = load_state(path, self.config)
+        self._stream.set_carry(load_state(path, self.config))

@@ -179,6 +179,50 @@ def cmd_stream(args) -> int:
         aur.load_state(args.load_state)
         print(f"stream: resumed DSP state from {args.load_state}",
               file=sys.stderr)
+    # Graceful shutdown: SIGTERM (systemd stop, driver kill) and Ctrl-C
+    # land in finish() below — PCM flushed, player/server/live surfaces
+    # closed, --save-state honored — instead of dying mid-write (the
+    # reference's stop path is deliberate too, SoundEngine.swift:459-474).
+    # Main thread only; in-process callers keep their own handlers.
+    import signal as _signal
+    _sig = {"n": 0}
+
+    def _graceful(signum, frame):
+        _sig["n"] = signum
+        raise KeyboardInterrupt
+
+    try:
+        prev_term = _signal.signal(_signal.SIGTERM, _graceful)
+    except ValueError:          # not the main thread
+        prev_term = None
+
+    def finish() -> None:
+        if live is not None:
+            live.stop()
+        if player is not None:
+            code = player.close()
+            if code:
+                print(f"stream: player exited with {code}",
+                      file=sys.stderr)
+        if server is not None:
+            server.stop()
+        if args.save_state:
+            # BEFORE aur.stop(): stop clears the OLA tail (reference
+            # quirk, runtime/stream.py); the carry reference is swapped
+            # atomically per dispatch, so a live read on interrupt is
+            # still a consistent snapshot.
+            aur.save_state(args.save_state)
+            print(f"stream: DSP state saved to {args.save_state}",
+                  file=sys.stderr)
+        aur.stop()
+        if prev_term is not None:
+            _signal.signal(_signal.SIGTERM, prev_term)
+
+    def interrupt_rc() -> int:
+        print("stream: interrupted; shutting down cleanly",
+              file=sys.stderr)
+        return 128 + (_sig["n"] or int(_signal.SIGINT))
+
     aur.start(src.frames())
     out = sys.stdout.buffer
     quantum = 2048 * cfg.channels
@@ -192,41 +236,36 @@ def cmd_stream(args) -> int:
     # (drop-on-full keeps it bounded, SoundEngine.swift:448) and just
     # babysit the producer.
     if server is not None and sys.stdout.isatty():
-        if player is not None:
-            # --play is an explicit ask for speaker output: drive the
-            # player from the ring at the real-time cadence.  The ring
-            # is single-consumer, so /audio.wav listeners will mostly
-            # read zero-fill while the player drains — say so.
-            print("stream: stdout is a TTY; PCM goes to the --play "
-                  "player (note: /audio.wav listeners share the same "
-                  "ring and will be starved while --play drains)",
+        rc = 0
+        try:
+            if player is not None:
+                # --play is an explicit ask for speaker output: drive the
+                # player from the ring at the real-time cadence.  The ring
+                # is single-consumer, so /audio.wav listeners will mostly
+                # read zero-fill while the player drains — say so.
+                print("stream: stdout is a TTY; PCM goes to the --play "
+                      "player (note: /audio.wav listeners share the same "
+                      "ring and will be starved while --play drains)",
+                      file=sys.stderr)
+                while aur.is_running:
+                    aur.raise_if_failed()
+                    player.write(aur.pull(quantum))
+                    _time.sleep(quantum / cfg.sample_rate / cfg.channels
+                                * 0.9)
+            else:
+                print("stream: stdout is a TTY; PCM goes to /audio.wav "
+                      "listeners only (pipe stdout to also capture it)",
+                      file=sys.stderr)
+                while aur.is_running:
+                    aur.raise_if_failed()
+                    _time.sleep(0.05)
+            aur.raise_if_failed()
+            print(f"stream: source exhausted; metrics: {aur.metrics}",
                   file=sys.stderr)
-            while aur.is_running:
-                aur.raise_if_failed()
-                player.write(aur.pull(quantum))
-                _time.sleep(quantum / cfg.sample_rate / cfg.channels
-                            * 0.9)
-        else:
-            print("stream: stdout is a TTY; PCM goes to /audio.wav "
-                  "listeners only (pipe stdout to also capture it)",
-                  file=sys.stderr)
-            while aur.is_running:
-                aur.raise_if_failed()
-                _time.sleep(0.05)
-        aur.raise_if_failed()
-        print(f"stream: source exhausted; metrics: {aur.metrics}",
-              file=sys.stderr)
-        if live is not None:
-            live.stop()
-        if player is not None:
-            player.close()
-        if args.save_state:
-            aur.save_state(args.save_state)
-            print(f"stream: DSP state saved to {args.save_state}",
-                  file=sys.stderr)
-        server.stop()
-        aur.stop()
-        return 0
+        except KeyboardInterrupt:
+            rc = interrupt_rc()
+        finish()
+        return rc
 
     def emit(pcm) -> int:
         out.write(pcm.astype("<f4").tobytes())
@@ -234,49 +273,44 @@ def cmd_stream(args) -> int:
             player.write(pcm)
         return len(pcm)
 
-    while True:
-        aur.raise_if_failed()
-        m = aur.metrics
-        fill, running = m["buffer_fill"], aur.is_running
-        if args.realtime:
-            # Real-time contract: pull at the hardware cadence; underruns
-            # legitimately emit silence (SoundEngine.swift:184-189).
-            if not running and fill == 0:
-                break
-            written += emit(aur.pull(quantum))
-            _time.sleep(quantum / cfg.sample_rate / cfg.channels * 0.9)
-            continue
-        # Free-running pipe mode: emit only REAL samples — pulling while
-        # the producer is still computing would stream zero-fill to the
-        # pipe at CPU speed (gigabytes of silence during a long compile).
-        if fill == 0:
-            if not running:
-                break
-            _time.sleep(0.002)
-            continue
-        if not m["warmed_up"] and fill < cfg.warmup_frames:
-            if running:        # warm-up in progress
+    rc = 0
+    try:
+        while True:
+            aur.raise_if_failed()
+            m = aur.metrics
+            fill, running = m["buffer_fill"], aur.is_running
+            if args.realtime:
+                # Real-time contract: pull at the hardware cadence;
+                # underruns legitimately emit silence
+                # (SoundEngine.swift:184-189).
+                if not running and fill == 0:
+                    break
+                written += emit(aur.pull(quantum))
+                _time.sleep(quantum / cfg.sample_rate / cfg.channels
+                            * 0.9)
+                continue
+            # Free-running pipe mode: emit only REAL samples — pulling
+            # while the producer is still computing would stream
+            # zero-fill to the pipe at CPU speed (gigabytes of silence
+            # during a long compile).
+            if fill == 0:
+                if not running:
+                    break
                 _time.sleep(0.002)
                 continue
-            break              # producer ended below warm-up: undrainable
-        written += emit(aur.pull(min(quantum, fill * hop_samples)))
+            if not m["warmed_up"] and fill < cfg.warmup_frames:
+                if running:    # warm-up in progress
+                    _time.sleep(0.002)
+                    continue
+                break          # producer ended below warm-up: undrainable
+            written += emit(aur.pull(min(quantum, fill * hop_samples)))
+    except KeyboardInterrupt:
+        rc = interrupt_rc()
     out.flush()
     print(f"stream: {written / cfg.sample_rate / cfg.channels:.2f}s of "
           f"PCM written; metrics: {aur.metrics}", file=sys.stderr)
-    if live is not None:
-        live.stop()
-    if player is not None:
-        code = player.close()
-        if code != 0:
-            print(f"stream: player exited with {code}", file=sys.stderr)
-    if server is not None:
-        server.stop()
-    if args.save_state:
-        aur.save_state(args.save_state)
-        print(f"stream: DSP state saved to {args.save_state}",
-              file=sys.stderr)
-    aur.stop()
-    return 0
+    finish()
+    return rc
 
 
 def cmd_debug(args) -> int:

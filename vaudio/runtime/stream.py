@@ -139,6 +139,14 @@ class StreamingAuralizer:
             from vaudio.runtime.chunked import make_chunk_pipeline
             self._chunk_step = make_chunk_pipeline(cfg, debug=debug)
         self._carry: StepCarry = init_carry(cfg)
+        # Guards the carry against the donation race: the step functions
+        # donate the carry (donate_argnums=(0,)), so a dispatch DELETES
+        # the buffers of the carry it consumed.  Any cross-thread reader
+        # (save_state, inspect_frame) that grabs self._carry and converts
+        # it later can hit "Array has been deleted".  The producer swaps
+        # the carry under this lock; snapshot_carry() materializes under
+        # it too, so a snapshot is always of a live, consistent carry.
+        self._carry_lock = threading.Lock()
         # Stereo streams store interleaved samples (frame = hop * channels).
         self.ring = make_ring_buffer(cfg.ring_buffer_frames,
                                      cfg.hop_size * cfg.channels,
@@ -236,8 +244,23 @@ class StreamingAuralizer:
         self.ring.reset()
         # Reference quirk kept: the OLA tail *is* cleared on stop
         # (SoundEngine.swift:470) while phases/previousSpectrum are not.
-        self._carry = self._carry._replace(
-            ola_tail=jax.numpy.zeros_like(self._carry.ola_tail))
+        with self._carry_lock:
+            self._carry = self._carry._replace(
+                ola_tail=jax.numpy.zeros_like(self._carry.ola_tail))
+
+    def snapshot_carry(self) -> StepCarry:
+        """A consistent host-side (NumPy) snapshot of the DSP carry, safe
+        to take while the producer runs.  The step functions donate the
+        carry, so a bare ``self._carry`` reference can be deleted by the
+        very next dispatch; materializing under the carry lock blocks
+        that dispatch until the copy is complete."""
+        with self._carry_lock:
+            return StepCarry(*[np.asarray(x) for x in self._carry])
+
+    def set_carry(self, carry: StepCarry) -> None:
+        """Replace the DSP carry (checkpoint resume)."""
+        with self._carry_lock:
+            self._carry = carry
 
     def toggle(self, source: Optional[Iterable[np.ndarray]] = None) -> None:
         if self._running:
@@ -378,8 +401,9 @@ class StreamingAuralizer:
                 f0 = ({k: np.asarray(v) for k, v in f0.items()}
                       if isinstance(f0, dict) else np.asarray(f0))
                 frame_dev = jax.device_put(f0)
-                self._carry, out = self._step(self._carry, frame_dev,
-                                              params_arrays)
+                with self._carry_lock:
+                    self._carry, out = self._step(self._carry, frame_dev,
+                                                  params_arrays)
             else:
                 if isinstance(frames_np[0], dict):   # planar YUV chunks
                     batch = {k: np.stack([f[k] for f in frames_np])
@@ -387,8 +411,9 @@ class StreamingAuralizer:
                 else:
                     batch = np.stack(frames_np)
                 batch = jax.device_put(batch)
-                self._carry, out = self._chunk_step(self._carry, batch,
-                                                    params_arrays)
+                with self._carry_lock:
+                    self._carry, out = self._chunk_step(self._carry, batch,
+                                                        params_arrays)
             if pending is not None:
                 flush(pending)
             pending = (out, t_capture, len(frames_np))

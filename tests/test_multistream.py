@@ -1,0 +1,263 @@
+"""MultiStreamAuralizer — the multi-stream serving pod.
+
+Covers: PCM equivalence of the batched pod against independent
+single-stream runs (vmap and chunked modes, and the mesh-sharded modes on
+the 8-device virtual mesh), uneven stream lengths (dark slots), per-slot
+live params, live slot re-arming, and the static-shape contract.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from vaudio.config import AuralizerConfig, LiveParams
+from vaudio.io import solid_color_frames
+from vaudio.runtime import MultiStreamAuralizer, run_offline
+from vaudio.runtime.chunked import run_offline_batched
+
+HOP = 2048
+COLORS = [
+    [0.9, 0.2, 0.1],
+    [0.1, 0.8, 0.3],
+    [0.2, 0.3, 0.9],
+    [0.8, 0.8, 0.1],
+    [0.7, 0.1, 0.8],
+    [0.1, 0.9, 0.9],
+    [0.5, 0.5, 0.5],
+    [0.9, 0.6, 0.2],
+]
+
+
+def clips(n_streams, n_frames, size=64):
+    return [solid_color_frames(COLORS[s % len(COLORS)], width=size,
+                               height=size, num_frames=n_frames)
+            for s in range(n_streams)]
+
+
+def wait_done(pod, timeout=120.0):
+    t0 = time.monotonic()
+    while pod.is_running:
+        if time.monotonic() - t0 > timeout:
+            pod.stop()
+            raise TimeoutError("pod producer still running")
+        time.sleep(0.005)
+    pod.raise_if_failed()
+
+
+class TestPodEquivalence:
+    def test_matches_independent_offline_runs(self):
+        cfg = AuralizerConfig()
+        srcs = clips(3, 6)
+        pod = MultiStreamAuralizer(cfg, n_streams=3)
+        pod.start([iter(np.asarray(c)) for c in srcs])
+        wait_done(pod)
+        for s, clip in enumerate(srcs):
+            ref, _, _ = run_offline(np.asarray(clip), cfg)
+            got = pod.pull(s, 6 * HOP)
+            np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4)
+        assert pod.metrics.frames_processed == 18
+        pod.stop()
+
+    def test_chunked_matches_offline_batched(self):
+        cfg = AuralizerConfig()
+        srcs = clips(2, 6)
+        pod = MultiStreamAuralizer(cfg, n_streams=2, chunk_frames=3)
+        pod.start([iter(np.asarray(c)) for c in srcs])
+        wait_done(pod)
+        for s, clip in enumerate(srcs):
+            ref, _, _ = run_offline_batched(np.asarray(clip), cfg, chunk=3)
+            got = pod.pull(s, 6 * HOP)
+            np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4)
+        pod.stop()
+
+    def test_uint8_frames(self):
+        cfg = AuralizerConfig()
+        clip = (np.asarray(clips(1, 4)[0]) * 255).astype(np.uint8)
+        pod = MultiStreamAuralizer(cfg, n_streams=2)
+        pod.start([iter(clip), iter(clip.copy())])
+        wait_done(pod)
+        ref, _, _ = run_offline(clip, cfg)
+        np.testing.assert_allclose(pod.pull(0, 4 * HOP), np.asarray(ref),
+                                   atol=2e-4)
+        np.testing.assert_allclose(pod.pull(1, 4 * HOP), np.asarray(ref),
+                                   atol=2e-4)
+        pod.stop()
+
+
+class TestPodMesh:
+    @pytest.mark.parametrize("mesh_shape,chunk", [
+        ((8, 1), 1),    # pure stream-DP
+        ((4, 2), 1),    # DP x cell-TP (psum over ICI)
+        ((8, 1), 2),    # DP chunk-batched (the throughput shape)
+    ])
+    def test_mesh_pod_matches_offline(self, mesh_shape, chunk):
+        from vaudio.parallel import make_stream_mesh
+        cfg = AuralizerConfig()
+        mesh = make_stream_mesh(*mesh_shape)
+        srcs = clips(8, 4)
+        pod = MultiStreamAuralizer(cfg, n_streams=8, params=LiveParams(),
+                                   chunk_frames=chunk, mesh=mesh)
+        pod.start([iter(np.asarray(c)) for c in srcs])
+        wait_done(pod)
+        for s in (0, 3, 7):
+            ref, _, _ = run_offline(np.asarray(srcs[s]), cfg)
+            np.testing.assert_allclose(pod.pull(s, 4 * HOP),
+                                       np.asarray(ref), atol=3e-4)
+        pod.stop()
+
+    def test_mesh_requires_shared_params(self):
+        from vaudio.parallel import make_stream_mesh
+        with pytest.raises(ValueError, match="shared LiveParams"):
+            MultiStreamAuralizer(AuralizerConfig(), n_streams=8,
+                                 mesh=make_stream_mesh(8, 1))
+
+
+class TestPodLifecycle:
+    def test_uneven_lengths_dark_slot(self):
+        """A slot whose source ends goes dark: its ring receives exactly
+        its own frames' hops, the surviving slot is unaffected (vmap
+        independence), and the pod exits when every source is done."""
+        cfg = AuralizerConfig()
+        long_clip, short_clip = clips(2, 8)
+        short_clip = short_clip[:4]
+        pod = MultiStreamAuralizer(cfg, n_streams=2)
+        pod.start([iter(np.asarray(long_clip)),
+                   iter(np.asarray(short_clip))])
+        wait_done(pod)
+        assert pod.stream_metrics(0)["buffer_fill"] == 8
+        assert pod.stream_metrics(1)["buffer_fill"] == 4
+        assert not pod.stream_metrics(1)["active"]
+        assert pod.metrics.frames_processed == 12
+        ref, _, _ = run_offline(np.asarray(long_clip), cfg)
+        np.testing.assert_allclose(pod.pull(0, 8 * HOP), np.asarray(ref),
+                                   atol=2e-4)
+        pod.stop()
+
+    def test_mid_chunk_exhaust_writes_only_real_hops(self):
+        cfg = AuralizerConfig()
+        long_clip, short_clip = clips(2, 6)
+        short_clip = short_clip[:4]      # ends mid-chunk (6 = 2 chunks of 3)
+        pod = MultiStreamAuralizer(cfg, n_streams=2, chunk_frames=3)
+        pod.start([iter(np.asarray(long_clip)),
+                   iter(np.asarray(short_clip))])
+        wait_done(pod)
+        assert pod.stream_metrics(0)["buffer_fill"] == 6
+        assert pod.stream_metrics(1)["buffer_fill"] == 4
+        ref, _, _ = run_offline_batched(np.asarray(short_clip)[:4], cfg,
+                                        chunk=3)
+        np.testing.assert_allclose(pod.pull(1, 4 * HOP)[:4 * HOP],
+                                   np.asarray(ref)[:4 * HOP], atol=2e-4)
+        pod.stop()
+
+    def test_replace_source_rearm(self):
+        """A long-lived pod (exit_when_exhausted=False) idles after its
+        sources end and serves a newly armed client on the same slot."""
+        cfg = AuralizerConfig()
+        first, second = clips(2, 3)
+        pod = MultiStreamAuralizer(cfg, n_streams=1,
+                                   exit_when_exhausted=False)
+        pod.start([iter(np.asarray(first))])
+        t0 = time.monotonic()
+        while pod.stream_metrics(0)["buffer_fill"] < 3:
+            pod.raise_if_failed()
+            assert time.monotonic() - t0 < 120
+            time.sleep(0.005)
+        assert pod.is_running            # pod idles, does not exit
+        pcm1 = pod.pull(0, 3 * HOP)
+        ref1, _, _ = run_offline(np.asarray(first), cfg)
+        np.testing.assert_allclose(pcm1, np.asarray(ref1), atol=2e-4)
+
+        pod.replace_source(0, iter(np.asarray(second)), reset_carry=True)
+        t0 = time.monotonic()
+        while pod.stream_metrics(0)["buffer_fill"] < 3:
+            pod.raise_if_failed()
+            assert time.monotonic() - t0 < 120
+            time.sleep(0.005)
+        pcm2 = pod.pull(0, 3 * HOP)
+        ref2, _, _ = run_offline(np.asarray(second), cfg)
+        # reset_carry=True: the slot starts from a cold carry, so the
+        # second client's PCM is exactly a fresh run's.
+        np.testing.assert_allclose(pcm2, np.asarray(ref2), atol=2e-4)
+        pod.stop()
+        assert not pod.is_running
+
+    def test_shape_mismatch_fails_loudly(self):
+        cfg = AuralizerConfig()
+        a = np.asarray(clips(1, 4)[0])
+        b = np.asarray(solid_color_frames([0.2, 0.9, 0.4], width=32,
+                                          height=32, num_frames=4))
+        pod = MultiStreamAuralizer(cfg, n_streams=2)
+        pod.start([iter(a), iter(b)])
+        t0 = time.monotonic()
+        while pod.is_running:
+            assert time.monotonic() - t0 < 120
+            time.sleep(0.005)
+        with pytest.raises(RuntimeError, match="pod producer failed"):
+            pod.raise_if_failed()
+        pod.stop()
+
+
+class TestPodCLI:
+    def test_pod_cli_writes_per_slot_wavs(self, tmp_path):
+        """`vaudio pod --input a.npy --input b.npy` writes slotN.wav per
+        input through the batched dispatch (CPU-forced subprocess)."""
+        import os
+        import subprocess
+        import sys
+        import wave
+
+        a, b = clips(2, 5)
+        pa, pb = str(tmp_path / "a.npy"), str(tmp_path / "b.npy")
+        np.save(pa, np.asarray(a))
+        np.save(pb, np.asarray(b))
+        outdir = str(tmp_path / "pod_out")
+        env = dict(os.environ, VAUDIO_PLATFORM="cpu",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
+                   PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH",
+                                                             ""))
+        res = subprocess.run(
+            [sys.executable, "-m", "vaudio", "pod", "--size", "64x64",
+             "--input", pa, "--input", pb, "-o", outdir,
+             "--chunk-frames", "2"],
+            capture_output=True, timeout=600, env=env, cwd="/root/repo")
+        assert res.returncode == 0, res.stderr.decode()[-800:]
+        for i in range(2):
+            with wave.open(os.path.join(outdir, f"slot{i}.wav")) as wv:
+                assert wv.getnframes() == 5 * HOP
+                assert wv.getframerate() == 44100
+        assert b"pod: 10 frames over 2 streams" in res.stderr
+
+
+class TestPodPerSlotParams:
+    def test_stereo_width_per_slot(self):
+        """Slot 1's live stereo_width=0 collapses ITS image to dual mono
+        while slot 0 keeps the full pan law — per-slot control rides the
+        stacked params axis with no recompile."""
+        cfg = AuralizerConfig(channels=2)
+        params = [LiveParams(), LiveParams(stereo_width=0.0)]
+        clip = np.asarray(clips(1, 4)[0])
+        pod = MultiStreamAuralizer(cfg, n_streams=2, params=params)
+        pod.start([iter(clip), iter(clip.copy())])
+        wait_done(pod)
+        wide = pod.pull(0, 4 * HOP * 2).reshape(-1, 2)
+        mono = pod.pull(1, 4 * HOP * 2).reshape(-1, 2)
+        assert np.any(mono != 0.0)
+        np.testing.assert_array_equal(mono[:, 0], mono[:, 1])
+        assert not np.allclose(wide[:, 0], wide[:, 1], atol=1e-6)
+        pod.stop()
+
+    def test_param_field_mismatch_fails_loudly(self):
+        cfg = AuralizerConfig()
+        params = [LiveParams(pan_angles=np.linspace(0, np.pi / 2, 16)),
+                  LiveParams()]
+        clip = np.asarray(clips(1, 2)[0])
+        pod = MultiStreamAuralizer(cfg, n_streams=2, params=params)
+        pod.start([iter(clip), iter(clip.copy())])
+        t0 = time.monotonic()
+        while pod.is_running:
+            assert time.monotonic() - t0 < 120
+            time.sleep(0.005)
+        with pytest.raises(RuntimeError, match="pod producer failed"):
+            pod.raise_if_failed()
+        pod.stop()

@@ -313,6 +313,78 @@ def cmd_stream(args) -> int:
     return rc
 
 
+def cmd_pod(args) -> int:
+    """Multi-stream serving pod: N raw-video inputs -> N WAV files
+    through ONE batched device dispatch per tick
+    (vaudio.runtime.multistream.MultiStreamAuralizer) — the production
+    batch-serving front door.  All inputs must share --size and
+    --pix-fmt (a pod serves one static shape; see the module docs).
+
+        python -m vaudio pod --size 64x64 -o out/ \
+            --input a.rgb --input b.rgb --input c.rgb
+    """
+    import os
+    import time as _time
+
+    from vaudio.io import ArraySource, RawVideoSource, write_wav
+    from vaudio.runtime import MultiStreamAuralizer
+    cfg, params = _build_config(args)
+    if not args.input:
+        raise SystemExit("pod: need at least one --input")
+    h, w = (int(x) for x in args.size.split("x"))
+    os.makedirs(args.output, exist_ok=True)
+
+    def open_source(path):
+        if path.endswith((".npy", ".npz")):
+            return ArraySource.load(path, fps=args.fps).frames()
+        return RawVideoSource(path, width=w, height=h,
+                              pix_fmt=args.pix_fmt, fps=args.fps,
+                              max_frames=args.max_frames).frames()
+
+    n = len(args.input)
+    pod = MultiStreamAuralizer(cfg, n_streams=n, params=params,
+                               realtime=args.realtime,
+                               chunk_frames=args.chunk_frames)
+    pod.start([open_source(p) for p in args.input])
+
+    # Drain every slot's ring while the pod runs (the rings are
+    # drop-on-full real-time sinks, SoundEngine.swift:448 — an undrained
+    # slot would drop frames once 16 hops deep).  Only warmed slots with
+    # buffered REAL samples are pulled, so nothing here is zero-fill.
+    hop_samples = cfg.hop_size * cfg.channels
+    collected = [[] for _ in range(n)]
+    while True:
+        pod.raise_if_failed()
+        running = pod.is_running
+        drained_any = False
+        for i in range(n):
+            ring = pod.rings[i]
+            fill = ring.available
+            if fill and (ring.warmed_up or fill >= cfg.warmup_frames):
+                collected[i].append(pod.pull(i, fill * hop_samples))
+                drained_any = True
+        if not running and not drained_any:
+            break
+        if not drained_any:
+            _time.sleep(0.002)
+    for i, path in enumerate(args.input):
+        pcm = (np.concatenate(collected[i]) if collected[i]
+               else np.zeros(0, np.float32))
+        if cfg.channels > 1:
+            pcm = pcm.reshape(-1, cfg.channels)
+        out_path = os.path.join(args.output, f"slot{i}.wav")
+        write_wav(out_path, pcm, cfg.sample_rate, channels=cfg.channels)
+        m = pod.stream_metrics(i)
+        print(f"pod slot {i}: {path} -> {out_path} "
+              f"({len(pcm) / cfg.sample_rate:.2f}s, "
+              f"dropped={m['dropped_frames']})", file=sys.stderr)
+    agg = pod.metrics
+    print(f"pod: {agg.frames_processed} frames over {n} streams in "
+          f"{agg.dispatches} dispatches", file=sys.stderr)
+    pod.stop()
+    return 0
+
+
 def cmd_debug(args) -> int:
     """Render the debug surface (the ConvolutionDebugView / SpectrumView /
     TimeDomainFrameView equivalents) for a frame or short clip to PNGs:
@@ -497,6 +569,30 @@ def main(argv=None) -> int:
                         "a stream seamlessly across runs)")
     _add_config_args(p)
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("pod",
+                       help="multi-stream serving pod: N inputs -> N "
+                            "WAVs via one batched dispatch per tick")
+    p.add_argument("--size", required=True, help="HxW of incoming frames "
+                                                 "(shared by all inputs)")
+    p.add_argument("--input", action="append", default=[],
+                   metavar="PATH",
+                   help="frame source (repeatable, one per serving "
+                        "slot): raw video file/FIFO, or .npy/.npz clip "
+                        "tensor")
+    p.add_argument("--pix-fmt", default="rgb24",
+                   choices=("rgb24", "i420", "nv12"))
+    p.add_argument("--chunk-frames", type=int, default=1,
+                   help="frames per stream per dispatch (>1 = the "
+                        "chunk-batched throughput pipeline)")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--realtime", action="store_true",
+                   help="pace ticks at --fps (live serving) instead of "
+                        "max throughput")
+    p.add_argument("-o", "--output", default="pod_out",
+                   help="output directory (slotN.wav per input)")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_pod)
 
     p = sub.add_parser("debug",
                        help="render the debug surface (heatmaps, hue "

@@ -14,9 +14,12 @@ Execution modes:
   whole-clip batch path.
 * :class:`vaudio.runtime.stream.StreamingAuralizer` — the live host loop
   with the reference's ring-buffer/warm-up/drop semantics.
+* :class:`vaudio.runtime.multistream.MultiStreamAuralizer` — the serving
+  pod: N concurrent streams batched through one dispatch per tick.
 """
 
 from vaudio.runtime.checkpoint import load_state, save_state
+from vaudio.runtime.multistream import MultiStreamAuralizer
 from vaudio.runtime.control import ControlChannel, LiveDebugRenderer
 from vaudio.runtime.server import LiveServer
 from vaudio.runtime.chunked import (
@@ -36,6 +39,7 @@ __all__ = [
     "ControlChannel",
     "LiveDebugRenderer",
     "LiveServer",
+    "MultiStreamAuralizer",
     "StepCarry",
     "load_state",
     "save_state",

@@ -1,0 +1,487 @@
+"""Multi-stream serving runtime: N concurrent video streams through ONE
+batched device dispatch per tick.
+
+The production serving front door.  The reference serves exactly one
+camera (VideoToAudio.swift:70-92); for a TPU deployment the scale axis is
+batching across independent streams (SURVEY.md §5: "the pipeline is
+embarrassingly parallel per stream") — a chip that sonifies one 1080p30
+stream at ~900x realtime should serve hundreds, and the measured batched
+throughput (benchmarks/THROUGHPUT_r03.json: 30.5k frames/s aggregate at
+8x1080p) is only reachable when frames from many streams ride one
+dispatch.  This module packages that shape as a long-lived "pod":
+
+* N frame sources advance in lockstep, one frame per stream per tick
+  (or ``chunk_frames`` per stream through the chunk-batched pipeline —
+  the throughput configuration);
+* ONE device call per tick: ``vmap`` of the fused step over the stream
+  axis on a single chip, or the DP/TP mesh steps of
+  :mod:`vaudio.parallel.sharding` when a :class:`jax.sharding.Mesh` is
+  given (streams sharded over ICI, zero collectives in the DP shape);
+* per-stream ring buffers keep the reference's real-time sink contract
+  (warm-up / zero-fill / drop-on-full, SoundEngine.swift:171-189,448)
+  independently per stream;
+* per-stream :class:`vaudio.config.LiveParams` — every serving slot has
+  its own live control surface (the `@Published` set,
+  SoundEngine.swift:66-75), stacked and traced per dispatch so
+  mutations never recompile;
+* slots whose source ends go dark (they are fed black frames to keep
+  the batch shape static for XLA — the state evolves exactly as if the
+  camera cut to black) and can be re-armed live with
+  :meth:`replace_source`.
+
+Static shapes are a contract here: all streams in a pod share one
+resolution and dtype (serving pods are per-resolution; XLA compiles one
+program).  A mid-stream resolution change is a hard error — route such
+streams to a pod of the right shape instead.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Dict, Iterable, List, Optional, Sequence, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vaudio.config import AuralizerConfig, LiveParams
+from vaudio.runtime.ringbuffer import make_ring_buffer
+from vaudio.runtime.step import StepCarry, init_carry
+from vaudio.runtime.stream import StreamMetrics
+
+
+def _normalize_frame(frame):
+    """Match the single-stream producer's ingest dtype policy
+    (runtime.stream): uint8 passes through (4x fewer bytes over the
+    link), everything else becomes float32; planar-YUV dicts
+    per-plane."""
+    if isinstance(frame, dict):
+        return {k: np.asanyarray(v) for k, v in frame.items()}
+    frame = np.asanyarray(frame)
+    if frame.dtype != np.uint8:
+        frame = frame.astype(np.float32, copy=False)
+    return frame
+
+
+def _frame_sig(frame):
+    if isinstance(frame, dict):
+        return {k: (v.shape, v.dtype) for k, v in sorted(frame.items())}
+    return (frame.shape, frame.dtype)
+
+
+def _zeros_like_frame(frame):
+    if isinstance(frame, dict):
+        return {k: np.zeros_like(v) for k, v in frame.items()}
+    return np.zeros_like(frame)
+
+
+def _stack(frames: Sequence):
+    """Stack a list of frames (arrays or planar-YUV dicts) along a new
+    leading axis."""
+    if isinstance(frames[0], dict):
+        return {k: np.stack([f[k] for f in frames]) for k in frames[0]}
+    return np.stack(frames)
+
+
+class MultiStreamAuralizer:
+    """Serve N concurrent video->audio streams from one batched dispatch.
+
+    Args:
+      cfg: static configuration shared by every stream in the pod.
+      n_streams: number of serving slots (fixed — the batch shape).
+      params: live parameters.  ``None`` = an independent
+        :class:`LiveParams` per slot (reach them via ``self.params[i]``);
+        a single ``LiveParams`` = shared by every slot (mutations affect
+        all); a sequence of ``LiveParams`` = explicit per-slot objects.
+        Values are re-read and stacked every dispatch — no recompiles.
+      realtime: pace ticks at ``cfg.video_fps`` (live serving) or run as
+        fast as the device allows (offline/throughput).
+      chunk_frames: frames per stream per dispatch.  1 = lowest latency
+        (one vmapped fused step per tick); >1 = the chunk-batched
+        pipeline per stream (runtime.chunked — the measured-throughput
+        shape, amortizing dispatch overhead chunk_frames-fold at the
+        cost of chunk_frames-1 frame times of buffering).
+      mesh: optional ``jax.sharding.Mesh`` with a ``'stream'`` axis (and
+        ``'cell'`` for TP when chunk_frames == 1).  Streams are sharded
+        over the mesh; ``n_streams`` must be a multiple of the stream
+        axis.  Mesh mode requires a single SHARED ``params`` object (the
+        parallel steps replicate params; per-slot control needs the
+        single-chip vmap mode).
+      exit_when_exhausted: producer exits once every source has ended
+        (True — batch-job semantics) or idles awaiting
+        :meth:`replace_source` re-arms until :meth:`stop` (False —
+        long-lived serving-pod semantics).
+    """
+
+    def __init__(self, cfg: AuralizerConfig = AuralizerConfig(),
+                 n_streams: int = 2,
+                 params: Union[None, LiveParams,
+                               Sequence[LiveParams]] = None,
+                 realtime: bool = False,
+                 prefer_native: bool = True,
+                 chunk_frames: int = 1,
+                 mesh=None,
+                 exit_when_exhausted: bool = True):
+        if n_streams < 1:
+            raise ValueError("n_streams must be >= 1")
+        self.cfg = cfg
+        self.n_streams = int(n_streams)
+        self.realtime = realtime
+        self.chunk_frames = max(1, int(chunk_frames))
+        self._mesh = mesh
+        self._exit_when_exhausted = exit_when_exhausted
+
+        if params is None:
+            self.params: List[LiveParams] = [LiveParams()
+                                             for _ in range(n_streams)]
+        elif isinstance(params, LiveParams):
+            self.params = [params] * n_streams
+        else:
+            self.params = list(params)
+            if len(self.params) != n_streams:
+                raise ValueError(
+                    f"params sequence length {len(self.params)} != "
+                    f"n_streams {n_streams}")
+        if mesh is not None:
+            if "stream" not in mesh.shape:
+                raise ValueError("mesh needs a 'stream' axis")
+            if n_streams % mesh.shape["stream"]:
+                raise ValueError(
+                    f"n_streams {n_streams} not a multiple of the mesh "
+                    f"stream axis {mesh.shape['stream']}")
+            if len(set(map(id, self.params))) != 1:
+                raise ValueError(
+                    "mesh mode replicates params across devices and so "
+                    "requires one shared LiveParams object; per-slot "
+                    "params need the single-chip vmap mode (mesh=None)")
+
+        self._step = self._build_step()
+        self._carry: StepCarry = self._shard_put(
+            _init_carry_batch(cfg, self.n_streams))
+        # Same donation race as the single-stream runtime: the batched
+        # step donates the carry, so cross-thread readers must
+        # materialize under this lock (see runtime.stream).
+        self._carry_lock = threading.Lock()
+        self.rings = [make_ring_buffer(cfg.ring_buffer_frames,
+                                       cfg.hop_size * cfg.channels,
+                                       cfg.warmup_frames,
+                                       prefer_native=prefer_native)
+                      for _ in range(self.n_streams)]
+        self.metrics = StreamMetrics()
+        self._sources: List = [None] * self.n_streams
+        self._active = [False] * self.n_streams
+        self._source_lock = threading.Lock()
+        self._pending_sources: List = []   # (slot, iterator, reset_carry)
+        self._thread: Optional[threading.Thread] = None
+        self._stop_event = threading.Event()
+        self._running = False
+        self._error: Optional[BaseException] = None
+        self._template_sig = None
+        self._zeros = None
+
+    # -- step construction --------------------------------------------------
+
+    def _build_step(self):
+        cfg = self.cfg
+        if self._mesh is not None:
+            from vaudio.parallel.sharding import make_parallel_chunk_step, \
+                make_parallel_step
+            if self.chunk_frames > 1:
+                return make_parallel_chunk_step(cfg, self._mesh)
+            return make_parallel_step(cfg, self._mesh)
+        from vaudio.dsp import hann_window_norm
+        from vaudio.synth import SynthConstants
+        consts = SynthConstants.create(cfg)
+        window = jnp.asarray(hann_window_norm(cfg.nfft))
+        if self.chunk_frames > 1:
+            from vaudio.runtime.chunked import chunk_pipeline
+
+            def one_chunk(carry, frames, p):
+                return chunk_pipeline(carry, frames, p, cfg, consts,
+                                      window)
+            # in_axes=(0, 0, 0): per-stream params ride a leading axis.
+            return jax.jit(jax.vmap(one_chunk, in_axes=(0, 0, 0)),
+                           donate_argnums=(0,))
+        from vaudio.runtime.step import frame_step
+
+        def one(carry, frame, p):
+            return frame_step(carry, frame, p, cfg, consts, window)
+        return jax.jit(jax.vmap(one, in_axes=(0, 0, 0)),
+                       donate_argnums=(0,))
+
+    def _shard_put(self, tree):
+        """Place a host pytree on device; under a mesh, shard the leading
+        (stream) axis of every leaf over the 'stream' axis."""
+        if self._mesh is None:
+            return jax.device_put(tree)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put(x):
+            x = np.asarray(x)
+            spec = P("stream", *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(self._mesh, spec))
+        return jax.tree.map(put, tree)
+
+    def _stack_params(self):
+        """Per-slot LiveParams -> one dict of (S, ...) arrays (vmap mode)
+        or the single replicated dict (mesh mode)."""
+        if self._mesh is not None:
+            return self.params[0].as_arrays()
+        dicts = [p.as_arrays() for p in self.params]
+        keys = set(dicts[0])
+        for i, d in enumerate(dicts[1:], 1):
+            if set(d) != keys:
+                raise RuntimeError(
+                    f"slot {i} params carry fields {sorted(set(d))} but "
+                    f"slot 0 carries {sorted(keys)} — optional "
+                    "array-valued fields (pan_angles) must be set on "
+                    "ALL slots or none (the stacked jit signature is "
+                    "shared)")
+        return {k: np.stack([d[k] for d in dicts]) for k in keys}
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @property
+    def is_running(self) -> bool:
+        return self._running
+
+    def start(self, sources: Sequence[Iterable]) -> None:
+        """Start the pod: one frame iterable per slot (length must equal
+        ``n_streams``)."""
+        if self._running:
+            return
+        if self._thread is not None and self._thread.is_alive():
+            raise RuntimeError(
+                "previous pod producer has not exited; cannot start a "
+                "new one over it")
+        if len(sources) != self.n_streams:
+            raise ValueError(
+                f"{len(sources)} sources for {self.n_streams} slots")
+        self._sources = [iter(s) for s in sources]
+        self._active = [True] * self.n_streams
+        self._stop_event.clear()
+        self._error = None
+        self._running = True
+        self.metrics.start_time = time.monotonic()
+        self._thread = threading.Thread(target=self._producer_guard,
+                                        daemon=True)
+        self._thread.start()
+
+    def _producer_guard(self) -> None:
+        try:
+            self._producer_loop()
+        except BaseException as e:
+            self._error = e
+            self._running = False
+
+    def raise_if_failed(self) -> None:
+        if self._error is not None:
+            raise RuntimeError("pod producer failed") from self._error
+
+    def stop(self) -> None:
+        """Stop the pod; per-stream buffered audio is cleared and the OLA
+        tails reset (the reference's stop semantics per stream,
+        SoundEngine.swift:459-474: buffers cleared, phases/previous
+        spectrum retained)."""
+        self._stop_event.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10.0)
+            if not self._thread.is_alive():
+                self._thread = None
+        self._running = False
+        self.metrics.end_time = time.monotonic()
+        for ring in self.rings:
+            ring.reset()
+        with self._carry_lock:
+            self._carry = self._carry._replace(
+                ola_tail=jnp.zeros_like(self._carry.ola_tail))
+
+    def replace_source(self, slot: int, source: Iterable,
+                       reset_carry: bool = False) -> None:
+        """Re-arm serving ``slot`` with a new frame source, live.
+
+        Applied by the producer at the next tick.  ``reset_carry`` zeroes
+        the slot's DSP state (a brand-new client); False continues from
+        the slot's current state (the same camera coming back).  With
+        ``exit_when_exhausted=False`` the pod idles between clients, so
+        slots can be re-armed indefinitely."""
+        if not 0 <= slot < self.n_streams:
+            raise IndexError(f"slot {slot} out of range")
+        with self._source_lock:
+            self._pending_sources.append((slot, iter(source),
+                                          bool(reset_carry)))
+
+    def _apply_pending_sources(self) -> None:
+        with self._source_lock:
+            items, self._pending_sources = self._pending_sources, []
+        for slot, it, reset in items:
+            self._sources[slot] = it
+            self._active[slot] = True
+            if reset:
+                fresh = init_carry(self.cfg)
+                with self._carry_lock:
+                    self._carry = jax.tree.map(
+                        lambda full, f1, s=slot: full.at[s].set(f1),
+                        self._carry, fresh)
+
+    # -- consumers -----------------------------------------------------------
+
+    def pull(self, slot: int, n: int) -> np.ndarray:
+        """Pull ``n`` PCM samples for ``slot`` (zero-filled per the
+        real-time contract, independently per stream)."""
+        return self.rings[slot].pull(n)
+
+    def snapshot_carry(self) -> StepCarry:
+        """Consistent host-side snapshot of the batched carry (leading
+        axis = stream), safe while the pod runs."""
+        with self._carry_lock:
+            return StepCarry(*[np.asarray(x) for x in self._carry])
+
+    def stream_metrics(self, slot: int) -> Dict[str, object]:
+        """Per-slot sink metrics (aggregate dispatch metrics live on
+        ``self.metrics``)."""
+        ring = self.rings[slot]
+        return {
+            "active": self._active[slot],
+            "buffer_fill": ring.available,
+            "dropped_frames": int(getattr(ring, "dropped_frames", 0)),
+            "underrun_samples": int(getattr(ring, "underrun_samples", 0)),
+        }
+
+    # -- producer ------------------------------------------------------------
+
+    def _next_batch(self):
+        """Advance every slot one frame.  Returns (frames, real) or
+        None when no slot has ever yielded; exhausted slots get black
+        frames (static batch shape) and real[i] = False."""
+        frames = [None] * self.n_streams
+        real = [False] * self.n_streams
+        for i in range(self.n_streams):
+            if not self._active[i]:
+                continue
+            try:
+                fr = next(self._sources[i])
+            except StopIteration:
+                self._active[i] = False
+                continue
+            fr = _normalize_frame(fr)
+            sig = _frame_sig(fr)
+            if self._template_sig is None:
+                self._template_sig = sig
+                self._zeros = _zeros_like_frame(fr)
+            elif sig != self._template_sig:
+                raise ValueError(
+                    f"slot {i} frame signature {sig} != pod signature "
+                    f"{self._template_sig}: a pod serves ONE static "
+                    "shape/dtype (route other resolutions to another "
+                    "pod)")
+            frames[i] = fr
+            real[i] = True
+        if self._zeros is None or not any(real):
+            # Nothing has ever yielded, or every remaining slot just
+            # exhausted on this tick — no all-dark dispatch.
+            return None
+        for i in range(self.n_streams):
+            if frames[i] is None:
+                frames[i] = self._zeros
+        return frames, real
+
+    def _flush(self, pending) -> None:
+        """Write each slot's REAL hops to its ring (masks[i][t] marks
+        rows from actual source frames; black batch-padding rows are
+        dropped — a slot that ends mid-chunk, or is re-armed mid-chunk,
+        only ever hears its own frames)."""
+        out, t0, masks = pending
+        pcm = np.asarray(out["pcm"])       # blocks until ready
+        hop = self.cfg.hop_size * self.cfg.channels
+        pcm = pcm.reshape(self.n_streams, -1, hop)
+        for i in range(self.n_streams):
+            for t, is_real in enumerate(masks[i]):
+                if is_real:
+                    self.rings[i].write(pcm[i, t])
+        latency_ms = (time.monotonic() - t0) * 1000.0
+        self.metrics.record(latency_ms,
+                            int(sum(sum(m) for m in masks)))
+
+    def _producer_loop(self) -> None:
+        from vaudio.io.sources import own_frame
+        cfg = self.cfg
+        T = self.chunk_frames
+        frame_period = 1.0 / cfg.video_fps
+        next_deadline = time.monotonic()
+        pending = None                # (out, t0, per-slot real-row masks)
+        chunk_bufs: List[list] = [[] for _ in range(self.n_streams)]
+        chunk_mask: List[list] = [[] for _ in range(self.n_streams)]
+        chunk_t0: Optional[float] = None
+
+        def dispatch(stacked, t0, masks):
+            nonlocal pending
+            params = self._stack_params()
+            batch = self._shard_put(stacked)
+            with self._carry_lock:
+                self._carry, out = self._step(self._carry, batch, params)
+            if pending is not None:
+                self._flush(pending)
+            pending = (out, t0, masks)
+
+        while not self._stop_event.is_set():
+            self._apply_pending_sources()
+            if not any(self._active):
+                if self._exit_when_exhausted:
+                    break
+                # Long-lived pod: idle awaiting replace_source re-arms.
+                if pending is not None:
+                    self._flush(pending)
+                    pending = None
+                time.sleep(0.001)
+                continue
+            if self.realtime:
+                now = time.monotonic()
+                if now < next_deadline:
+                    time.sleep(next_deadline - now)
+                next_deadline = max(next_deadline + frame_period,
+                                    time.monotonic())
+            tick = self._next_batch()
+            if tick is None:
+                continue                   # every source died yielding 0
+            frames, real = tick
+            if T == 1:
+                # _stack copies the (possibly zero-copy-borrowed) frames
+                # within the tick, inside the sources' lag-2 window.
+                dispatch(_stack(frames), time.monotonic(),
+                         [[r] for r in real])
+                continue
+            if not any(chunk_bufs):
+                chunk_t0 = time.monotonic()
+            for i in range(self.n_streams):
+                # Chunk buffers span ticks: borrowed zero-copy views must
+                # be owned here (same invariant as runtime.stream).
+                chunk_bufs[i].append(own_frame(frames[i]))
+                chunk_mask[i].append(real[i])
+            if len(chunk_bufs[0]) >= T:
+                stacked = _stack([_stack(buf) for buf in chunk_bufs])
+                dispatch(stacked, chunk_t0 or time.monotonic(),
+                         [list(m) for m in chunk_mask])
+                chunk_bufs = [[] for _ in range(self.n_streams)]
+                chunk_mask = [[] for _ in range(self.n_streams)]
+
+        # Trailing partial chunk: pad with black frames to the static
+        # chunk shape (no remainder retrace); only real hops are written.
+        if any(chunk_bufs) and not self._stop_event.is_set():
+            pad = T - len(chunk_bufs[0])
+            for i in range(self.n_streams):
+                chunk_bufs[i].extend([self._zeros] * pad)
+                chunk_mask[i].extend([False] * pad)
+            stacked = _stack([_stack(buf) for buf in chunk_bufs])
+            dispatch(stacked, chunk_t0 or time.monotonic(),
+                     [list(m) for m in chunk_mask])
+        if pending is not None and not self._stop_event.is_set():
+            self._flush(pending)
+        self._running = False
+
+
+def _init_carry_batch(cfg: AuralizerConfig, n: int) -> StepCarry:
+    from vaudio.parallel.sharding import init_carry_batch
+    return init_carry_batch(cfg, n)

@@ -229,6 +229,32 @@ class TestPodCLI:
         assert b"pod: 10 frames over 2 streams" in res.stderr
 
 
+class TestTraceFlag:
+    def test_pod_trace_writes_profile(self, tmp_path):
+        """--trace DIR captures a jax.profiler trace of the run (the
+        device-level observability surface, SURVEY.md §5)."""
+        import os
+        import subprocess
+        import sys
+
+        clip = np.asarray(clips(1, 3)[0])
+        p = str(tmp_path / "c.npy")
+        np.save(p, clip)
+        tdir = str(tmp_path / "trace")
+        env = dict(os.environ, VAUDIO_PLATFORM="cpu",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
+                   PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH",
+                                                             ""))
+        res = subprocess.run(
+            [sys.executable, "-m", "vaudio", "pod", "--size", "64x64",
+             "--input", p, "-o", str(tmp_path / "out"), "--trace", tdir],
+            capture_output=True, timeout=600, env=env, cwd="/root/repo")
+        assert res.returncode == 0, res.stderr.decode()[-800:]
+        captured = [os.path.join(r, f) for r, _, fs in os.walk(tdir)
+                    for f in fs]
+        assert captured, "trace dir is empty"
+
+
 class TestPodPerSlotParams:
     def test_stereo_width_per_slot(self):
         """Slot 1's live stereo_width=0 collapses ITS image to dual mono

@@ -196,7 +196,25 @@ def cmd_stream(args) -> int:
     except ValueError:          # not the main thread
         prev_term = None
 
+    trace_state = {"on": False}
+    if args.trace:
+        # Device-level tracing at the front door (SURVEY.md §5): a
+        # jax.profiler trace of the whole stream, viewable in
+        # TensorBoard/Perfetto — the deep version of the per-frame
+        # latency probe (SoundEngine.swift:430-434).
+        import jax
+        jax.profiler.start_trace(args.trace)
+        trace_state["on"] = True
+        print(f"stream: capturing jax.profiler trace to {args.trace}",
+              file=sys.stderr)
+
     def finish() -> None:
+        if trace_state["on"]:
+            import jax
+            jax.profiler.stop_trace()
+            trace_state["on"] = False
+            print(f"stream: trace written to {args.trace}",
+                  file=sys.stderr)
         if live is not None:
             live.stop()
         if player is not None:
@@ -345,28 +363,31 @@ def cmd_pod(args) -> int:
     pod = MultiStreamAuralizer(cfg, n_streams=n, params=params,
                                realtime=args.realtime,
                                chunk_frames=args.chunk_frames)
-    pod.start([open_source(p) for p in args.input])
+    from vaudio.utils.profiling import trace_context
+    with trace_context(args.trace):
+        pod.start([open_source(p) for p in args.input])
 
-    # Drain every slot's ring while the pod runs (the rings are
-    # drop-on-full real-time sinks, SoundEngine.swift:448 — an undrained
-    # slot would drop frames once 16 hops deep).  Only warmed slots with
-    # buffered REAL samples are pulled, so nothing here is zero-fill.
-    hop_samples = cfg.hop_size * cfg.channels
-    collected = [[] for _ in range(n)]
-    while True:
-        pod.raise_if_failed()
-        running = pod.is_running
-        drained_any = False
-        for i in range(n):
-            ring = pod.rings[i]
-            fill = ring.available
-            if fill and (ring.warmed_up or fill >= cfg.warmup_frames):
-                collected[i].append(pod.pull(i, fill * hop_samples))
-                drained_any = True
-        if not running and not drained_any:
-            break
-        if not drained_any:
-            _time.sleep(0.002)
+        # Drain every slot's ring while the pod runs (the rings are
+        # drop-on-full real-time sinks, SoundEngine.swift:448 — an
+        # undrained slot would drop frames once 16 hops deep).  Only
+        # warmed slots with buffered REAL samples are pulled, so
+        # nothing here is zero-fill.
+        hop_samples = cfg.hop_size * cfg.channels
+        collected = [[] for _ in range(n)]
+        while True:
+            pod.raise_if_failed()
+            running = pod.is_running
+            drained_any = False
+            for i in range(n):
+                ring = pod.rings[i]
+                fill = ring.available
+                if fill and (ring.warmed_up or fill >= cfg.warmup_frames):
+                    collected[i].append(pod.pull(i, fill * hop_samples))
+                    drained_any = True
+            if not running and not drained_any:
+                break
+            if not drained_any:
+                _time.sleep(0.002)
     for i, path in enumerate(args.input):
         pcm = (np.concatenate(collected[i]) if collected[i]
                else np.zeros(0, np.float32))
@@ -567,6 +588,10 @@ def main(argv=None) -> int:
                    help="checkpoint the DSP carry to NPZ when the "
                         "stream ends (pair with --load-state to resume "
                         "a stream seamlessly across runs)")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the "
+                        "whole stream to DIR (TensorBoard/Perfetto "
+                        "format)")
     _add_config_args(p)
     p.set_defaults(fn=cmd_stream)
 
@@ -591,6 +616,9 @@ def main(argv=None) -> int:
                         "max throughput")
     p.add_argument("-o", "--output", default="pod_out",
                    help="output directory (slotN.wav per input)")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the "
+                        "run to DIR")
     _add_config_args(p)
     p.set_defaults(fn=cmd_pod)
 

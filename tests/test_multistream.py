@@ -229,6 +229,53 @@ class TestPodCLI:
         assert b"pod: 10 frames over 2 streams" in res.stderr
 
 
+class TestPodCheckpoint:
+    def test_save_load_continuity(self, tmp_path):
+        """A pod split across two instances via save_state/load_state
+        produces the same PCM as one continuous run, for every slot."""
+        cfg = AuralizerConfig()
+        srcs = [np.asarray(c) for c in clips(2, 6)]
+        path = str(tmp_path / "pod.npz")
+
+        pod1 = MultiStreamAuralizer(cfg, n_streams=2)
+        pod1.start([iter(s[:3]) for s in srcs])
+        wait_done(pod1)
+        first = [pod1.pull(i, 3 * HOP) for i in range(2)]
+        pod1.save_state(path)
+        pod1.stop()
+
+        pod2 = MultiStreamAuralizer(cfg, n_streams=2)
+        pod2.load_state(path)
+        pod2.start([iter(s[3:]) for s in srcs])
+        wait_done(pod2)
+        for i, clip in enumerate(srcs):
+            ref, _, _ = run_offline(clip, cfg)
+            got = np.concatenate([first[i], pod2.pull(i, 3 * HOP)])
+            np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4)
+        pod2.stop()
+
+    def test_load_wrong_pod_size_raises(self, tmp_path):
+        cfg = AuralizerConfig()
+        path = str(tmp_path / "pod.npz")
+        pod = MultiStreamAuralizer(cfg, n_streams=2)
+        pod.save_state(path)
+        with pytest.raises(ValueError, match="pod size"):
+            MultiStreamAuralizer(cfg, n_streams=3).load_state(path)
+
+    def test_metrics_log_jsonl(self, tmp_path):
+        import json
+        cfg = AuralizerConfig()
+        log = str(tmp_path / "pod_metrics.jsonl")
+        pod = MultiStreamAuralizer(cfg, n_streams=2, metrics_log=log)
+        pod.start([iter(np.asarray(c)) for c in clips(2, 3)])
+        wait_done(pod)
+        pod.stop()
+        records = [json.loads(line) for line in open(log)]
+        assert len(records) == 3
+        assert sum(r["frames"] for r in records) == 6
+        assert all(len(r["slots"]) == 2 for r in records)
+
+
 class TestTraceFlag:
     def test_pod_trace_writes_profile(self, tmp_path):
         """--trace DIR captures a jax.profiler trace of the run (the

@@ -24,17 +24,25 @@ def save_state(path: str, carry: StepCarry) -> None:
     np.savez(path, **{f: np.asarray(getattr(carry, f)) for f in _FIELDS})
 
 
-def load_state(path: str, cfg: AuralizerConfig) -> StepCarry:
-    """Restore a carry; validates shapes against the config."""
+def load_state(path: str, cfg: AuralizerConfig,
+               n_streams: int | None = None) -> StepCarry:
+    """Restore a carry; validates shapes against the config.
+
+    ``n_streams``: expect a BATCHED carry (leading stream axis of that
+    size) — the multi-stream pod checkpoint shape
+    (runtime.multistream).  None = the single-stream shape."""
     data = np.load(path)
     ref = init_carry(cfg)
     kwargs = {}
     for f in _FIELDS:
         arr = data[f]
         expect = getattr(ref, f).shape
+        if n_streams is not None:
+            expect = (n_streams,) + tuple(expect)
         if tuple(arr.shape) != tuple(expect):
             raise ValueError(
                 f"checkpoint field {f!r} has shape {arr.shape}, config "
-                f"expects {expect} — wrong AuralizerConfig?")
+                f"expects {expect} — wrong AuralizerConfig"
+                f"{' or pod size' if n_streams is not None else ''}?")
         kwargs[f] = jnp.asarray(arr)
     return StepCarry(**kwargs)

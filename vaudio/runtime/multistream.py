@@ -113,6 +113,9 @@ class MultiStreamAuralizer:
         (True — batch-job semantics) or idles awaiting
         :meth:`replace_source` re-arms until :meth:`stop` (False —
         long-lived serving-pod semantics).
+      metrics_log: JSONL path receiving one record per dispatch
+        (timestamp, real frames, latency, per-slot fill/drop state) —
+        the pod counterpart of the single-stream metrics log.
     """
 
     def __init__(self, cfg: AuralizerConfig = AuralizerConfig(),
@@ -123,7 +126,8 @@ class MultiStreamAuralizer:
                  prefer_native: bool = True,
                  chunk_frames: int = 1,
                  mesh=None,
-                 exit_when_exhausted: bool = True):
+                 exit_when_exhausted: bool = True,
+                 metrics_log: Optional[str] = None):
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
         self.cfg = cfg
@@ -180,6 +184,8 @@ class MultiStreamAuralizer:
         self._error: Optional[BaseException] = None
         self._template_sig = None
         self._zeros = None
+        self._metrics_log = metrics_log
+        self._metrics_fh = None
 
     # -- step construction --------------------------------------------------
 
@@ -339,6 +345,21 @@ class MultiStreamAuralizer:
         with self._carry_lock:
             return StepCarry(*[np.asarray(x) for x in self._carry])
 
+    def save_state(self, path: str) -> None:
+        """Checkpoint every slot's DSP carry to one .npz (safe while the
+        pod runs — see :meth:`snapshot_carry`)."""
+        from vaudio.runtime.checkpoint import save_state
+        save_state(path, self.snapshot_carry())
+
+    def load_state(self, path: str) -> None:
+        """Restore a pod checkpoint (shape-validated against the config
+        AND the pod size); the next tick continues every slot's stream
+        seamlessly."""
+        from vaudio.runtime.checkpoint import load_state
+        carry = load_state(path, self.cfg, n_streams=self.n_streams)
+        with self._carry_lock:
+            self._carry = self._shard_put(carry)
+
     def stream_metrics(self, slot: int) -> Dict[str, object]:
         """Per-slot sink metrics (aggregate dispatch metrics live on
         ``self.metrics``)."""
@@ -402,8 +423,20 @@ class MultiStreamAuralizer:
                 if is_real:
                     self.rings[i].write(pcm[i, t])
         latency_ms = (time.monotonic() - t0) * 1000.0
-        self.metrics.record(latency_ms,
-                            int(sum(sum(m) for m in masks)))
+        n_frames = int(sum(sum(m) for m in masks))
+        self.metrics.record(latency_ms, n_frames)
+        if self._metrics_log is not None:
+            import json
+            if self._metrics_fh is None:
+                self._metrics_fh = open(self._metrics_log, "a")
+            self._metrics_fh.write(json.dumps({
+                "t": time.time(),
+                "frames": n_frames,
+                "latency_ms": round(latency_ms, 3),
+                "slots": [self.stream_metrics(i)
+                          for i in range(self.n_streams)],
+            }) + "\n")
+            self._metrics_fh.flush()
 
     def _producer_loop(self) -> None:
         from vaudio.io.sources import own_frame

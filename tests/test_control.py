@@ -215,7 +215,12 @@ class TestLiveDebugSurface:
                  * 255).astype(np.uint8)
         snapshots = []
 
-        def wait_render(min_count, deadline_s=60):
+        # Generous deadline: this assert runs INSIDE the producer thread
+        # (the source generator), so tripping it kills the stream as
+        # "producer failed".  Under full-suite load the first compile of
+        # this test's fresh graph signature (96x96, mip_level=2) has been
+        # observed to push the first render past 60 s.
+        def wait_render(min_count, deadline_s=240):
             deadline = time.monotonic() + deadline_s
             while live.renders < min_count and time.monotonic() < deadline:
                 time.sleep(0.01)

@@ -1,0 +1,247 @@
+"""Pod observability/control server tests (vaudio/runtime/podserver.py).
+
+The serving-fleet equivalent of the single-stream LiveServer surface
+(tests/test_server.py): per-slot live views rendered from the batched
+DSP carry (Views/SpectrumView.swift:15-77, DebuggingView.swift:174-218),
+per-slot parameter control (ControlPanelView.swift:11-43 ->
+SoundEngine.swift:66-75), and a per-slot pull-model audio stream
+(SoundEngine.swift:156-228).
+"""
+
+import json
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from vaudio.config import AuralizerConfig, LiveParams
+from vaudio.io import hsb_frames
+from vaudio.runtime import MultiStreamAuralizer
+
+
+def _get(url, timeout=30):
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return r.status, r.headers.get_content_type(), r.read()
+
+
+def _post(url, obj, timeout=30):
+    req = urllib.request.Request(url, data=json.dumps(obj).encode(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def _png_size(body: bytes):
+    import struct
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", body[16:24])
+    return h, w
+
+
+@pytest.fixture(scope="module")
+def served_pod():
+    """A 2-slot pod that has fully processed two short solid-color
+    streams (different hues), with the PodServer attached BEFORE start
+    so observe-state (waveform/input views) is populated."""
+    # mip_level 1: 64x64 -> 32x32 mip = 64 px per 4x4 cell, comfortably
+    # past the reference's count>20 hue gate (VisionEngine.swift:263) so
+    # the per-slot hue views actually diverge.
+    cfg = AuralizerConfig(mip_level=1)
+    pod = MultiStreamAuralizer(cfg, n_streams=2,
+                               exit_when_exhausted=True)
+    server = pod.serve(port=0)
+    n = 10
+    reds = hsb_frames(0.0, 1.0, 1.0, width=64, height=64, num_frames=n)
+    greens = hsb_frames(0.33, 1.0, 1.0, width=64, height=64,
+                        num_frames=n)
+    pod.start([iter(reds), iter(greens)])
+    deadline = time.monotonic() + 120
+    while pod.is_running and time.monotonic() < deadline:
+        pod.raise_if_failed()
+        time.sleep(0.01)
+    assert not pod.is_running, "pod did not finish its finite sources"
+    assert pod.metrics.frames_processed == 2 * n
+    yield pod, server
+    server.stop()
+    pod.stop()
+
+
+class TestEndpoints:
+    def test_panel_page(self, served_pod):
+        _pod, server = served_pod
+        status, ctype, body = _get(server.url)
+        assert status == 200 and ctype == "text/html"
+        text = body.decode()
+        assert "serving pod (2 slots)" in text
+        assert "/audio.wav" in text and "/metrics" in text
+        for name in ("attack", "stereo_width"):
+            assert name in text
+
+    def test_metrics(self, served_pod):
+        pod, server = served_pod
+        status, _, body = _get(server.url + "metrics")
+        assert status == 200
+        m = json.loads(body)
+        assert m["n_streams"] == 2
+        assert m["frames_processed"] == pod.metrics.frames_processed
+        assert len(m["slots"]) == 2
+        for slot in m["slots"]:
+            assert {"active", "buffer_fill", "dropped_frames",
+                    "underrun_samples"} <= set(slot)
+
+    def test_per_slot_params_isolated(self, served_pod):
+        pod, server = served_pod
+        status, _, body = _get(server.url + "slots/0/params")
+        assert status == 200
+        p0 = json.loads(body)
+        assert p0["shared"] is False
+        assert p0["attack"] == pod.params[0].attack
+
+        status, resp = _post(server.url + "slots/1/params",
+                             {"stereo_width": 0.25, "attack": 0.5})
+        assert status == 200 and resp["applied"] == 2
+        assert pod.params[1].stereo_width == 0.25
+        assert pod.params[1].attack == 0.5
+        # Slot 0 untouched — per-slot control, not broadcast.
+        assert pod.params[0].stereo_width == 1.0
+        assert pod.params[0].attack == 1.0
+
+    def test_unknown_param_warns(self, served_pod):
+        _pod, server = served_pod
+        status, resp = _post(server.url + "slots/0/params",
+                             {"nonsense": 1.0})
+        assert status == 200 and resp["applied"] == 0
+        assert resp["warnings"]
+
+    def test_bad_value_400(self, served_pod):
+        _pod, server = served_pod
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(server.url + "slots/0/params", {"attack": "loud"})
+        assert exc.value.code == 400
+
+    def test_bad_slot_404(self, served_pod):
+        _pod, server = served_pod
+        for path in ("slots/7/params", "slots/x/params",
+                     "slots/7/debug/spectrum.png", "nope"):
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _get(server.url + path)
+            assert exc.value.code == 404
+
+
+class TestSlotViews:
+    def test_hue_matrix_differs_per_slot(self, served_pod):
+        """Slot 0 saw red frames, slot 1 green — the per-slot hue-matrix
+        views must render from each slot's own carry row."""
+        _pod, server = served_pod
+        bodies = []
+        for s in (0, 1):
+            status, ctype, body = _get(
+                server.url + f"slots/{s}/debug/hue_matrix.png")
+            assert status == 200 and ctype == "image/png"
+            _png_size(body)
+            bodies.append(body)
+        assert bodies[0] != bodies[1]
+
+    def test_spectrum_waveform_input_render(self, served_pod):
+        _pod, server = served_pod
+        for name in ("spectrum", "waveform", "input"):
+            for s in (0, 1):
+                status, ctype, body = _get(
+                    server.url + f"slots/{s}/debug/{name}.png")
+                assert status == 200 and ctype == "image/png", name
+                _png_size(body)
+
+    def test_observe_state_populated(self, served_pod):
+        pod, _server = served_pod
+        assert pod.observe is True
+        for s in (0, 1):
+            assert pod.last_pcm[s] is not None
+            assert pod.last_preview[s] is not None
+            assert pod.last_preview[s].dtype == np.uint8
+
+
+def _wait_not_busy(server, slot, timeout=15.0):
+    """A closed listener's handler thread only notices on its next
+    failed socket write (paced quanta land in the OS buffer first), so
+    the slot lock can outlive the client by a few quanta."""
+    deadline = time.monotonic() + timeout
+    while server.audio_busy(slot) and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert not server.audio_busy(slot)
+
+
+class TestSlotAudio:
+    def test_audio_wav_stream(self, served_pod):
+        """/slots/<i>/audio.wav streams a live WAV: header + paced PCM
+        (zero-fill after the pod stopped — the real-time contract)."""
+        _pod, server = served_pod
+        req = urllib.request.urlopen(server.url + "slots/0/audio.wav",
+                                     timeout=30)
+        try:
+            head = req.read(44)
+            assert head[:4] == b"RIFF" and head[8:12] == b"WAVE"
+            body = req.read(256)      # a few paced quanta
+            assert len(body) == 256
+        finally:
+            req.close()
+
+    def test_audio_busy_flag(self, served_pod):
+        _pod, server = served_pod
+        _wait_not_busy(server, 0)
+        req = urllib.request.urlopen(server.url + "slots/0/audio.wav",
+                                     timeout=30)
+        try:
+            req.read(44)
+            assert server.audio_busy(0) is True
+            assert server.audio_busy(1) is False
+            # Second listener on the same slot is refused.
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _get(server.url + "slots/0/audio.wav", timeout=10)
+            assert exc.value.code == 409
+        finally:
+            req.close()
+        _wait_not_busy(server, 0)
+
+
+class TestPodServeCLI:
+    def test_cli_serve_flag(self, tmp_path):
+        """`vaudio pod --serve` starts the panel (URL on stderr) and
+        shuts it down cleanly with the pod (CPU-forced subprocess)."""
+        import os
+        import subprocess
+        import sys
+
+        clip = hsb_frames(0.6, 1.0, 1.0, width=64, height=64,
+                          num_frames=4)
+        p = str(tmp_path / "clip.npy")
+        np.save(p, np.asarray(clip))
+        env = dict(os.environ, VAUDIO_PLATFORM="cpu",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
+                   PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH",
+                                                             ""))
+        res = subprocess.run(
+            [sys.executable, "-m", "vaudio", "pod", "--size", "64x64",
+             "--input", p, "--input", p, "--serve", "127.0.0.1:0",
+             "-o", str(tmp_path / "out")],
+            capture_output=True, timeout=600, env=env, cwd="/root/repo")
+        assert res.returncode == 0, res.stderr.decode()[-800:]
+        assert b"pod: live panel at http://127.0.0.1:" in res.stderr
+
+
+class TestSharedParams:
+    def test_shared_flag_and_broadcast(self):
+        """One shared LiveParams (the mesh-mode contract): POST to any
+        slot updates every slot and the response says shared=true."""
+        cfg = AuralizerConfig(mip_level=2)
+        shared = LiveParams()
+        pod = MultiStreamAuralizer(cfg, n_streams=2, params=shared)
+        server = pod.serve(port=0)
+        try:
+            status, resp = _post(server.url + "slots/0/params",
+                                 {"release": 0.125})
+            assert status == 200 and resp["shared"] is True
+            assert pod.params[1].release == 0.125
+        finally:
+            server.stop()

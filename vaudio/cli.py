@@ -360,9 +360,19 @@ def cmd_pod(args) -> int:
                               max_frames=args.max_frames).frames()
 
     n = len(args.input)
-    pod = MultiStreamAuralizer(cfg, n_streams=n, params=params,
-                               realtime=args.realtime,
-                               chunk_frames=args.chunk_frames)
+    import dataclasses as _dc
+    # CLI flags seed an INDEPENDENT LiveParams per slot, so --serve can
+    # control each serving slot separately.
+    pod = MultiStreamAuralizer(
+        cfg, n_streams=n,
+        params=[_dc.replace(params) for _ in range(n)],
+        realtime=args.realtime,
+        chunk_frames=args.chunk_frames)
+    server = None
+    if args.serve:
+        host, _, port = args.serve.rpartition(":")
+        server = pod.serve(port=int(port), host=host or "127.0.0.1")
+        print(f"pod: live panel at {server.url}", file=sys.stderr)
     from vaudio.utils.profiling import trace_context
     with trace_context(args.trace):
         pod.start([open_source(p) for p in args.input])
@@ -379,6 +389,11 @@ def cmd_pod(args) -> int:
             running = pod.is_running
             drained_any = False
             for i in range(n):
+                if server is not None and server.audio_busy(i):
+                    # A /slots/<i>/audio.wav listener owns this slot's
+                    # ring for now — concurrent pulls would split
+                    # samples.  Its WAV file misses the listened span.
+                    continue
                 ring = pod.rings[i]
                 fill = ring.available
                 if fill and (ring.warmed_up or fill >= cfg.warmup_frames):
@@ -402,6 +417,8 @@ def cmd_pod(args) -> int:
     agg = pod.metrics
     print(f"pod: {agg.frames_processed} frames over {n} streams in "
           f"{agg.dispatches} dispatches", file=sys.stderr)
+    if server is not None:
+        server.stop()
     pod.stop()
     return 0
 
@@ -614,6 +631,9 @@ def main(argv=None) -> int:
     p.add_argument("--realtime", action="store_true",
                    help="pace ticks at --fps (live serving) instead of "
                         "max throughput")
+    p.add_argument("--serve", default=None, metavar="[HOST:]PORT",
+                   help="start the pod's live HTTP observability/control "
+                        "panel (per-slot views, sliders, audio)")
     p.add_argument("-o", "--output", default="pod_out",
                    help="output directory (slotN.wav per input)")
     p.add_argument("--trace", default=None, metavar="DIR",

@@ -22,6 +22,7 @@ from vaudio.runtime.checkpoint import load_state, save_state
 from vaudio.runtime.multistream import MultiStreamAuralizer
 from vaudio.runtime.control import ControlChannel, LiveDebugRenderer
 from vaudio.runtime.server import LiveServer
+from vaudio.runtime.podserver import PodServer
 from vaudio.runtime.chunked import (
     chunk_pipeline,
     make_chunk_pipeline,
@@ -39,6 +40,7 @@ __all__ = [
     "ControlChannel",
     "LiveDebugRenderer",
     "LiveServer",
+    "PodServer",
     "MultiStreamAuralizer",
     "StepCarry",
     "load_state",

@@ -186,6 +186,14 @@ class MultiStreamAuralizer:
         self._zeros = None
         self._metrics_log = metrics_log
         self._metrics_fh = None
+        #: When True (set by :meth:`serve` / PodServer) the producer keeps
+        #: cheap per-slot observability state: the last REAL output hop
+        #: (waveform view) and a small RGB preview of the last ingested
+        #: frame (the CameraPreview surface).  Off by default — the
+        #: serving hot path pays nothing for views nobody watches.
+        self.observe = False
+        self.last_pcm: List[Optional[np.ndarray]] = [None] * n_streams
+        self.last_preview: List[Optional[np.ndarray]] = [None] * n_streams
 
     # -- step construction --------------------------------------------------
 
@@ -367,9 +375,45 @@ class MultiStreamAuralizer:
         return {
             "active": self._active[slot],
             "buffer_fill": ring.available,
+            "warmed_up": bool(getattr(ring, "warmed_up", True)),
             "dropped_frames": int(getattr(ring, "dropped_frames", 0)),
             "underrun_samples": int(getattr(ring, "underrun_samples", 0)),
         }
+
+    def metrics_dict(self) -> Dict[str, object]:
+        """The pod's observability surface as one JSON-ready dict:
+        aggregate dispatch metrics (latency per batched device call,
+        throughput) + per-slot sink state — the pod counterpart of
+        :attr:`vaudio.api.Auralizer.metrics` (the processingLatency +
+        availableFrames surface, SoundEngine.swift:430-445)."""
+        m = self.metrics
+        return {
+            "n_streams": self.n_streams,
+            "chunk_frames": self.chunk_frames,
+            "running": self.is_running,
+            "dispatch_latency_ms": m.processing_latency_ms,
+            "dispatch_latency_p50_ms": m.latency_percentile(50),
+            "dispatch_latency_p99_ms": m.latency_percentile(99),
+            "aggregate_fps": m.achieved_fps,
+            "frames_processed": m.frames_processed,
+            "dispatches": m.dispatches,
+            "slots": [self.stream_metrics(i)
+                      for i in range(self.n_streams)],
+        }
+
+    def serve(self, port: int = 0, host: str = "127.0.0.1",
+              refresh_ms: int = 500):
+        """Start the pod's live HTTP observability + control panel — the
+        serving-fleet equivalent of :meth:`vaudio.api.Auralizer.serve`:
+        per-slot live views (dominant hues, spectrum, waveform, input
+        preview), per-slot parameter sliders (POST
+        ``/slots/<i>/params``), per-slot ``/slots/<i>/audio.wav``
+        speakers, and aggregate pod metrics.  Non-blocking; returns the
+        started :class:`~vaudio.runtime.podserver.PodServer`.  Enables
+        :attr:`observe`."""
+        from vaudio.runtime.podserver import PodServer
+        return PodServer(self, host=host, port=port,
+                         refresh_ms=refresh_ms).start()
 
     # -- producer ------------------------------------------------------------
 
@@ -422,6 +466,14 @@ class MultiStreamAuralizer:
             for t, is_real in enumerate(masks[i]):
                 if is_real:
                     self.rings[i].write(pcm[i, t])
+                    if self.observe:
+                        # Waveform view state: the slot's latest real hop
+                        # (the previousSignal surface,
+                        # Views/TimeDomainFrameView.swift:15-51).
+                        row = pcm[i, t]
+                        if self.cfg.channels > 1:
+                            row = row.reshape(-1, self.cfg.channels)
+                        self.last_pcm[i] = row
         latency_ms = (time.monotonic() - t0) * 1000.0
         n_frames = int(sum(sum(m) for m in masks))
         self.metrics.record(latency_ms, n_frames)
@@ -480,6 +532,19 @@ class MultiStreamAuralizer:
             if tick is None:
                 continue                   # every source died yielding 0
             frames, real = tick
+            if self.observe:
+                # Input-preview state (the CameraPreview surface,
+                # Views/CameraPreview.swift:11-51): render the small RGB
+                # preview NOW — frames may be zero-copy pool views only
+                # valid within this tick; the preview strides+copies.
+                from vaudio.utils.render import input_preview_image
+                for i in range(self.n_streams):
+                    if real[i]:
+                        try:
+                            self.last_preview[i] = \
+                                input_preview_image(frames[i])
+                        except Exception:
+                            pass   # a view must never kill the producer
             if T == 1:
                 # _stack copies the (possibly zero-copy-borrowed) frames
                 # within the tick, inside the sources' lag-2 window.

@@ -1,0 +1,368 @@
+"""Live HTTP observability + control panel for a serving pod.
+
+:class:`~vaudio.runtime.multistream.MultiStreamAuralizer` packages N
+concurrent streams behind one batched dispatch; this module gives that
+pod the same live surface the single-stream front door has
+(:class:`~vaudio.runtime.server.LiveServer`), scaled to N slots — the
+reference's whole SwiftUI interaction model (sliders mutating published
+params mid-run, SoundEngine.swift:66-75 / Views/ControlPanelView.swift:11-43;
+continuously-redrawing views, Views/SpectrumView.swift:18,
+Views/DebuggingView.swift:37-93; a pull-model speaker,
+SoundEngine.swift:156-228) replicated *per serving slot*:
+
+* ``GET /``                      — the pod panel: aggregate dispatch
+  metrics + one card per slot (live views, sliders, audio element);
+* ``GET /metrics``               — :meth:`MultiStreamAuralizer.metrics_dict`;
+* ``GET /slots/<i>/params``      — slot ``i``'s live parameters;
+* ``POST /slots/<i>/params``     — JSON updates for slot ``i`` (same
+  validation as the single-stream panel; values are traced per dispatch
+  so updates never recompile).  With a single shared ``LiveParams``
+  (mesh mode) every slot POSTs to the same object — the response carries
+  ``"shared": true`` so clients can reflect that;
+* ``GET /slots/<i>/debug/hue_matrix.png`` / ``spectrum.png`` — rendered
+  from the slot's row of the live DSP carry (always available);
+* ``GET /slots/<i>/debug/waveform.png`` / ``input.png`` — the slot's
+  last real output hop / last ingested-frame preview; populated while
+  the pod runs with :attr:`MultiStreamAuralizer.observe` on (this
+  server turns it on when it starts);
+* ``GET /slots/<i>/audio.wav``   — a live 16-bit WAV stream pulled from
+  the slot's ring at the hardware cadence (one listener per slot).
+  NOTE: any other consumer of that ring (the ``vaudio pod`` CLI's WAV
+  drain) splits samples with the listener; the CLI therefore skips
+  draining a slot while a listener holds it (see :meth:`audio_busy`).
+
+Usage::
+
+    pod = MultiStreamAuralizer(cfg, n_streams=8)
+    server = pod.serve(port=8000)        # -> PodServer, non-blocking
+    pod.start(sources)
+    ...
+    server.stop()
+
+or ``python -m vaudio pod --serve 8000 ...``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from vaudio.runtime.control import CONTROLLABLE, apply_control_message
+from vaudio.runtime.server import _SLIDERS, _wav_stream_header
+
+_PAGE = """<!doctype html><meta charset="utf-8">
+<title>vaudio pod</title>
+<style>
+ body {{ font: 14px system-ui, sans-serif; background: #101014;
+        color: #d8d8e0; margin: 1.5em; }}
+ h1 {{ font-size: 1.2em; }} h2 {{ font-size: 1em; color: #9ab; }}
+ .row {{ display: flex; gap: 1.5em; flex-wrap: wrap; }}
+ .panel {{ background: #17171d; border-radius: 8px; padding: 1em; }}
+ label {{ display: grid; grid-template-columns: 9em 11em 4.5em;
+          align-items: center; gap: .5em; margin: .3em 0; }}
+ output {{ font-variant-numeric: tabular-nums; color: #8fd; }}
+ img {{ image-rendering: pixelated; border-radius: 4px; display: block;
+        margin-top: .4em; }}
+ pre {{ color: #9a9; font-size: 12px; }}
+ details {{ margin-top: .5em; }}
+</style>
+<h1>vaudio — serving pod ({n_slots} slots)</h1>
+<div class="panel"><h2>pod metrics</h2><pre id="agg">...</pre></div>
+<div class="row" id="slots"></div>
+<script>
+const N = {n_slots};
+const SLIDERS = {sliders};
+const root = document.getElementById("slots");
+for (let s = 0; s < N; s++) {{
+  const card = document.createElement("div");
+  card.className = "panel";
+  card.innerHTML = `<h2>slot ${{s}}</h2>
+   <div style="display:flex;gap:1em">
+    <div><img id="input_${{s}}" width="160">
+         <img id="hue_matrix_${{s}}" width="160"></div>
+    <div><img id="spectrum_${{s}}" width="320">
+         <img id="waveform_${{s}}" width="320"></div>
+   </div>
+   <audio controls preload="none" src="/slots/${{s}}/audio.wav"></audio>
+   <details><summary>parameters</summary>
+     <div id="sliders_${{s}}"></div></details>
+   <pre id="m_${{s}}">...</pre>`;
+  root.appendChild(card);
+  fetch(`/slots/${{s}}/params`).then(r => r.json()).then(p => {{
+    const box = document.getElementById(`sliders_${{s}}`);
+    for (const [name, lo, hi, step] of SLIDERS) {{
+      const l = document.createElement("label");
+      l.innerHTML = `<span>${{name}}</span>` +
+        `<input type=range min=${{lo}} max=${{hi}} step=${{step}} ` +
+        `value="${{p[name]}}">` +
+        `<output>${{Number(p[name]).toFixed(3)}}</output>`;
+      box.appendChild(l);
+      const inp = l.querySelector("input"), out = l.querySelector("output");
+      inp.oninput = () => {{
+        out.textContent = Number(inp.value).toFixed(3);
+        fetch(`/slots/${{s}}/params`, {{method: "POST",
+          body: JSON.stringify({{[name]: Number(inp.value)}})}});
+      }};
+    }}
+  }});
+}}
+function tick() {{
+  const t = Date.now();
+  for (let s = 0; s < N; s++)
+    for (const v of ["input", "hue_matrix", "spectrum", "waveform"])
+      document.getElementById(`${{v}}_${{s}}`).src =
+        `/slots/${{s}}/debug/${{v}}.png?t=${{t}}`;
+  fetch("/metrics").then(r => r.json()).then(m => {{
+    const slots = m.slots; delete m.slots;
+    document.getElementById("agg").textContent =
+      JSON.stringify(m, null, 1);
+    for (let s = 0; s < N; s++)
+      document.getElementById(`m_${{s}}`).textContent =
+        JSON.stringify(slots[s], null, 1);
+  }});
+}}
+tick(); setInterval(tick, {refresh_ms});
+</script>
+"""
+
+
+class PodServer:
+    """Serve the live observability/control surface for a
+    :class:`~vaudio.runtime.multistream.MultiStreamAuralizer` (see module
+    docstring).  Non-blocking: ``start()`` spins a daemon thread and
+    enables the pod's :attr:`~MultiStreamAuralizer.observe` state;
+    ``port=0`` binds an ephemeral port (read :attr:`port`)."""
+
+    def __init__(self, pod, host: str = "127.0.0.1", port: int = 0,
+                 refresh_ms: int = 500):
+        self.pod = pod
+        self.refresh_ms = int(refresh_ms)
+        self._audio_locks = [threading.Lock()
+                             for _ in range(pod.n_streams)]
+        self._stopped = threading.Event()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                pass
+
+            def _send(self, code: int, ctype: str, body: bytes):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _json(self, obj, code: int = 200):
+                self._send(code, "application/json",
+                           json.dumps(obj).encode())
+
+            def _slot(self, part: str) -> Optional[int]:
+                try:
+                    i = int(part)
+                except ValueError:
+                    return None
+                return i if 0 <= i < server.pod.n_streams else None
+
+            def do_GET(self):
+                path = self.path.split("?", 1)[0]
+                try:
+                    if path == "/":
+                        self._send(200, "text/html; charset=utf-8",
+                                   server._page().encode())
+                        return
+                    if path == "/metrics":
+                        self._json(server.pod.metrics_dict())
+                        return
+                    parts = path.strip("/").split("/")
+                    if len(parts) >= 2 and parts[0] == "slots":
+                        slot = self._slot(parts[1])
+                        if slot is None:
+                            self._json({"error": f"no slot {parts[1]!r}"},
+                                       404)
+                            return
+                        rest = parts[2:]
+                        if rest == ["params"]:
+                            self._json(server._params_dict(slot))
+                            return
+                        if rest == ["audio.wav"]:
+                            server._stream_audio(self, slot)
+                            return
+                        if (len(rest) == 2 and rest[0] == "debug"
+                                and rest[1].endswith(".png")):
+                            name = rest[1][:-len(".png")]
+                            try:
+                                png = server._render_png(slot, name)
+                            except Exception as e:
+                                self._json(
+                                    {"error":
+                                     f"render {name!r} failed: {e}"}, 500)
+                                return
+                            if png is None:
+                                self._json({"error": f"no view {name!r} "
+                                            "or no state yet"}, 404)
+                            else:
+                                self._send(200, "image/png", png)
+                            return
+                    self._json({"error": "not found"}, 404)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
+            def do_POST(self):
+                parts = self.path.split("?", 1)[0].strip("/").split("/")
+                if (len(parts) != 3 or parts[0] != "slots"
+                        or parts[2] != "params"):
+                    self._json({"error": "not found"}, 404)
+                    return
+                slot = self._slot(parts[1])
+                if slot is None:
+                    self._json({"error": f"no slot {parts[1]!r}"}, 404)
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    msg = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(msg, dict):
+                        raise ValueError("expected a JSON object")
+                except (ValueError, json.JSONDecodeError) as e:
+                    self._json({"error": f"bad request: {e}"}, 400)
+                    return
+                warnings: list = []
+                try:
+                    applied = apply_control_message(
+                        server.pod.params[slot], msg,
+                        warn=warnings.append,
+                        num_cells=server.pod.cfg.num_cells)
+                except (TypeError, ValueError) as e:
+                    self._json({"error": f"bad value: {e}"}, 400)
+                    return
+                self._json({"applied": applied, "warnings": warnings,
+                            "shared": server._params_shared(),
+                            "params": server._params_dict(slot)})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd.daemon_threads = True
+        self._thread: Optional[threading.Thread] = None
+
+    # -- content -----------------------------------------------------------
+
+    def _page(self) -> str:
+        return _PAGE.format(
+            n_slots=self.pod.n_streams,
+            sliders=json.dumps([list(s) for s in _SLIDERS]),
+            refresh_ms=self.refresh_ms)
+
+    def _params_shared(self) -> bool:
+        return len(set(map(id, self.pod.params))) == 1
+
+    def _params_dict(self, slot: int):
+        p = self.pod.params[slot]
+        out = {k: getattr(p, k) for k in CONTROLLABLE
+               if k != "pan_angles"}
+        pan = p.pan_angles
+        out["pan_angles"] = (None if pan is None
+                             else np.asarray(pan, np.float32).tolist())
+        out["shared"] = self._params_shared()
+        return out
+
+    def _render_png(self, slot: int, name: str) -> Optional[bytes]:
+        from vaudio.utils.render import (hue_matrix_image, png_bytes,
+                                         spectrum_image, waveform_image)
+        pod = self.pod
+        if name == "input":
+            img = pod.last_preview[slot]
+            return None if img is None else png_bytes(img)
+        if name == "waveform":
+            pcm = pod.last_pcm[slot]
+            return None if pcm is None else png_bytes(waveform_image(pcm))
+        if name in ("hue_matrix", "spectrum"):
+            # Rendered from the slot's row of the live batched DSP carry
+            # (consistent snapshot; cheap — hues i32[16] + spectrum
+            # f32[F,2] per slot).
+            carry = pod.snapshot_carry()
+            if name == "hue_matrix":
+                return png_bytes(hue_matrix_image(carry.hues[slot],
+                                                  pod.cfg))
+            return png_bytes(spectrum_image(carry.prev_spectrum[slot],
+                                            pod.cfg))
+        return None
+
+    # -- audio --------------------------------------------------------------
+
+    def audio_busy(self, slot: int) -> bool:
+        """True while a ``/slots/<slot>/audio.wav`` listener holds the
+        slot's ring.  Other ring consumers (the CLI WAV drain) should
+        skip the slot while busy — concurrent pulls split samples."""
+        lock = self._audio_locks[slot]
+        if lock.acquire(blocking=False):
+            lock.release()
+            return False
+        return True
+
+    def _stream_audio(self, handler, slot: int) -> None:
+        """Chunked live WAV for one slot: pull 512-sample quanta at the
+        hardware cadence (underruns emit silence per the real-time
+        contract, SoundEngine.swift:184-189) until the client leaves."""
+        if not self._audio_locks[slot].acquire(blocking=False):
+            handler._json({"error": f"slot {slot} audio stream busy "
+                           "(one listener per slot)"}, 409)
+            return
+        try:
+            cfg = self.pod.cfg
+            handler.send_response(200)
+            handler.send_header("Content-Type", "audio/wav")
+            handler.send_header("Cache-Control", "no-store")
+            handler.end_headers()
+            handler.wfile.write(_wav_stream_header(cfg.sample_rate,
+                                                   cfg.channels))
+            quantum = 512                      # per-channel samples
+            period = quantum / cfg.sample_rate
+            next_t = time.monotonic()
+            while not self._stopped.is_set():
+                now = time.monotonic()
+                if now < next_t:
+                    time.sleep(next_t - now)
+                next_t = max(next_t + period, time.monotonic())
+                pcm = self.pod.pull(slot, quantum * cfg.channels)
+                pcm16 = (np.clip(pcm, -1.0, 1.0) * 32767.0).astype("<i2")
+                handler.wfile.write(pcm16.tobytes())
+        except (BrokenPipeError, ConnectionResetError):
+            pass
+        finally:
+            self._audio_locks[slot].release()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "PodServer":
+        if self._thread is not None:
+            return self
+        self.pod.observe = True
+        self._stopped.clear()
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        kwargs={"poll_interval": 0.1},
+                                        daemon=True,
+                                        name="vaudio-pod-serve")
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stopped.set()
+        self._httpd.shutdown()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+        self._httpd.server_close()
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    @property
+    def url(self) -> str:
+        host = self._httpd.server_address[0]
+        return f"http://{host}:{self.port}/"

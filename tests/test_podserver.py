@@ -205,6 +205,55 @@ class TestSlotAudio:
         _wait_not_busy(server, 0)
 
 
+class TestPodOpsEndpoints:
+    def test_metrics_prom_labels_slots(self, served_pod):
+        _pod, server = served_pod
+        status, ctype, body = _get(server.url + "metrics.prom")
+        assert status == 200 and ctype == "text/plain"
+        text = body.decode()
+        assert "# TYPE vaudio_frames_processed gauge" in text
+        assert 'vaudio_slot_buffer_fill{slot="0"}' in text
+        assert 'vaudio_slot_dropped_frames{slot="1"}' in text
+
+    def test_pod_state_roundtrip_over_http(self, served_pod):
+        import io
+
+        pod, server = served_pod
+        status, ctype, body = _get(server.url + "state.npz")
+        assert status == 200 and ctype == "application/octet-stream"
+        data = np.load(io.BytesIO(body))
+        assert data["hues"].shape == (2, pod.cfg.num_cells)
+
+        hues = data["hues"].copy()
+        hues[1, :] = 77
+        buf = io.BytesIO()
+        np.savez(buf, hues=hues,
+                 **{f: data[f] for f in data.files if f != "hues"})
+        req = urllib.request.Request(server.url + "state.npz",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())["restored"] is True
+        restored = np.asarray(pod.snapshot_carry().hues)
+        assert np.all(restored[1] == 77)
+        assert np.all(restored[0] == data["hues"][0])
+
+    def test_pod_state_restore_rejects_wrong_pod_size(self, served_pod):
+        """A single-stream (or wrong-N) checkpoint must be refused —
+        load_state shape-validates against the pod size."""
+        import io
+
+        pod, server = served_pod
+        from vaudio.runtime.checkpoint import save_state
+        from vaudio.runtime.step import init_carry
+        buf = io.BytesIO()
+        save_state(buf, init_carry(pod.cfg))    # unbatched carry
+        req = urllib.request.Request(server.url + "state.npz",
+                                     data=buf.getvalue(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+
+
 class TestPodServeCLI:
     def test_cli_serve_flag(self, tmp_path):
         """`vaudio pod --serve` starts the panel (URL on stderr) and

@@ -130,6 +130,52 @@ class TestEndpoints:
         assert e.value.code == 404
 
 
+class TestOpsEndpoints:
+    def test_metrics_prom(self, served_aur):
+        """Prometheus text exposition of the same /metrics numbers."""
+        _aur, server = served_aur
+        status, ctype, body = _get(server.url + "metrics.prom")
+        assert status == 200 and ctype == "text/plain"
+        text = body.decode()
+        assert "# TYPE vaudio_frames_processed gauge" in text
+        assert "\nvaudio_frames_processed 0" in text
+        assert "vaudio_buffer_fill" in text
+
+    def test_state_roundtrip_over_http(self, served_aur):
+        """GET /state.npz downloads the live carry checkpoint; POST
+        restores one — the --save-state/--load-state surface for ops."""
+        import io
+
+        aur, server = served_aur
+        status, ctype, body = _get(server.url + "state.npz")
+        assert status == 200 and ctype == "application/octet-stream"
+        data = np.load(io.BytesIO(body))
+        assert set(data.files) == {"hues", "phases", "prev_spectrum",
+                                   "ola_tail", "running_max"}
+        assert data["hues"].shape == (aur.config.num_cells,)
+
+        # Restore a recognizably different carry and confirm it landed.
+        hues = data["hues"].copy()
+        hues[:] = 123
+        buf = io.BytesIO()
+        np.savez(buf, hues=hues,
+                 **{f: data[f] for f in data.files if f != "hues"})
+        req = urllib.request.Request(server.url + "state.npz",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())["restored"] is True
+        assert np.all(np.asarray(
+            aur._stream.snapshot_carry().hues) == 123)
+
+    def test_state_restore_rejects_garbage(self, served_aur):
+        _aur, server = served_aur
+        req = urllib.request.Request(server.url + "state.npz",
+                                     data=b"not an npz", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+
+
 class TestLiveStreamSurface:
     def test_views_and_params_during_stream(self):
         """Mid-stream: the debug PNGs render from live state and a POST

@@ -20,7 +20,9 @@ _FIELDS = ("hues", "phases", "prev_spectrum", "ola_tail", "running_max")
 
 
 def save_state(path: str, carry: StepCarry) -> None:
-    """Serialize a stream's DSP carry to an .npz file."""
+    """Serialize a stream's DSP carry to an .npz file.  ``path`` may be
+    a filesystem path or a binary file object (np.savez accepts both —
+    the HTTP servers checkpoint into BytesIO)."""
     np.savez(path, **{f: np.asarray(getattr(carry, f)) for f in _FIELDS})
 
 
@@ -30,7 +32,8 @@ def load_state(path: str, cfg: AuralizerConfig,
 
     ``n_streams``: expect a BATCHED carry (leading stream axis of that
     size) — the multi-stream pod checkpoint shape
-    (runtime.multistream).  None = the single-stream shape."""
+    (runtime.multistream).  None = the single-stream shape.
+    ``path`` may be a path or a binary file object (see save_state)."""
     data = np.load(path)
     ref = init_carry(cfg)
     kwargs = {}

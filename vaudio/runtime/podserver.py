@@ -13,6 +13,10 @@ SoundEngine.swift:156-228) replicated *per serving slot*:
 * ``GET /``                      — the pod panel: aggregate dispatch
   metrics + one card per slot (live views, sliders, audio element);
 * ``GET /metrics``               — :meth:`MultiStreamAuralizer.metrics_dict`;
+* ``GET /metrics.prom``          — the same in Prometheus text format
+  (per-slot series labeled ``{slot="i"}``) for scraping;
+* ``GET /state.npz`` / ``POST /state.npz`` — download / restore the
+  pod checkpoint (every slot's DSP carry; shape-validated) over HTTP;
 * ``GET /slots/<i>/params``      — slot ``i``'s live parameters;
 * ``POST /slots/<i>/params``     — JSON updates for slot ``i`` (same
   validation as the single-stream panel; values are traced per dispatch
@@ -151,11 +155,14 @@ class PodServer:
             def log_message(self, fmt, *args):
                 pass
 
-            def _send(self, code: int, ctype: str, body: bytes):
+            def _send(self, code: int, ctype: str, body: bytes,
+                      extra=()):
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.send_header("Cache-Control", "no-store")
+                for k, v in extra:
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -179,6 +186,23 @@ class PodServer:
                         return
                     if path == "/metrics":
                         self._json(server.pod.metrics_dict())
+                        return
+                    if path == "/metrics.prom":
+                        from vaudio.runtime.server import prometheus_text
+                        self._send(200, "text/plain; version=0.0.4",
+                                   prometheus_text(
+                                       server.pod.metrics_dict())
+                                   .encode())
+                        return
+                    if path == "/state.npz":
+                        # Pod checkpoint download (all slots' carries,
+                        # consistent snapshot — runtime/checkpoint.py).
+                        from vaudio.runtime.server import npz_bytes
+                        self._send(200, "application/octet-stream",
+                                   npz_bytes(server.pod.save_state),
+                                   extra=(("Content-Disposition",
+                                           'attachment; '
+                                           'filename="state.npz"'),))
                         return
                     parts = path.strip("/").split("/")
                     if len(parts) >= 2 and parts[0] == "slots":
@@ -215,7 +239,22 @@ class PodServer:
                     pass
 
             def do_POST(self):
-                parts = self.path.split("?", 1)[0].strip("/").split("/")
+                path = self.path.split("?", 1)[0]
+                if path == "/state.npz":
+                    # Pod checkpoint restore (shape-validated against
+                    # the config AND the pod size).
+                    import io
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        server.pod.load_state(io.BytesIO(
+                            self.rfile.read(n)))
+                    except Exception as e:
+                        self._json({"error": f"bad checkpoint: {e}"},
+                                   400)
+                        return
+                    self._json({"restored": True})
+                    return
+                parts = path.strip("/").split("/")
                 if (len(parts) != 3 or parts[0] != "slots"
                         or parts[2] != "params"):
                     self._json({"error": "not found"}, 404)

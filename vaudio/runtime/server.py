@@ -20,6 +20,12 @@ stdlib only (``http.server``): one ephemeral HTTP endpoint exposing
   as the ``--control`` FIFO channel; values are traced so updates never
   recompile);
 * ``GET /metrics``     — :attr:`Auralizer.metrics` as JSON;
+* ``GET /metrics.prom`` — the same numbers in Prometheus text
+  exposition format (a scrape target for production monitoring);
+* ``GET /state.npz`` / ``POST /state.npz`` — checkpoint download /
+  restore of the live DSP carry over HTTP (the ``--save-state`` /
+  ``--load-state`` surface for ops: snapshot or migrate a running
+  stream without touching its filesystem);
 * ``GET /debug/hue_matrix.png`` / ``spectrum.png`` / ``waveform.png`` —
   the latest published debug state rendered on demand (in-memory PNG;
   the stream must run with ``debug=True``);
@@ -129,6 +135,44 @@ tick(); setInterval(tick, {refresh_ms});
 """
 
 
+def prometheus_text(metrics: dict, prefix: str = "vaudio") -> str:
+    """Flatten a metrics dict to Prometheus text exposition format
+    (text/plain; version=0.0.4) for scraping: numeric/boolean scalars
+    become gauges; a ``"slots"`` list of per-slot dicts becomes labeled
+    series (``vaudio_slot_buffer_fill{slot="0"} 3``); everything else is
+    skipped."""
+    lines = []
+
+    def emit(name: str, value, labels: str = ""):
+        if isinstance(value, bool):
+            value = int(value)
+        if not isinstance(value, (int, float)):
+            return
+        metric = f"{prefix}_{name}".replace(".", "_").replace("-", "_")
+        if not any(line.startswith(f"# TYPE {metric} ")
+                   for line in lines):
+            lines.append(f"# TYPE {metric} gauge")
+        lines.append(f"{metric}{labels} {value}")
+
+    for key, value in metrics.items():
+        if key == "slots" and isinstance(value, list):
+            for i, slot in enumerate(value):
+                for k, v in slot.items():
+                    emit(f"slot_{k}", v, labels=f'{{slot="{i}"}}')
+        else:
+            emit(key, value)
+    return "\n".join(lines) + "\n"
+
+
+def npz_bytes(save_fn) -> bytes:
+    """Run a ``save_state``-style callable against an in-memory buffer
+    (np.savez accepts file objects) and return the .npz bytes."""
+    import io
+    buf = io.BytesIO()
+    save_fn(buf)
+    return buf.getvalue()
+
+
 def _wav_stream_header(sample_rate: float, channels: int) -> bytes:
     """A 16-bit WAV header for an unbounded live stream: RIFF/data sizes
     set to 0xFFFFFFFF, which players treat as 'read until EOF'."""
@@ -186,6 +230,24 @@ class LiveServer:
                         self._json(server._params_dict())
                     elif path == "/metrics":
                         self._json(server.aur.metrics)
+                    elif path == "/metrics.prom":
+                        # Prometheus scrape endpoint (production
+                        # observability; same numbers as /metrics).
+                        self._send(200,
+                                   "text/plain; version=0.0.4",
+                                   prometheus_text(
+                                       server.aur.metrics).encode())
+                    elif path == "/state.npz":
+                        # Checkpoint download: the live DSP carry as the
+                        # same .npz `--save-state` writes (consistent
+                        # snapshot under the carry lock) — ops can
+                        # checkpoint a running stream over HTTP.
+                        body = npz_bytes(server.aur.save_state)
+                        self._send(200, "application/octet-stream",
+                                   body,
+                                   extra=(("Content-Disposition",
+                                           'attachment; '
+                                           'filename="state.npz"'),))
                     elif path.startswith("/debug/") and \
                             path.endswith(".png"):
                         name = path[len("/debug/"):-len(".png")]
@@ -213,7 +275,22 @@ class LiveServer:
                     pass
 
             def do_POST(self):
-                if self.path.split("?", 1)[0] != "/params":
+                path = self.path.split("?", 1)[0]
+                if path == "/state.npz":
+                    # Checkpoint restore: upload a `--save-state`/.npz
+                    # carry; the next dispatch continues from it.
+                    import io
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        server.aur.load_state(io.BytesIO(
+                            self.rfile.read(n)))
+                    except Exception as e:
+                        self._json({"error": f"bad checkpoint: {e}"},
+                                   400)
+                        return
+                    self._json({"restored": True})
+                    return
+                if path != "/params":
                     self._json({"error": "not found"}, 404)
                     return
                 n = int(self.headers.get("Content-Length", 0))

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Serving-pod walkthrough: run N clients through one batched dispatch,
+watch them on the live panel, control a slot, churn a client, and
+checkpoint the whole pod over HTTP.
+
+Run on CPU: ``JAX_PLATFORMS=cpu python examples/serving_pod.py``
+(pass ``--hold`` to keep the panel up for a browser until Ctrl-C).
+
+This is the production shape docs/SERVING.md describes: a
+:class:`~vaudio.runtime.multistream.MultiStreamAuralizer` pod
+(one device call per tick across every slot) plus its
+:class:`~vaudio.runtime.podserver.PodServer` ops surface.
+"""
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(hold=False):
+    from vaudio.config import AuralizerConfig
+    from vaudio.io import hsb_frames
+    from vaudio.runtime import MultiStreamAuralizer
+
+    # A pod serves one static shape; mip_level 1 keeps the 64x64 demo
+    # frames past the count>20 hue gate (VisionEngine.swift:263).
+    cfg = AuralizerConfig(mip_level=1)
+    n = 4
+    pod = MultiStreamAuralizer(cfg, n_streams=n, chunk_frames=2,
+                               exit_when_exhausted=False)
+
+    # --- live panel + ops endpoints -----------------------------------
+    server = pod.serve(port=0)
+    print(f"[panel] {server.url}  (slots, sliders, per-slot audio)")
+
+    def source(hue, frames=90):
+        return iter(hsb_frames(hue, 1.0, 1.0, width=64, height=64,
+                               num_frames=frames))
+
+    pod.start([source(h) for h in (0.0, 0.25, 0.55, 0.8)])
+
+    def wait_frames(k, timeout=120):
+        t0 = time.monotonic()
+        while pod.metrics.frames_processed < k:
+            pod.raise_if_failed()
+            if time.monotonic() - t0 > timeout:
+                raise TimeoutError
+            time.sleep(0.01)
+
+    wait_frames(n * 20)
+
+    # --- per-slot control, zero recompiles ----------------------------
+    req = urllib.request.Request(
+        server.url + "slots/2/params",
+        data=json.dumps({"attack": 0.2, "stereo_width": 0.5}).encode(),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        print(f"[control] slot 2: {json.loads(r.read())['applied']} "
+              "params applied mid-run")
+
+    # --- pull audio like a per-client callback ------------------------
+    pcm = pod.pull(1, 4096)
+    print(f"[audio] slot 1 pulled 4096 samples, rms={np.sqrt((pcm**2).mean()):.3f}")
+
+    # --- client churn: re-arm a slot live ------------------------------
+    pod.replace_source(0, source(0.6, frames=60), reset_carry=True)
+    print("[churn] slot 0 re-armed with a new client (carry reset)")
+
+    # --- ops: Prometheus scrape + HTTP checkpoint ----------------------
+    with urllib.request.urlopen(server.url + "metrics.prom",
+                                timeout=10) as r:
+        prom = r.read().decode()
+    print("[prom]", next(line for line in prom.splitlines()
+                         if line.startswith("vaudio_frames_processed")))
+    with urllib.request.urlopen(server.url + "state.npz",
+                                timeout=10) as r:
+        state = r.read()
+    print(f"[ckpt] downloaded pod checkpoint: {len(state)} bytes "
+          f"({n} slots x 5 arrays)")
+
+    wait_frames(n * 40)
+    m = pod.metrics_dict()
+    print(f"[metrics] {m['frames_processed']} frames in "
+          f"{m['dispatches']} dispatches, "
+          f"p50 dispatch latency {m['dispatch_latency_p50_ms']:.1f} ms")
+
+    if hold:
+        print("[hold] panel live — Ctrl-C to exit")
+        try:
+            while True:
+                time.sleep(1)
+        except KeyboardInterrupt:
+            pass
+    server.stop()
+    pod.stop()
+    print("[done]")
+
+
+if __name__ == "__main__":
+    main(hold="--hold" in sys.argv[1:])

@@ -187,6 +187,18 @@ class TestCLI:
         audio, _ = read_wav(out)
         assert len(audio) == 3 * 2048
 
+    def test_sonify_orthomodes_model(self, tmp_path):
+        """`vaudio sonify --model orthomodes` routes file input through
+        the second model family (per-pixel A/Q/f0 synthesis)."""
+        frames = solid_color_frames([0.1, 1, 0.1], 32, 32, 3)
+        inp = str(tmp_path / "frames.npy")
+        np.save(inp, frames)
+        out = str(tmp_path / "om.wav")
+        r = self._run("sonify", inp, "-o", out, "--model", "orthomodes")
+        assert r.returncode == 0, r.stderr
+        audio, _ = read_wav(out)
+        assert len(audio) == 3 * 2048
+
 
 class TestApiCheckpoint:
     def test_stream_state_roundtrip(self, tmp_path):

@@ -78,8 +78,15 @@ def cmd_sonify(args) -> int:
     else:
         vf = VideoFileSource(args.input, fps=args.fps)
         frames = np.stack(list(vf.frames()))
-    aur = Auralizer(config=cfg, params=params)
-    audio = aur.sonify_to_wav(frames, args.output)
+    if getattr(args, "model", "auralizer") == "orthomodes":
+        from vaudio.io import write_wav
+        from vaudio.models import OrthoModesConfig, OrthoModesModel
+        model = OrthoModesModel(OrthoModesConfig(audio=cfg))
+        audio = model.sonify(frames)
+        write_wav(args.output, audio, cfg.sample_rate)
+    else:
+        aur = Auralizer(config=cfg, params=params)
+        audio = aur.sonify_to_wav(frames, args.output)
     dur = len(audio) / cfg.sample_rate
     print(f"wrote {args.output}: {dur:.2f}s at {cfg.sample_rate:.0f} Hz "
           f"from {len(frames)} frames")
@@ -524,6 +531,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("sonify", help="sonify a video tensor/file to WAV")
     p.add_argument("input", help=".npy/.npz frame tensor or video file")
     p.add_argument("-o", "--output", default="out.wav")
+    p.add_argument("--model", choices=("auralizer", "orthomodes"),
+                   default="auralizer",
+                   help="model family: the flagship 16-cell pipeline or "
+                        "the per-pixel A/Q/f0 OrthoModes synthesis")
     _add_config_args(p)
     p.set_defaults(fn=cmd_sonify)
 

@@ -205,6 +205,134 @@ class TestSlotAudio:
         _wait_not_busy(server, 0)
 
 
+class TestReviewRegressions:
+    def test_one_slot_pan_angles_post_is_refused(self, served_pod):
+        """Setting pan_angles on ONE slot of a per-slot-params pod must
+        be refused (409): _stack_params requires the optional array
+        field on ALL slots or none — accepting would 200 and then kill
+        the whole pod at the next dispatch."""
+        pod, server = served_pod
+        n = pod.cfg.num_cells
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server.url + "slots/0/params",
+                  {"pan_angles": [0.5] * n})
+        assert e.value.code == 409
+        assert b"ALL slots" in e.value.read()
+        assert pod.params[0].pan_angles is None    # nothing applied
+
+        # The pod-level broadcast is the sanctioned path: POST /params
+        # sets it on EVERY slot atomically; per-slot VALUE updates then
+        # work, but clearing one slot alone is refused symmetrically.
+        status, resp = _post(server.url + "params",
+                             {"pan_angles": [0.5] * n})
+        assert status == 200 and resp["slots_updated"] == 2
+        assert all(p.pan_angles is not None for p in pod.params)
+        status, _resp = _post(server.url + "slots/1/params",
+                              {"pan_angles": [0.7] * n})
+        assert status == 200
+        assert float(np.asarray(pod.params[1].pan_angles)[0]) == \
+            pytest.approx(0.7)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server.url + "slots/1/params", {"pan_angles": None})
+        assert e.value.code == 409
+        status, resp = _post(server.url + "params", {"pan_angles": None})
+        assert status == 200                       # restore fixture state
+        assert all(p.pan_angles is None for p in pod.params)
+
+    def test_pan_broadcast_on_running_pod_survives(self):
+        """The original kill scenario: a pan_angles update arriving
+        mid-run.  The broadcast path must leave the pod alive (guard +
+        params_lock atomicity with the producer's stacking)."""
+        cfg = AuralizerConfig(mip_level=1)
+        pod = MultiStreamAuralizer(cfg, n_streams=2)
+        server = pod.serve(port=0)
+        frames = hsb_frames(0.5, 1.0, 1.0, width=64, height=64,
+                            num_frames=40)
+        try:
+            pod.start([iter(frames), iter(frames.copy())])
+            deadline = time.monotonic() + 60
+            while pod.metrics.frames_processed < 8:
+                pod.raise_if_failed()
+                assert time.monotonic() < deadline
+                time.sleep(0.01)
+            status, resp = _post(
+                server.url + "params",
+                {"pan_angles": [0.4] * cfg.num_cells})
+            assert status == 200 and resp["slots_updated"] == 2
+            while pod.is_running and time.monotonic() < deadline:
+                pod.raise_if_failed()      # would raise had it died
+                time.sleep(0.01)
+            assert not pod.is_running
+            assert pod.metrics.frames_processed == 80
+        finally:
+            server.stop()
+            pod.stop()
+
+    def test_broadcast_rejects_bad_value_without_diverging(self,
+                                                           served_pod):
+        pod, server = served_pod
+        before = [p.attack for p in pod.params]
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server.url + "params", {"attack": "loud"})
+        assert e.value.code == 400
+        assert [p.attack for p in pod.params] == before
+
+    def test_stop_on_never_started_server_returns(self):
+        """ThreadingHTTPServer.shutdown() blocks forever unless
+        serve_forever ran; stop() must not call it on an unstarted
+        server."""
+        from vaudio.runtime import PodServer
+        cfg = AuralizerConfig(mip_level=1)
+        pod = MultiStreamAuralizer(cfg, n_streams=1)
+        server = PodServer(pod)            # constructed, never started
+        done = []
+        t = __import__("threading").Thread(
+            target=lambda: (server.stop(), done.append(True)))
+        t.start()
+        t.join(timeout=10)
+        assert done, "stop() deadlocked on a never-started server"
+
+    def test_stop_disables_observe(self):
+        cfg = AuralizerConfig(mip_level=1)
+        pod = MultiStreamAuralizer(cfg, n_streams=1)
+        server = pod.serve(port=0)
+        assert pod.observe is True
+        server.stop()
+        assert pod.observe is False
+
+    def test_drain_exclusive(self, served_pod):
+        """drain_exclusive runs fn under the slot audio lock and returns
+        None while a listener holds the slot (the CLI drain's race-free
+        pull)."""
+        _pod, server = served_pod
+        _wait_not_busy(server, 0)
+        assert server.drain_exclusive(0, lambda: "ran") == "ran"
+        req = urllib.request.urlopen(server.url + "slots/0/audio.wav",
+                                     timeout=30)
+        try:
+            req.read(44)
+            assert server.drain_exclusive(0, lambda: "ran") is None
+        finally:
+            req.close()
+        _wait_not_busy(server, 0)
+
+    def test_prometheus_groups_are_contiguous(self, served_pod):
+        """All samples of one metric must form a single group (text
+        exposition format rule) — per-slot series are emitted
+        metric-major."""
+        _pod, server = served_pod
+        _, _, body = _get(server.url + "metrics.prom")
+        names = [line.split("{")[0].split(" ")[0]
+                 for line in body.decode().splitlines()
+                 if line and not line.startswith("#")]
+        seen, last = set(), None
+        for name in names:
+            if name != last:
+                assert name not in seen, f"{name} samples interleaved"
+                seen.add(name)
+                last = name
+
+
 class TestPodOpsEndpoints:
     def test_metrics_prom_labels_slots(self, served_pod):
         _pod, server = served_pod

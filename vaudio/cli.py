@@ -68,6 +68,38 @@ def _build_config(args):
     return cfg, params
 
 
+def _sonify_orthomodes(cfg, params, frames, output):
+    """Route a clip through the OrthoModes family (the completed §2.9
+    design, models/orthomodes.py), honoring the CLI params it supports.
+
+    attack / release / spectrum_mixing map directly; the remaining live
+    params (filters, stereo_width, pan_angles) have no per-pixel-model
+    equivalent — warn rather than silently drop, and the model is mono.
+    """
+    from vaudio.io import write_wav
+    from vaudio.models import OrthoModesConfig, OrthoModesModel
+    if cfg.channels > 1:
+        print("orthomodes: per-pixel model is mono; writing 1 channel",
+              file=sys.stderr)
+    ignored = [name for name, default in
+               (("stereo_width", 1.0), ("pan_angles", None))
+               if getattr(params, name) is not default] + \
+              (["--filters"] if cfg.enable_filters else [])
+    if ignored:
+        print(f"orthomodes: no equivalent for {', '.join(ignored)}; "
+              "ignored", file=sys.stderr)
+    model = OrthoModesModel(OrthoModesConfig(
+        audio=dataclasses.replace(cfg, channels=1,
+                                  enable_filters=False)))
+    model_params = {**model.multipliers.as_arrays(),
+                    "spectrum_mixing": np.float32(params.spectrum_mixing),
+                    "attack": np.float32(params.attack),
+                    "release": np.float32(params.release)}
+    audio = model.sonify(frames, model_params)
+    write_wav(output, audio, cfg.sample_rate)
+    return audio
+
+
 def cmd_sonify(args) -> int:
     from vaudio.api import Auralizer
     from vaudio.io import ArraySource, VideoFileSource
@@ -79,11 +111,7 @@ def cmd_sonify(args) -> int:
         vf = VideoFileSource(args.input, fps=args.fps)
         frames = np.stack(list(vf.frames()))
     if getattr(args, "model", "auralizer") == "orthomodes":
-        from vaudio.io import write_wav
-        from vaudio.models import OrthoModesConfig, OrthoModesModel
-        model = OrthoModesModel(OrthoModesConfig(audio=cfg))
-        audio = model.sonify(frames)
-        write_wav(args.output, audio, cfg.sample_rate)
+        audio = _sonify_orthomodes(cfg, params, frames, args.output)
     else:
         aur = Auralizer(config=cfg, params=params)
         audio = aur.sonify_to_wav(frames, args.output)
@@ -94,16 +122,13 @@ def cmd_sonify(args) -> int:
 
 
 def cmd_synthetic(args) -> int:
-    from vaudio.io import hsb_frames, write_wav
+    from vaudio.io import hsb_frames
     cfg, params = _build_config(args)
     frames = hsb_frames(args.hue, args.saturation, args.brightness,
                         width=args.width, height=args.height,
                         num_frames=args.frames)
     if args.model == "orthomodes":
-        from vaudio.models import OrthoModesConfig, OrthoModesModel
-        model = OrthoModesModel(OrthoModesConfig(audio=cfg))
-        audio = model.sonify(frames)
-        write_wav(args.output, audio, cfg.sample_rate)
+        audio = _sonify_orthomodes(cfg, params, frames, args.output)
     else:
         from vaudio.api import Auralizer
         aur = Auralizer(config=cfg, params=params)
@@ -367,12 +392,11 @@ def cmd_pod(args) -> int:
                               max_frames=args.max_frames).frames()
 
     n = len(args.input)
-    import dataclasses as _dc
     # CLI flags seed an INDEPENDENT LiveParams per slot, so --serve can
     # control each serving slot separately.
     pod = MultiStreamAuralizer(
         cfg, n_streams=n,
-        params=[_dc.replace(params) for _ in range(n)],
+        params=[dataclasses.replace(params) for _ in range(n)],
         realtime=args.realtime,
         chunk_frames=args.chunk_frames)
     server = None
@@ -396,15 +420,24 @@ def cmd_pod(args) -> int:
             running = pod.is_running
             drained_any = False
             for i in range(n):
-                if server is not None and server.audio_busy(i):
-                    # A /slots/<i>/audio.wav listener owns this slot's
-                    # ring for now — concurrent pulls would split
-                    # samples.  Its WAV file misses the listened span.
-                    continue
                 ring = pod.rings[i]
-                fill = ring.available
-                if fill and (ring.warmed_up or fill >= cfg.warmup_frames):
-                    collected[i].append(pod.pull(i, fill * hop_samples))
+
+                def _pull_ready(ring=ring, i=i):
+                    fill = ring.available
+                    if fill and (ring.warmed_up
+                                 or fill >= cfg.warmup_frames):
+                        return pod.pull(i, fill * hop_samples)
+                    return None
+                if server is not None:
+                    # Pull under the slot's audio lock: a
+                    # /slots/<i>/audio.wav listener owns the ring while
+                    # connected (concurrent pulls would split samples) —
+                    # the WAV file misses the listened span.
+                    chunk = server.drain_exclusive(i, _pull_ready)
+                else:
+                    chunk = _pull_ready()
+                if chunk is not None:
+                    collected[i].append(chunk)
                     drained_any = True
             if not running and not drained_any:
                 break

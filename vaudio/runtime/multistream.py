@@ -168,6 +168,11 @@ class MultiStreamAuralizer:
         # step donates the carry, so cross-thread readers must
         # materialize under this lock (see runtime.stream).
         self._carry_lock = threading.Lock()
+        #: Taken by the producer while stacking per-slot params for a
+        #: dispatch.  Multi-slot updates that must be seen atomically
+        #: (e.g. enabling pan_angles on every slot — presence must match
+        #: across slots, see _stack_params) take it too.
+        self.params_lock = threading.Lock()
         self.rings = [make_ring_buffer(cfg.ring_buffer_frames,
                                        cfg.hop_size * cfg.channels,
                                        cfg.warmup_frames,
@@ -186,14 +191,20 @@ class MultiStreamAuralizer:
         self._zeros = None
         self._metrics_log = metrics_log
         self._metrics_fh = None
-        #: When True (set by :meth:`serve` / PodServer) the producer keeps
-        #: cheap per-slot observability state: the last REAL output hop
-        #: (waveform view) and a small RGB preview of the last ingested
-        #: frame (the CameraPreview surface).  Off by default — the
-        #: serving hot path pays nothing for views nobody watches.
+        #: When True (set by :meth:`serve` / PodServer.start, reset by
+        #: PodServer.stop) the producer keeps cheap per-slot
+        #: observability state: the last REAL output hop (waveform view)
+        #: and a small RGB preview of the last ingested frame (the
+        #: CameraPreview surface).  Off by default — the serving hot
+        #: path pays nothing for views nobody watches.  Previews are
+        #: additionally throttled to :attr:`preview_interval` seconds
+        #: per slot (panels poll at ~2 Hz; rendering every frame of an
+        #: 8x30fps pod would burn host time on discarded images).
         self.observe = False
+        self.preview_interval = 0.25
         self.last_pcm: List[Optional[np.ndarray]] = [None] * n_streams
         self.last_preview: List[Optional[np.ndarray]] = [None] * n_streams
+        self._preview_t = [0.0] * n_streams
 
     # -- step construction --------------------------------------------------
 
@@ -243,7 +254,8 @@ class MultiStreamAuralizer:
         or the single replicated dict (mesh mode)."""
         if self._mesh is not None:
             return self.params[0].as_arrays()
-        dicts = [p.as_arrays() for p in self.params]
+        with self.params_lock:
+            dicts = [p.as_arrays() for p in self.params]
         keys = set(dicts[0])
         for i, d in enumerate(dicts[1:], 1):
             if set(d) != keys:
@@ -537,9 +549,13 @@ class MultiStreamAuralizer:
                 # Views/CameraPreview.swift:11-51): render the small RGB
                 # preview NOW — frames may be zero-copy pool views only
                 # valid within this tick; the preview strides+copies.
+                # Throttled per slot (see preview_interval).
                 from vaudio.utils.render import input_preview_image
+                now = time.monotonic()
                 for i in range(self.n_streams):
-                    if real[i]:
+                    if real[i] and \
+                            now - self._preview_t[i] >= self.preview_interval:
+                        self._preview_t[i] = now
                         try:
                             self.last_preview[i] = \
                                 input_preview_image(frames[i])

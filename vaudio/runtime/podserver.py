@@ -22,7 +22,12 @@ SoundEngine.swift:156-228) replicated *per serving slot*:
   validation as the single-stream panel; values are traced per dispatch
   so updates never recompile).  With a single shared ``LiveParams``
   (mesh mode) every slot POSTs to the same object — the response carries
-  ``"shared": true`` so clients can reflect that;
+  ``"shared": true`` so clients can reflect that.  Setting/clearing
+  ``pan_angles`` on ONE slot of a per-slot pod is refused (409): its
+  presence must match across slots (the stacked jit signature);
+* ``POST /params``               — pod-level broadcast: the update is
+  applied to EVERY slot, atomically w.r.t. the producer's param
+  stacking — the way to set/clear ``pan_angles`` pod-wide;
 * ``GET /slots/<i>/debug/hue_matrix.png`` / ``spectrum.png`` — rendered
   from the slot's row of the live DSP carry (always available);
 * ``GET /slots/<i>/debug/waveform.png`` / ``input.png`` — the slot's
@@ -57,7 +62,7 @@ from typing import Optional
 import numpy as np
 
 from vaudio.runtime.control import CONTROLLABLE, apply_control_message
-from vaudio.runtime.server import _SLIDERS, _wav_stream_header
+from vaudio.runtime.server import _SLIDERS
 
 _PAGE = """<!doctype html><meta charset="utf-8">
 <title>vaudio pod</title>
@@ -170,6 +175,19 @@ class PodServer:
                 self._send(code, "application/json",
                            json.dumps(obj).encode())
 
+            def _read_json(self) -> Optional[dict]:
+                """Parse the request body as a JSON object; answers 400
+                and returns None on anything else."""
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    msg = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(msg, dict):
+                        raise ValueError("expected a JSON object")
+                except (ValueError, json.JSONDecodeError) as e:
+                    self._json({"error": f"bad request: {e}"}, 400)
+                    return None
+                return msg
+
             def _slot(self, part: str) -> Optional[int]:
                 try:
                     i = int(part)
@@ -239,7 +257,52 @@ class PodServer:
                     pass
 
             def do_POST(self):
+                # Same client-vanished guard as do_GET: panel sliders
+                # fire un-awaited POSTs; a closed tab must not dump
+                # socketserver tracebacks to the serving process stderr.
+                try:
+                    self._post()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
+            def _post(self):
                 path = self.path.split("?", 1)[0]
+                if path == "/params":
+                    # Pod-level broadcast: apply one update to EVERY
+                    # slot, atomically w.r.t. the producer's param
+                    # stacking (params_lock) — the only safe way to
+                    # set/clear pan_angles on a per-slot-params pod
+                    # (presence must match across slots).
+                    msg = self._read_json()
+                    if msg is None:
+                        return
+                    warnings: list = []
+                    targets = (server.pod.params[:1]
+                               if server._params_shared()
+                               else server.pod.params)
+                    import dataclasses
+                    try:
+                        # Dry-run against a throwaway copy: a bad value
+                        # must reject the WHOLE broadcast, never leave
+                        # slots diverged mid-loop.
+                        apply_control_message(
+                            dataclasses.replace(targets[0]), msg,
+                            warn=warnings.append,
+                            num_cells=server.pod.cfg.num_cells)
+                    except (TypeError, ValueError) as e:
+                        self._json({"error": f"bad value: {e}"}, 400)
+                        return
+                    with server.pod.params_lock:
+                        applied = sum(
+                            apply_control_message(
+                                p, msg, warn=lambda w: None,
+                                num_cells=server.pod.cfg.num_cells)
+                            for p in targets)
+                    self._json({"applied": applied,
+                                "slots_updated": len(targets),
+                                "warnings": warnings,
+                                "shared": server._params_shared()})
+                    return
                 if path == "/state.npz":
                     # Pod checkpoint restore (shape-validated against
                     # the config AND the pod size).
@@ -263,14 +326,32 @@ class PodServer:
                 if slot is None:
                     self._json({"error": f"no slot {parts[1]!r}"}, 404)
                     return
-                n = int(self.headers.get("Content-Length", 0))
-                try:
-                    msg = json.loads(self.rfile.read(n) or b"{}")
-                    if not isinstance(msg, dict):
-                        raise ValueError("expected a JSON object")
-                except (ValueError, json.JSONDecodeError) as e:
-                    self._json({"error": f"bad request: {e}"}, 400)
+                msg = self._read_json()
+                if msg is None:
                     return
+                if "pan_angles" in msg and not server._params_shared():
+                    # Cross-slot invariant (multistream._stack_params):
+                    # optional array-valued fields must be set on ALL
+                    # slots or none — the stacked jit signature is
+                    # shared.  Accepting a one-slot flip here would 200
+                    # and then kill the whole pod at the next dispatch.
+                    want = msg["pan_angles"] is not None
+                    mismatched = [
+                        j for j in range(server.pod.n_streams)
+                        if j != slot
+                        and (server.pod.params[j].pan_angles
+                             is not None) != want]
+                    if mismatched:
+                        self._json(
+                            {"error":
+                             "pan_angles must be set on ALL slots or "
+                             "none (the pod stacks params into one jit "
+                             f"signature); slots {mismatched} currently "
+                             f"have pan_angles "
+                             f"{'unset' if want else 'set'} — POST "
+                             "/params to set/clear it on every slot "
+                             "atomically"}, 409)
+                        return
                 warnings: list = []
                 try:
                     applied = apply_control_message(
@@ -336,12 +417,28 @@ class PodServer:
     def audio_busy(self, slot: int) -> bool:
         """True while a ``/slots/<slot>/audio.wav`` listener holds the
         slot's ring.  Other ring consumers (the CLI WAV drain) should
-        skip the slot while busy — concurrent pulls split samples."""
+        skip the slot while busy — concurrent pulls split samples.
+        NOTE: a probe is only a snapshot; to actually pull without
+        racing a connecting listener use :meth:`drain_exclusive`."""
         lock = self._audio_locks[slot]
         if lock.acquire(blocking=False):
             lock.release()
             return False
         return True
+
+    def drain_exclusive(self, slot: int, fn):
+        """Run ``fn()`` while holding ``slot``'s audio lock (the same
+        lock a ``/slots/<slot>/audio.wav`` listener takes), so an
+        external ring consumer cannot interleave pulls with a listener
+        that connects mid-drain.  Non-blocking: returns ``fn()``'s
+        result, or ``None`` when a listener currently holds the slot."""
+        lock = self._audio_locks[slot]
+        if not lock.acquire(blocking=False):
+            return None
+        try:
+            return fn()
+        finally:
+            lock.release()
 
     def _stream_audio(self, handler, slot: int) -> None:
         """Chunked live WAV for one slot: pull 512-sample quanta at the
@@ -353,23 +450,20 @@ class PodServer:
             return
         try:
             cfg = self.pod.cfg
-            handler.send_response(200)
-            handler.send_header("Content-Type", "audio/wav")
-            handler.send_header("Cache-Control", "no-store")
-            handler.end_headers()
-            handler.wfile.write(_wav_stream_header(cfg.sample_rate,
-                                                   cfg.channels))
-            quantum = 512                      # per-channel samples
-            period = quantum / cfg.sample_rate
-            next_t = time.monotonic()
-            while not self._stopped.is_set():
-                now = time.monotonic()
-                if now < next_t:
-                    time.sleep(next_t - now)
-                next_t = max(next_t + period, time.monotonic())
-                pcm = self.pod.pull(slot, quantum * cfg.channels)
-                pcm16 = (np.clip(pcm, -1.0, 1.0) * 32767.0).astype("<i2")
-                handler.wfile.write(pcm16.tobytes())
+
+            def quanta(quantum=512):           # per-channel samples
+                period = quantum / cfg.sample_rate
+                next_t = time.monotonic()
+                while True:
+                    now = time.monotonic()
+                    if now < next_t:
+                        time.sleep(next_t - now)
+                    next_t = max(next_t + period, time.monotonic())
+                    yield self.pod.pull(slot, quantum * cfg.channels)
+
+            from vaudio.runtime.server import write_wav_stream
+            write_wav_stream(handler, cfg.sample_rate, cfg.channels,
+                             quanta(), self._stopped)
         except (BrokenPipeError, ConnectionResetError):
             pass
         finally:
@@ -391,8 +485,11 @@ class PodServer:
 
     def stop(self) -> None:
         self._stopped.set()
-        self._httpd.shutdown()
+        self.pod.observe = False     # hot path stops rendering previews
         if self._thread is not None:
+            # shutdown() waits on an event only serve_forever() sets —
+            # calling it on a never-started server would block forever.
+            self._httpd.shutdown()
             self._thread.join(timeout=5.0)
             self._thread = None
         self._httpd.server_close()

@@ -155,10 +155,14 @@ def prometheus_text(metrics: dict, prefix: str = "vaudio") -> str:
         lines.append(f"{metric}{labels} {value}")
 
     for key, value in metrics.items():
-        if key == "slots" and isinstance(value, list):
-            for i, slot in enumerate(value):
-                for k, v in slot.items():
-                    emit(f"slot_{k}", v, labels=f'{{slot="{i}"}}')
+        if key == "slots" and isinstance(value, list) and value:
+            # Metric-major: all samples of one metric must form a single
+            # group (Prometheus text exposition format requirement) —
+            # slot-major emission would interleave them.
+            for k in value[0]:
+                for i, slot in enumerate(value):
+                    emit(f"slot_{k}", slot.get(k),
+                         labels=f'{{slot="{i}"}}')
         else:
             emit(key, value)
     return "\n".join(lines) + "\n"
@@ -183,6 +187,24 @@ def _wav_stream_header(sample_rate: float, channels: int) -> bytes:
                           int(round(sample_rate)) * channels * 2,
                           channels * 2, 16)
             + b"data" + struct.pack("<I", 0xFFFFFFFF))
+
+
+def write_wav_stream(handler, sample_rate: float, channels: int,
+                     quanta, stopped) -> None:
+    """Stream float PCM quanta to an HTTP handler as a live 16-bit WAV
+    until the iterator ends, the client leaves (Broken/Reset raised to
+    the caller), or ``stopped`` is set.  Shared by the single-stream and
+    pod panels — the body of their AVAudioSourceNode-equivalent pull."""
+    handler.send_response(200)
+    handler.send_header("Content-Type", "audio/wav")
+    handler.send_header("Cache-Control", "no-store")
+    handler.end_headers()
+    handler.wfile.write(_wav_stream_header(sample_rate, channels))
+    for quantum in quanta:
+        pcm16 = (np.clip(quantum, -1.0, 1.0) * 32767.0).astype("<i2")
+        handler.wfile.write(pcm16.tobytes())
+        if stopped.is_set():
+            return
 
 
 class LiveServer:
@@ -275,6 +297,15 @@ class LiveServer:
                     pass
 
             def do_POST(self):
+                # Same client-vanished guard as do_GET: the panel fires
+                # un-awaited POSTs per slider event; a closed tab must
+                # not dump socketserver tracebacks to stderr.
+                try:
+                    self._post()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
+            def _post(self):
                 path = self.path.split("?", 1)[0]
                 if path == "/state.npz":
                     # Checkpoint restore: upload a `--save-state`/.npz
@@ -360,21 +391,12 @@ class LiveServer:
             return
         try:
             cfg = self.aur.config
-            handler.send_response(200)
-            handler.send_header("Content-Type", "audio/wav")
-            handler.send_header("Cache-Control", "no-store")
-            handler.end_headers()
-            handler.wfile.write(_wav_stream_header(cfg.sample_rate,
-                                                   cfg.channels))
             # Always pace at the hardware cadence: the listener IS the
             # audio device here; free-running would drain the ring (and
             # zero-fill) at CPU speed.
-            for quantum in self.aur.audio_stream(512, pace=True):
-                pcm16 = (np.clip(quantum, -1.0, 1.0)
-                         * 32767.0).astype("<i2")
-                handler.wfile.write(pcm16.tobytes())
-                if self._stopped.is_set():
-                    return
+            write_wav_stream(handler, cfg.sample_rate, cfg.channels,
+                             self.aur.audio_stream(512, pace=True),
+                             self._stopped)
         except (BrokenPipeError, ConnectionResetError):
             pass
         finally:
@@ -394,8 +416,10 @@ class LiveServer:
 
     def stop(self) -> None:
         self._stopped.set()
-        self._httpd.shutdown()
         if self._thread is not None:
+            # shutdown() waits on an event only serve_forever() sets —
+            # calling it on a never-started server would block forever.
+            self._httpd.shutdown()
             self._thread.join(timeout=5.0)
             self._thread = None
         self._httpd.server_close()

@@ -229,6 +229,55 @@ class TestPodCLI:
         assert b"pod: 10 frames over 2 streams" in res.stderr
 
 
+class TestPodCLICheckpoint:
+    def test_pod_split_across_two_cli_processes(self, tmp_path):
+        """`vaudio pod --save-state` / `--load-state`: a pod split
+        across two CLI processes produces the same PCM as one
+        continuous run, per slot (CPU-forced subprocesses)."""
+        import os
+        import subprocess
+        import sys
+        import wave
+
+        srcs = [np.asarray(c) for c in clips(2, 6)]
+        env = dict(os.environ, VAUDIO_PLATFORM="cpu",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
+                   PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH",
+                                                             ""))
+
+        def run_pod(inputs, outdir, *extra):
+            paths = []
+            for i, arr in enumerate(inputs):
+                p = str(tmp_path / f"in_{outdir}_{i}.npy")
+                np.save(p, arr)
+                paths.append(p)
+            args = [sys.executable, "-m", "vaudio", "pod", "--size",
+                    "64x64", "-o", str(tmp_path / outdir), *extra]
+            for p in paths:
+                args += ["--input", p]
+            res = subprocess.run(args, capture_output=True, timeout=600,
+                                 env=env, cwd="/root/repo")
+            assert res.returncode == 0, res.stderr.decode()[-800:]
+
+        def pcm(outdir, slot):
+            with wave.open(str(tmp_path / outdir / f"slot{slot}.wav")) \
+                    as wv:
+                return np.frombuffer(wv.readframes(wv.getnframes()),
+                                     np.int16)
+
+        ckpt = str(tmp_path / "pod.npz")
+        run_pod([s[:3] for s in srcs], "first", "--save-state", ckpt)
+        run_pod([s[3:] for s in srcs], "second", "--load-state", ckpt)
+        run_pod(srcs, "whole")
+        for slot in range(2):
+            split = np.concatenate([pcm("first", slot),
+                                    pcm("second", slot)])
+            whole = pcm("whole", slot)
+            assert split.shape == whole.shape
+            assert np.array_equal(split, whole), \
+                f"slot {slot} PCM not continuous across the checkpoint"
+
+
 class TestPodCheckpoint:
     def test_save_load_continuity(self, tmp_path):
         """A pod split across two instances via save_state/load_state

@@ -404,6 +404,12 @@ def cmd_pod(args) -> int:
         host, _, port = args.serve.rpartition(":")
         server = pod.serve(port=int(port), host=host or "127.0.0.1")
         print(f"pod: live panel at {server.url}", file=sys.stderr)
+    if args.load_state:
+        # Resume every slot's DSP carry (runtime/checkpoint.py,
+        # n_streams-validated) — the next tick continues each stream.
+        pod.load_state(args.load_state)
+        print(f"pod: resumed DSP state from {args.load_state}",
+              file=sys.stderr)
     from vaudio.utils.profiling import trace_context
     with trace_context(args.trace):
         pod.start([open_source(p) for p in args.input])
@@ -457,6 +463,12 @@ def cmd_pod(args) -> int:
     agg = pod.metrics
     print(f"pod: {agg.frames_processed} frames over {n} streams in "
           f"{agg.dispatches} dispatches", file=sys.stderr)
+    if args.save_state:
+        # BEFORE pod.stop(): stop clears the OLA tails (the reference's
+        # stop semantics, SoundEngine.swift:459-474).
+        pod.save_state(args.save_state)
+        print(f"pod: DSP state saved to {args.save_state}",
+              file=sys.stderr)
     if server is not None:
         server.stop()
     pod.stop()
@@ -678,6 +690,12 @@ def main(argv=None) -> int:
     p.add_argument("--serve", default=None, metavar="[HOST:]PORT",
                    help="start the pod's live HTTP observability/control "
                         "panel (per-slot views, sliders, audio)")
+    p.add_argument("--load-state", default=None, metavar="NPZ",
+                   help="resume every slot's DSP carry from a pod "
+                        "checkpoint before the first tick")
+    p.add_argument("--save-state", default=None, metavar="NPZ",
+                   help="checkpoint every slot's DSP carry to NPZ when "
+                        "the pod finishes")
     p.add_argument("-o", "--output", default="pod_out",
                    help="output directory (slotN.wav per input)")
     p.add_argument("--trace", default=None, metavar="DIR",

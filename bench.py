@@ -85,6 +85,34 @@ def main() -> int:
     from vaudio.runtime.step import default_params, frame_step, init_carry
     from vaudio.synth import SynthConstants
 
+    # Fail fast (instead of hanging indefinitely) when the TPU relay is
+    # unreachable: backend init is run on a watchdog thread.  An outage
+    # observed in round 3 left jax.devices() blocked >25 min before
+    # erroring; a driver-run bench should report the outage and exit.
+    init_timeout = float(os.environ.get("VAUDIO_BENCH_INIT_TIMEOUT",
+                                        "900"))
+    import threading
+    init_result = {}
+
+    def _init_backend():
+        try:
+            init_result["devices"] = jax.devices()
+        except Exception as e:
+            init_result["error"] = e
+
+    t = threading.Thread(target=_init_backend, daemon=True)
+    t.start()
+    t.join(timeout=init_timeout)
+    if t.is_alive():
+        log(f"bench: TPU backend init did not complete within "
+            f"{init_timeout:.0f}s — relay/device unavailable; aborting "
+            "(no JSON emitted; rerun when the backend is reachable)")
+        os._exit(2)
+    if "error" in init_result:
+        log(f"bench: TPU backend init failed: {init_result['error']}")
+        return 2
+    log(f"bench: devices {init_result['devices']}")
+
     res = os.environ.get("VAUDIO_BENCH_RES", "1080x1920")
     h, w = (int(x) for x in res.split("x"))
     chunks = [int(x) for x in

@@ -407,6 +407,50 @@ class TestPodServeCLI:
         assert b"pod: live panel at http://127.0.0.1:" in res.stderr
 
 
+class TestMeshPodPanel:
+    def test_panel_on_mesh_sharded_pod(self):
+        """The panel works on a mesh pod: per-slot views render from the
+        SHARDED batched carry (snapshot materializes addressable
+        shards), and the broadcast respects the shared-params contract
+        (applied once, reported shared)."""
+        from vaudio.parallel import make_stream_mesh
+        from vaudio.io import solid_color_frames
+
+        cfg = AuralizerConfig()
+        mesh = make_stream_mesh(8, 1)            # pure stream-DP
+        shared = LiveParams()
+        pod = MultiStreamAuralizer(cfg, n_streams=8, params=shared,
+                                   mesh=mesh)
+        server = pod.serve(port=0)
+        clips = [solid_color_frames(
+            [0.2 + 0.1 * i, 0.9 - 0.1 * i, 0.3], 64, 64, 4)
+            for i in range(8)]
+        try:
+            pod.start([iter(np.asarray(c)) for c in clips])
+            deadline = time.monotonic() + 120
+            while pod.is_running and time.monotonic() < deadline:
+                pod.raise_if_failed()
+                time.sleep(0.01)
+            assert not pod.is_running
+
+            for s in (0, 7):
+                for view in ("hue_matrix", "spectrum"):
+                    status, ctype, body = _get(
+                        server.url + f"slots/{s}/debug/{view}.png")
+                    assert status == 200 and ctype == "image/png"
+                    _png_size(body)
+            status, resp = _post(server.url + "params",
+                                 {"release": 0.25})
+            assert status == 200 and resp["shared"] is True
+            assert resp["slots_updated"] == 1      # one shared object
+            assert shared.release == 0.25
+            status, _, body = _get(server.url + "metrics.prom")
+            assert 'vaudio_slot_buffer_fill{slot="7"}' in body.decode()
+        finally:
+            server.stop()
+            pod.stop()
+
+
 class TestSharedParams:
     def test_shared_flag_and_broadcast(self):
         """One shared LiveParams (the mesh-mode contract): POST to any

@@ -182,19 +182,57 @@ class TestPodLifecycle:
         pod.stop()
         assert not pod.is_running
 
-    def test_shape_mismatch_fails_loudly(self):
+    def test_shape_mismatch_darkens_slot_only(self):
+        """A slot feeding frames that violate the pod's static-shape
+        contract goes dark LOUDLY (slot_errors + stream_metrics) but
+        does not kill the other N-1 slots — slot isolation."""
         cfg = AuralizerConfig()
         a = np.asarray(clips(1, 4)[0])
         b = np.asarray(solid_color_frames([0.2, 0.9, 0.4], width=32,
                                           height=32, num_frames=4))
         pod = MultiStreamAuralizer(cfg, n_streams=2)
         pod.start([iter(a), iter(b)])
+        wait_done(pod)
+        pod.raise_if_failed()                  # pod itself survives
+        m = pod.stream_metrics(1)
+        assert m["active"] is False
+        assert "signature" in m["error"]
+        assert pod.stream_metrics(0)["error"] is None
+        # The good slot delivered its full stream.
+        assert pod.rings[0].available == 4
+        pod.stop()
+
+    def test_source_exception_darkens_slot_only(self):
+        """A client source RAISING mid-stream darkens its slot and is
+        recorded; the surviving slot completes, and a re-arm via
+        replace_source clears the failure."""
+        cfg = AuralizerConfig()
+        good = np.asarray(clips(1, 4)[0])
+
+        def bad_source():
+            yield good[0]
+            raise OSError("camera unplugged")
+
+        pod = MultiStreamAuralizer(cfg, n_streams=2,
+                                   exit_when_exhausted=False)
+        pod.start([iter(good), bad_source()])
         t0 = time.monotonic()
-        while pod.is_running:
+        while (pod.slot_errors[1] is None
+               or pod.rings[0].available < 4):
+            pod.raise_if_failed()
             assert time.monotonic() - t0 < 120
             time.sleep(0.005)
-        with pytest.raises(RuntimeError, match="pod producer failed"):
+        assert pod.is_running                  # pod still serving
+        assert "camera unplugged" in pod.stream_metrics(1)["error"]
+
+        pod.replace_source(1, iter(np.asarray(good.copy())),
+                           reset_carry=True)
+        t0 = time.monotonic()
+        while pod.stream_metrics(1)["buffer_fill"] < 4:
             pod.raise_if_failed()
+            assert time.monotonic() - t0 < 120
+            time.sleep(0.005)
+        assert pod.stream_metrics(1)["error"] is None
         pod.stop()
 
 

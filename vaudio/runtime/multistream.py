@@ -181,6 +181,11 @@ class MultiStreamAuralizer:
         self.metrics = StreamMetrics()
         self._sources: List = [None] * self.n_streams
         self._active = [False] * self.n_streams
+        #: Per-slot source failures (slot isolation: one client's bad
+        #: source must not kill the other N-1 slots — the slot goes
+        #: dark and the error is surfaced here / in stream_metrics).
+        self.slot_errors: List[Optional[BaseException]] = \
+            [None] * self.n_streams
         self._source_lock = threading.Lock()
         self._pending_sources: List = []   # (slot, iterator, reset_carry)
         self._thread: Optional[threading.Thread] = None
@@ -345,6 +350,7 @@ class MultiStreamAuralizer:
         for slot, it, reset in items:
             self._sources[slot] = it
             self._active[slot] = True
+            self.slot_errors[slot] = None     # re-armed: failure cleared
             if reset:
                 fresh = init_carry(self.cfg)
                 with self._carry_lock:
@@ -384,12 +390,14 @@ class MultiStreamAuralizer:
         """Per-slot sink metrics (aggregate dispatch metrics live on
         ``self.metrics``)."""
         ring = self.rings[slot]
+        err = self.slot_errors[slot]
         return {
             "active": self._active[slot],
             "buffer_fill": ring.available,
             "warmed_up": bool(getattr(ring, "warmed_up", True)),
             "dropped_frames": int(getattr(ring, "dropped_frames", 0)),
             "underrun_samples": int(getattr(ring, "underrun_samples", 0)),
+            "error": None if err is None else f"{type(err).__name__}: {err}",
         }
 
     def metrics_dict(self) -> Dict[str, object]:
@@ -429,6 +437,21 @@ class MultiStreamAuralizer:
 
     # -- producer ------------------------------------------------------------
 
+    def _fail_slot(self, i: int, e: BaseException) -> None:
+        """Slot isolation: a client source raising (or feeding a
+        pod-contract-violating frame) darkens ITS slot only — loud
+        (recorded in slot_errors/stream_metrics and printed); the other
+        N-1 slots keep serving.  The slot can be re-armed with
+        replace_source.  Contrast the single-stream runtime, where a
+        producer failure fails the stream (there is no one else to
+        protect)."""
+        import sys
+        self._active[i] = False
+        self.slot_errors[i] = e
+        print(f"vaudio pod: slot {i} source failed "
+              f"({type(e).__name__}: {e}); slot dark, pod continues",
+              file=sys.stderr)
+
     def _next_batch(self):
         """Advance every slot one frame.  Returns (frames, real) or
         None when no slot has ever yielded; exhausted slots get black
@@ -443,17 +466,24 @@ class MultiStreamAuralizer:
             except StopIteration:
                 self._active[i] = False
                 continue
-            fr = _normalize_frame(fr)
-            sig = _frame_sig(fr)
-            if self._template_sig is None:
-                self._template_sig = sig
-                self._zeros = _zeros_like_frame(fr)
-            elif sig != self._template_sig:
-                raise ValueError(
-                    f"slot {i} frame signature {sig} != pod signature "
-                    f"{self._template_sig}: a pod serves ONE static "
-                    "shape/dtype (route other resolutions to another "
-                    "pod)")
+            except Exception as e:
+                self._fail_slot(i, e)
+                continue
+            try:
+                fr = _normalize_frame(fr)
+                sig = _frame_sig(fr)
+                if self._template_sig is None:
+                    self._template_sig = sig
+                    self._zeros = _zeros_like_frame(fr)
+                elif sig != self._template_sig:
+                    raise ValueError(
+                        f"slot {i} frame signature {sig} != pod "
+                        f"signature {self._template_sig}: a pod serves "
+                        "ONE static shape/dtype (route other "
+                        "resolutions to another pod)")
+            except Exception as e:
+                self._fail_slot(i, e)
+                continue
             frames[i] = fr
             real[i] = True
         if self._zeros is None or not any(real):

@@ -393,6 +393,7 @@ class MultiStreamAuralizer:
         err = self.slot_errors[slot]
         return {
             "active": self._active[slot],
+            "failed": err is not None,   # numeric for /metrics.prom
             "buffer_fill": ring.available,
             "warmed_up": bool(getattr(ring, "warmed_up", True)),
             "dropped_frames": int(getattr(ring, "dropped_frames", 0)),

@@ -198,6 +198,26 @@ class TestMidStreamControl:
 
 
 class TestLiveDebugSurface:
+    def test_attach_before_start_race(self, tmp_path):
+        """The renderer is normally attached BEFORE the stream starts;
+        it must idle (not exit) until it has seen the stream running —
+        exiting on a pre-start tick silently killed the live surface
+        (the historical renders-stuck-at-0 flake)."""
+        from vaudio.api import Auralizer
+        aur = Auralizer(config=AuralizerConfig(mip_level=2), debug=True)
+        live = aur.live_debug(str(tmp_path / "d"), every_frames=1)
+        time.sleep(0.5)               # renderer ticks ~10x pre-start
+        assert live._thread.is_alive(), \
+            "renderer exited before the stream ever started"
+        frames = solid_color_frames([0.9, 0.1, 0.1], 64, 64, 3)
+        aur.run_until_exhausted(list(frames), timeout=120)
+        deadline = time.monotonic() + 60
+        while live.renders < 1 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert live.renders >= 1
+        live.stop()
+        aur.stop()
+
     def test_renders_change_during_stream(self, tmp_path):
         """The live view re-renders while the stream runs and reflects
         new content (VERDICT r2 missing #2): PNG bytes change when the
@@ -219,7 +239,10 @@ class TestLiveDebugSurface:
         # (the source generator), so tripping it kills the stream as
         # "producer failed".  Under full-suite load the first compile of
         # this test's fresh graph signature (96x96, mip_level=2) has been
-        # observed to push the first render past 60 s.
+        # observed to push the first render past 60 s.  (A historical
+        # never-renders mode — the renderer losing the attach-before-
+        # start race and exiting on its first tick — was a real product
+        # bug, fixed by LiveDebugRenderer._loop's seen_running guard.)
         def wait_render(min_count, deadline_s=240):
             deadline = time.monotonic() + deadline_s
             while live.renders < min_count and time.monotonic() < deadline:

@@ -272,3 +272,34 @@ class TestInputValidation:
     def test_bad_shape_raises_clearly(self):
         with pytest.raises(ValueError, match=r"\[T, H, W, 3\]"):
             run_offline(np.zeros((64, 64, 3), np.float32), CFG, PARAMS)
+
+    def test_list_of_frames_equals_stacked(self):
+        """A Python list of frames must scan over FRAMES, not be treated
+        as a pytree of per-frame leaves (which would scan each frame's
+        H axis)."""
+        frames = solid_color_frames([0.9, 0.3, 0.2], 64, 64, 3)
+        a_stacked, _, _ = run_offline(np.asarray(frames), CFG, PARAMS)
+        a_list, _, _ = run_offline(list(np.asarray(frames)), CFG, PARAMS)
+        np.testing.assert_array_equal(np.asarray(a_list),
+                                      np.asarray(a_stacked))
+
+    def test_caller_carry_not_consumed(self):
+        """run_offline donates its carry internally; the CALLER's carry
+        arrays must survive (resume/retry/inspection) — a second run
+        from the same checkpoint must work and match."""
+        frames = np.asarray(solid_color_frames([0.2, 0.8, 0.3], 64, 64, 2))
+        carry = init_carry(CFG)
+        a1, _, _ = run_offline(frames, CFG, PARAMS, carry=carry)
+        a2, _, _ = run_offline(frames, CFG, PARAMS, carry=carry)
+        assert int(np.asarray(carry.hues).sum()) == 0   # still readable
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+    def test_caller_carry_not_consumed_chunked(self):
+        from vaudio.runtime.chunked import run_offline_batched
+        frames = np.asarray(solid_color_frames([0.2, 0.8, 0.3], 64, 64, 4))
+        carry = init_carry(CFG)
+        a1, _, _ = run_offline_batched(frames, CFG, PARAMS, carry=carry,
+                                       chunk=2)
+        a2, _, _ = run_offline_batched(frames, CFG, PARAMS, carry=carry,
+                                       chunk=2)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))

@@ -218,6 +218,26 @@ class TestRawVideoSource:
         od = own_frame(d)
         assert od["y"] is plain and type(od["v"]) is np.ndarray
 
+    def test_nv12_zero_copy_marks_only_pool_views(self, tmp_path, rng):
+        """nv12 u/v planes are COPIES (parse_yuv420 de-interleaves);
+        only y is a pool view — marking the copies BorrowedFrame would
+        make own_frame re-copy ~0.5 MB/frame for nothing.  i420 u/v ARE
+        views and must stay marked."""
+        from vaudio.io.sources import BorrowedFrame
+        h, w, n = 8, 8, 3
+        payload = rng.integers(0, 256, (n, h * w * 3 // 2), np.uint8)
+        for fmt, uv_borrowed in (("nv12", False), ("i420", True)):
+            p = str(tmp_path / f"c.{fmt}")
+            payload.tofile(p)
+            src = RawVideoSource(p, width=w, height=h, pix_fmt=fmt,
+                                 raw=True, zero_copy=True, max_frames=n)
+            it = iter(src.frames())
+            d = next(it)
+            assert isinstance(d["y"], BorrowedFrame), fmt
+            assert isinstance(d["u"], BorrowedFrame) == uv_borrowed, fmt
+            assert isinstance(d["v"], BorrowedFrame) == uv_borrowed, fmt
+            it.close()
+
     def test_zero_copy_chunked_stream_matches_copying(self, tmp_path,
                                                       rng):
         """chunk_frames > 1 buffers frames past the pool's lag-2 recycle

@@ -366,6 +366,24 @@ class TestMetricsLog:
         assert len(records) == 4
         assert all("latency_ms" in r and "buffer_fill" in r
                    for r in records)
+        # stop() closes the log fd — a long-lived host spawning many
+        # streams must not leak one per stream.
+        s.stop()
+        assert s._metrics_fh is None
+
+    def test_restart_resets_metrics(self):
+        """A restarted stream (toggle semantics) reports the CURRENT
+        run: a stale end_time made achieved_fps 0 while running, and
+        cumulative frames over run 2's wall time overstated it."""
+        s = StreamingAuralizer(AuralizerConfig())
+        frames = solid_color_frames([0.1, 0.9, 0.2], width=64, height=64,
+                                    num_frames=3)
+        s.run_until_exhausted(list(frames), timeout=120)
+        assert s.metrics.frames_processed == 3
+        s.run_until_exhausted(list(frames) * 2, timeout=120)
+        s.raise_if_failed()
+        assert s.metrics.frames_processed == 6    # run 2 only
+        assert s.metrics.achieved_fps > 0
 
 
 class TestSoak:

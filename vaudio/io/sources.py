@@ -378,9 +378,15 @@ class RawVideoSource:
                     continue
                 y, u, v = parse_yuv420(buf, h, w, self.pix_fmt)
                 if self.raw:
-                    if borrowed:     # planes are views into the pool slot
-                        y, u, v = (p.view(BorrowedFrame)
-                                   for p in (y, u, v))
+                    if borrowed:
+                        # Mark only true pool-slot views: i420 u/v are
+                        # views into the slot, but nv12 u/v were copied
+                        # out by parse_yuv420's de-interleave — marking
+                        # those would force own_frame to re-copy them.
+                        y = y.view(BorrowedFrame)
+                        if self.pix_fmt == "i420":
+                            u = u.view(BorrowedFrame)
+                            v = v.view(BorrowedFrame)
                     yield {"y": y, "u": u, "v": v}
                 else:
                     yield yuv420_to_rgb(y, u, v, self.studio_swing)

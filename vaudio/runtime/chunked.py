@@ -301,6 +301,10 @@ def run_offline_batched(frames, cfg: AuralizerConfig,
         params = default_params(cfg)
     if carry is None:
         carry = init_carry(cfg)
+    else:
+        # step() donates the carry; copy so the caller's arrays survive
+        # (resume/retry/inspection) — see runtime.run_offline.
+        carry = jax.tree.map(jnp.array, carry)
     frames = jax.tree.map(jnp.asarray, frames)
     T = (frames["y"] if isinstance(frames, dict) else frames).shape[0]
 

@@ -252,6 +252,7 @@ class LiveDebugRenderer:
 
     def _loop(self) -> None:
         last_rendered = -self.every_frames
+        seen_running = False
         while not self._stop.is_set():
             m = self.aur.metrics
             done = m["frames_processed"]
@@ -262,8 +263,16 @@ class LiveDebugRenderer:
                 except Exception as e:   # rendering must not kill a stream
                     print(f"live-debug: render failed: {e}",
                           file=sys.stderr)
-            if (not self.aur.is_running
+            seen_running = seen_running or self.aur.is_running
+            if (seen_running and not self.aur.is_running
                     and self.aur.metrics["frames_processed"] == done):
+                # seen_running guards the attach-before-start race: the
+                # renderer is typically attached BEFORE aur.start(), and
+                # exiting on the first tick (stream not yet running, no
+                # frames) would silently kill the live surface — the
+                # cause of a long-misdiagnosed "renderer stuck at 0"
+                # flake.  Until the stream has been observed running,
+                # idle; .stop() always ends the thread.
                 # Stream ended and no frame arrived since the snapshot
                 # above (metrics must be RE-READ: ``m`` is the same dict
                 # ``done`` came from, so comparing against it is always

@@ -323,6 +323,9 @@ class MultiStreamAuralizer:
                 self._thread = None
         self._running = False
         self.metrics.end_time = time.monotonic()
+        if self._metrics_fh is not None:      # close the JSONL log fd
+            self._metrics_fh.close()
+            self._metrics_fh = None
         for ring in self.rings:
             ring.reset()
         with self._carry_lock:

@@ -197,12 +197,22 @@ def run_offline(frames, cfg: AuralizerConfig,
         params = default_params(cfg)
     if carry is None:
         carry = init_carry(cfg)
+    else:
+        # The scan donates the carry (donate_argnums); copy so the
+        # CALLER's arrays are not deleted out from under them (resume
+        # from a checkpoint, retry, post-run inspection).
+        carry = jax.tree.map(jnp.array, carry)
     if not isinstance(frames, dict):
-        arr = np.asarray(frames) if not hasattr(frames, "shape") else frames
-        if arr.ndim != 4 or arr.shape[-1] != 3:
+        # Stack list-of-frames input HERE and keep the stacked array:
+        # passing the original list on would make jax.tree.map treat it
+        # as a pytree of T leaves and lax.scan would scan each frame's
+        # H axis instead of the frame axis.
+        frames = (np.asarray(frames) if not hasattr(frames, "shape")
+                  else frames)
+        if frames.ndim != 4 or frames.shape[-1] != 3:
             raise ValueError(
                 f"run_offline expects frames [T, H, W, 3] (or a YUV dict); "
-                f"got shape {getattr(arr, 'shape', None)}")
+                f"got shape {getattr(frames, 'shape', None)}")
     consts = SynthConstants.create(cfg)
     window = jnp.asarray(hann_window_norm(cfg.nfft))
 

@@ -206,6 +206,11 @@ class StreamingAuralizer:
         self._stop_event.clear()
         self._running = True
         self._error = None
+        # Fresh metrics per run: a restarted stream (toggle semantics,
+        # VideoToAudio.toggleProcessing) must not mix runs — a stale
+        # end_time would make achieved_fps report 0 while running, and
+        # cumulative counters over run 2's wall time would overstate it.
+        self.metrics = StreamMetrics()
         self.metrics.start_time = time.monotonic()
         self._thread = threading.Thread(
             target=self._producer_guard, args=(iter(source),), daemon=True)
@@ -241,6 +246,9 @@ class StreamingAuralizer:
             # overlap a second producer with it.
         self._running = False
         self.metrics.end_time = time.monotonic()
+        if self._metrics_fh is not None:      # close the JSONL log fd
+            self._metrics_fh.close()
+            self._metrics_fh = None
         self.ring.reset()
         # Reference quirk kept: the OLA tail *is* cleared on stop
         # (SoundEngine.swift:470) while phases/previousSpectrum are not.
@@ -332,14 +340,19 @@ class StreamingAuralizer:
         if pace is None:
             pace = self.realtime
         quantum_sec = quantum / (self.cfg.sample_rate * self.cfg.channels)
+        # Absolute deadlines, like the producer's frame pacing: relative
+        # per-iteration sleeps accumulate OS timer overshoot, making the
+        # consumer systematically slower than real time — the ring then
+        # creeps to capacity and drop-on-full discards frames.
+        next_t = time.monotonic() + quantum_sec
         while self._running or self.ring.available > 0:
-            t0 = time.monotonic()
             block = self.pull(quantum)
             yield block
             if pace:
-                dt = quantum_sec - (time.monotonic() - t0)
-                if dt > 0:
-                    time.sleep(dt)
+                now = time.monotonic()
+                if now < next_t:
+                    time.sleep(next_t - now)
+                next_t = max(next_t + quantum_sec, time.monotonic())
             elif self.ring.available == 0 and self._running:
                 time.sleep(0.0005)
 
@@ -398,9 +411,25 @@ class StreamingAuralizer:
                 # then still be reading the aliased pool slot when it
                 # is recycled; copy borrowed frames (own_frame) first.
                 f0 = frames_np[0]
+                from vaudio.io.sources import BorrowedFrame
+                borrowed = (any(isinstance(v, BorrowedFrame)
+                                for v in f0.values())
+                            if isinstance(f0, dict)
+                            else isinstance(f0, BorrowedFrame))
                 f0 = ({k: np.asarray(v) for k, v in f0.items()}
                       if isinstance(f0, dict) else np.asarray(f0))
                 frame_dev = jax.device_put(f0)
+                if borrowed:
+                    # Bound the pool view's lifetime to THIS call: block
+                    # until the H2D transfer has consumed the slot.  The
+                    # lag-2 recycle covers steady state, but at EOF the
+                    # source generator's finally frees the whole pool
+                    # BEFORE the producer sees StopIteration — an async
+                    # transfer still in flight would read freed memory.
+                    # (Transfer still overlaps the PREVIOUS step's device
+                    # compute; we only stop overlapping it with our own
+                    # dispatch bookkeeping.)
+                    jax.block_until_ready(frame_dev)
                 with self._carry_lock:
                     self._carry, out = self._step(self._carry, frame_dev,
                                                   params_arrays)

@@ -100,7 +100,7 @@ def config5_mesh_batch(tmpdir="/tmp"):
     rng = np.random.default_rng(5)
     frames = rng.uniform(0, 1, (8, 10, 270, 480, 3)).astype(np.float32)
     mesh = make_stream_mesh(4, 2)
-    audio, _ = run_offline_parallel(frames, AuralizerConfig(), mesh)
+    audio, _, _ = run_offline_parallel(frames, AuralizerConfig(), mesh)
     print(f"[5] mesh batch: mesh={dict(zip(mesh.axis_names, mesh.devices.shape))} "
           f"audio {np.asarray(audio).shape}")
 

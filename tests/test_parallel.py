@@ -119,7 +119,7 @@ class TestParallelChunked:
         """The DP x chunk-batched pipeline (one Pallas contraction per
         stream-chunk) must match the per-stream scan exactly."""
         mesh = make_stream_mesh(8, 1)
-        audio_p, final = run_offline_parallel(frames8, CFG, mesh, PARAMS,
+        audio_p, final, _ = run_offline_parallel(frames8, CFG, mesh, PARAMS,
                                               pipeline="chunked")
         audio_p = np.asarray(audio_p)
         assert audio_p.shape == (8, 3 * 2048)
@@ -128,11 +128,22 @@ class TestParallelChunked:
             np.testing.assert_allclose(audio_p[s], np.asarray(a_ref),
                                        atol=3e-4)
 
+    def test_debug_outputs_returned(self, frames8):
+        """debug=True must actually RETURN the per-frame debug stacks
+        (hues/spectrum), matching run_offline's contract — previously
+        they were computed and silently discarded."""
+        mesh = make_stream_mesh(8, 1)
+        for pipeline in ("chunked", "scan"):
+            _a, _f, dbg = run_offline_parallel(
+                frames8, CFG, mesh, PARAMS, debug=True, pipeline=pipeline)
+            assert "hues" in dbg, pipeline
+            assert np.asarray(dbg["hues"]).shape[:2] == (8, 3), pipeline
+
     def test_auto_picks_chunked_on_dp_mesh(self, frames8):
         mesh = make_stream_mesh(8, 1)
-        a1, _ = run_offline_parallel(frames8, CFG, mesh, PARAMS,
+        a1, _, _ = run_offline_parallel(frames8, CFG, mesh, PARAMS,
                                      pipeline="auto")
-        a2, _ = run_offline_parallel(frames8, CFG, mesh, PARAMS,
+        a2, _, _ = run_offline_parallel(frames8, CFG, mesh, PARAMS,
                                      pipeline="chunked")
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
                                    atol=1e-6)
@@ -147,7 +158,7 @@ class TestParallelChunked:
 class TestOfflineParallel:
     def test_matches_offline_per_stream(self, frames8):
         mesh = make_stream_mesh(4, 2)
-        audio_p, final = run_offline_parallel(frames8, CFG, mesh, PARAMS)
+        audio_p, final, _ = run_offline_parallel(frames8, CFG, mesh, PARAMS)
         audio_p = np.asarray(audio_p)
         assert audio_p.shape == (8, 3 * 2048)
         for s in (0, 5):
@@ -157,7 +168,7 @@ class TestOfflineParallel:
 
     def test_output_sharded_over_streams(self, frames8):
         mesh = make_stream_mesh(8, 1)
-        audio_p, final = run_offline_parallel(frames8, CFG, mesh, PARAMS)
+        audio_p, final, _ = run_offline_parallel(frames8, CFG, mesh, PARAMS)
         assert np.asarray(final.hues).shape == (8, 16)
 
 

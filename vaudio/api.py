@@ -254,9 +254,16 @@ class Auralizer:
         import jax.numpy as jnp
 
         from vaudio.vision import extract_features
+        # uint8 passes through UNconverted: the vision graph folds the
+        # 1/255 scale in and takes the exact int8 pooling path — the
+        # same path the live stream uses, so the debug surface can
+        # never disagree with the pipeline it inspects (a pre-division
+        # to f32 would route through f32 pooling and could flip a hue
+        # on a histogram bin edge), and the transfer ships 4x fewer
+        # bytes.
         frame = np.asarray(frame)
-        if frame.dtype == np.uint8:
-            frame = frame.astype(np.float32) / 255.0
+        if frame.dtype != np.uint8:
+            frame = frame.astype(np.float32, copy=False)
         hues, grads, dbg = extract_features(
             jnp.asarray(frame), jnp.asarray(self._stream.snapshot_carry().hues),
             jnp.float32(self.params.spectrum_mixing), self.config,

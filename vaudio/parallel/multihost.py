@@ -48,12 +48,23 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
     Returns the process count.  On real deployments the three arguments
     usually come from the cluster environment and may all be ``None``
-    (jax.distributed auto-detects GKE/SLURM etc.).
+    (jax.distributed auto-detects GKE/SLURM/TPU pods etc.).
     """
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
+    elif (num_processes is None and process_id is None
+          and coordinator_address is None):
+        # Auto-detect path: let jax.distributed recognize the cluster
+        # environment.  Outside a recognized cluster (plain CI, a
+        # laptop) initialize() raises — that is the single-process
+        # case and must stay a no-op; an already-initialized runtime
+        # is also fine.
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass
     return jax.process_count()
 
 

@@ -211,7 +211,10 @@ def run_offline_parallel(frames, cfg: AuralizerConfig, mesh: Mesh,
         shape); ``"scan"`` = per-frame step under the full DP+TP mesh;
         ``"auto"`` picks chunked when the mesh has no cell axis to feed.
     Returns:
-      (audio f32[S, T*hop] / f32[S, T*hop, ch], final carry)
+      (audio f32[S, T*hop] / f32[S, T*hop, ch], final carry, dbg) —
+      matching :func:`vaudio.runtime.run_offline`; ``dbg`` holds the
+      per-frame hues/grads/spectrum stacks when ``debug=True`` (leading
+      axes (S, T, ...)), else is empty.
     """
     from vaudio.runtime.step import default_params
     if params is None:
@@ -244,10 +247,12 @@ def run_offline_parallel(frames, cfg: AuralizerConfig, mesh: Mesh,
 
         final, outs = scan_fn(carry, frames, params)
     pcm = outs["pcm"]
-    if pipeline == "scan":        # (T, S, hop[, ch]) -> (S, T, hop[, ch])
+    dbg = {k: v for k, v in outs.items() if k != "pcm"}
+    if pipeline == "scan":        # (T, S, ...) -> (S, T, ...)
         pcm = jnp.swapaxes(pcm, 0, 1)
+        dbg = {k: jnp.swapaxes(v, 0, 1) for k, v in dbg.items()}
     if cfg.channels == 1:
         audio = pcm.reshape(n_streams, -1)
     else:
         audio = pcm.reshape(n_streams, -1, cfg.channels)
-    return audio, final
+    return audio, final, dbg

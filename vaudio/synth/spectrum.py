@@ -90,7 +90,15 @@ class SynthConstants:
         bessel_off = 0 if cfg.quirk_compat else nh
         idx_b = cell_base + bessel_off + np.arange(nb)[None, :]
         read_idx = np.concatenate([idx_h, idx_b], axis=1)
-        assert read_idx.max() < cfg.num_phase_slots
+        if read_idx.max() >= cfg.num_phase_slots:
+            # Must be a real error, not an assert (stripped under -O):
+            # an out-of-bounds index would be silently CLAMPED by jit's
+            # gather at spectrum-build time — wrong partials, no
+            # diagnostic.
+            raise ValueError(
+                f"phase read index {int(read_idx.max())} exceeds "
+                f"num_phase_slots {cfg.num_phase_slots} — inconsistent "
+                "phase_read_stride / num_cells configuration")
 
         return cls(
             freqs=freqs,

@@ -31,6 +31,22 @@ _TWO_PI = np.float32(2.0 * np.pi)
 # on the CPU harness; production CPU runs always take the XLA path.
 _PALLAS_POOL_ON_CPU = False
 
+
+def _pallas_backend() -> "tuple[bool, bool]":
+    """One shared gate for every Pallas kernel in this module:
+    ``(usable, interpret)``.  Usable on an actual TPU backend ("tpu",
+    or "axon" — this container's tunneled TPU plugin) natively, or on
+    CPU in interpret mode when the tests' ``_PALLAS_POOL_ON_CPU``
+    escape hatch is set.  Kept in ONE place so adding a backend name
+    cannot silently route the pool and the vision kernel differently.
+    """
+    backend = jax.default_backend()
+    if backend in ("tpu", "axon"):
+        return True, False
+    if backend == "cpu" and _PALLAS_POOL_ON_CPU:
+        return True, True
+    return False, False
+
 # TPU MXUs run f32 dots at DEFAULT precision as single-pass bf16 — that
 # silently costs ~2^-9 relative error (measured 6.4e-4 on the mip chain
 # vs an f64 oracle), which the CPU test harness can never see.  Every
@@ -664,12 +680,11 @@ def frame_mip_planes(frame, cfg: AuralizerConfig):
     # on an actual TPU backend ("tpu", or "axon" — this container's
     # tunneled TPU plugin); any other backend (CPU, GPU) takes the XLA
     # banded path, except tests' interpret-mode escape hatch on CPU.
-    backend = jax.default_backend()
+    usable, interpret = _pallas_backend()
     if (cfg.use_pallas_pool and frame.dtype == jnp.uint8
             and not cfg.quantize_mips
             and pool_kernel.supports(h, w, cfg.mip_level)
-            and (backend in ("tpu", "axon")
-                 or (backend == "cpu" and _PALLAS_POOL_ON_CPU))):
+            and usable):
         # Fused single-pass VMEM kernel — same integer math as the
         # XLA path (vaudio/ops/pool_kernel.py, bit-identical); falls
         # through to the banded matmuls for f32 inputs, quantize
@@ -677,8 +692,7 @@ def frame_mip_planes(frame, cfg: AuralizerConfig):
         # CPU (where Mosaic would need slow interpret mode —
         # _PALLAS_POOL_ON_CPU is the tests' interpret escape hatch).
         return pool_kernel.mip_pool_pallas(
-            planes, cfg.mip_level, scale=scale,
-            interpret=backend == "cpu")
+            planes, cfg.mip_level, scale=scale, interpret=interpret)
     return mip_downsample_planes(planes, cfg.mip_level,
                                  cfg.quantize_mips, scale=scale)
 
@@ -692,9 +706,7 @@ def use_vision_kernel(hm: int, wm: int, cfg: AuralizerConfig) -> bool:
         return False
     if not vision_kernel.supports(hm, wm, cfg):
         return False
-    backend = jax.default_backend()
-    return (backend in ("tpu", "axon")
-            or (backend == "cpu" and _PALLAS_POOL_ON_CPU))
+    return _pallas_backend()[0]
 
 
 def frame_stats(frame, cfg: AuralizerConfig,
@@ -706,7 +718,6 @@ def frame_stats(frame, cfg: AuralizerConfig,
     """
     mip = frame_mip_planes(frame, cfg)
     from vaudio.ops import vision_kernel
-    backend = jax.default_backend()
     if (not compute_debug_maps
             and use_vision_kernel(mip.shape[1], mip.shape[2], cfg)):
         # Fused epilogue: HSI + tiled histogram + intensity stencils +
@@ -714,7 +725,7 @@ def frame_stats(frame, cfg: AuralizerConfig,
         # the XLA stages below are the reference implementation and the
         # fallback for debug maps / unsupported shapes / CPU.
         hist, grads = vision_kernel.vision_stats_pallas(
-            mip, cfg, interpret=backend == "cpu")
+            mip, cfg, interpret=_pallas_backend()[1])
         return hist, grads, {"histogram": hist}
 
     h, s, i = rgb_to_hsi_planes(mip[0], mip[1], mip[2],

@@ -306,3 +306,94 @@ class TestStreamCliInput:
         assert proc.returncode == 0, err.decode()[-2000:]
         pcm = np.frombuffer(out, "<f4")
         assert pcm.size >= 2048 and np.isfinite(pcm).all()
+
+def _write_test_mp4(path, frames_u8_rgb, fps=30.0):
+    """Encode an RGB uint8 clip to mp4 with cv2 (skip when unavailable)."""
+    cv2 = pytest.importorskip("cv2")
+    h, w = frames_u8_rgb.shape[1:3]
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+    if not writer.isOpened():
+        pytest.skip("cv2 VideoWriter cannot encode mp4 in this build")
+    for f in frames_u8_rgb:
+        writer.write(np.ascontiguousarray(f[..., ::-1]))   # RGB -> BGR
+    writer.release()
+
+
+class TestVideoFileSource:
+    """Encoded-clip ingest (VideoFileSource, cv2 backend) — the
+    pre-recorded-file equivalent of the reference's live capture feed
+    (VisionEngine.swift:55-75)."""
+
+    # Solid primary colors: unambiguous under a lossy codec.
+    COLORS = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+
+    @pytest.fixture
+    def clip(self, tmp_path):
+        frames = np.stack([np.full((48, 64, 3), c, np.uint8)
+                           for c in self.COLORS * 2])
+        path = str(tmp_path / "clip.mp4")
+        _write_test_mp4(path, frames)
+        return path, frames
+
+    def test_decode_shape_dtype_and_rgb_order(self, clip):
+        from vaudio.io import VideoFileSource
+        path, frames = clip
+        src = VideoFileSource(path)
+        assert src.backend == "cv2"
+        assert src.shape == (48, 64)
+        assert src.num_frames == len(frames)
+        decoded = list(src.frames())
+        assert len(decoded) == len(frames)
+        for got, want in zip(decoded, frames):
+            assert got.dtype == np.uint8 and got.shape == (48, 64, 3)
+            # Channel ORDER is the thing to verify (cv2 decodes BGR and
+            # the source must flip): per-channel mean within lossy-codec
+            # tolerance of the solid input color.
+            np.testing.assert_allclose(got.mean(axis=(0, 1)),
+                                       want.mean(axis=(0, 1)), atol=30)
+
+    def test_as_float_and_tensor(self, clip):
+        from vaudio.io import VideoFileSource
+        path, frames = clip
+        src = VideoFileSource(path, as_float=True)
+        t = src.tensor()
+        assert t.dtype == np.float32 and t.shape == frames.shape
+        assert 0.0 <= t.min() and t.max() <= 1.0
+
+    def test_missing_file_raises(self):
+        from vaudio.io import VideoFileSource
+        with pytest.raises(FileNotFoundError):
+            VideoFileSource("/nonexistent/clip.mp4")
+
+    def test_bad_backend_rejected(self, clip):
+        from vaudio.io import VideoFileSource
+        with pytest.raises(ValueError):
+            VideoFileSource(clip[0], backend="gstreamer")
+
+    def test_sonify_decoded_clip(self, clip):
+        """Library-level end-to-end: decode -> Auralizer.sonify."""
+        from vaudio.api import Auralizer
+        from vaudio.io import VideoFileSource
+        path, _ = clip
+        audio = np.asarray(Auralizer().sonify(VideoFileSource(path).tensor()))
+        assert audio.size >= 8 * 2048 and np.isfinite(audio).all()
+
+    def test_cli_stream_mp4_no_size(self, tmp_path, clip):
+        """`vaudio stream --input clip.mp4` — no --size needed, decoded
+        in-process, PCM on stdout."""
+        import subprocess
+        import sys
+        path, frames = clip
+        env = dict(os.environ)
+        env["VAUDIO_PLATFORM"] = "cpu"
+        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/vaudio_test_jax_cache"
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "vaudio", "stream", "--input", path,
+             "--max-frames", "6", "--mip-level", "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        out, err = proc.communicate(timeout=300)
+        assert proc.returncode == 0, err.decode()[-2000:]
+        pcm = np.frombuffer(out, "<f4")
+        assert pcm.size >= 2048 and np.isfinite(pcm).all()

@@ -173,17 +173,37 @@ def cmd_stream(args) -> int:
             --size 1080x1920 > out.pcm
     """
     from vaudio.api import Auralizer
-    from vaudio.io import RawVideoSource
+    from vaudio.io import VIDEO_FILE_EXTENSIONS, RawVideoSource, \
+        VideoFileSource
     cfg, params = _build_config(args)
-    h, w = (int(x) for x in args.size.split("x"))
     aur = Auralizer(config=cfg, params=params, realtime=args.realtime,
                     debug=bool(args.live_debug or args.serve))
 
     path = "/dev/stdin" if args.input == "-" else args.input
-    src = RawVideoSource(path, width=w, height=h, pix_fmt=args.pix_fmt,
-                         fps=args.fps, raw=args.raw_yuv,
-                         max_frames=args.max_frames,
-                         zero_copy=args.zero_copy)
+    if path.lower().endswith(VIDEO_FILE_EXTENSIONS):
+        # Encoded clip (mp4/avi/...): decode in-process (cv2/ffmpeg);
+        # the container self-describes, so --size is not needed.
+        src = VideoFileSource(path)
+        if args.max_frames:
+            import itertools
+            _vf = src
+
+            class _Limited:                       # bounded .frames() view
+                shape = _vf.shape
+
+                def frames(self):
+                    return itertools.islice(_vf.frames(), args.max_frames)
+            src = _Limited()
+    else:
+        if not args.size:
+            raise SystemExit(
+                "stream: --size HxW is required for raw inputs "
+                "(encoded video files self-describe)")
+        h, w = (int(x) for x in args.size.split("x"))
+        src = RawVideoSource(path, width=w, height=h, pix_fmt=args.pix_fmt,
+                             fps=args.fps, raw=args.raw_yuv,
+                             max_frames=args.max_frames,
+                             zero_copy=args.zero_copy)
     if args.control:
         # Live runtime control: JSON lines on a FIFO/file mutating the
         # LiveParams mid-stream (the control-panel slider surface).
@@ -376,7 +396,8 @@ def cmd_pod(args) -> int:
     import os
     import time as _time
 
-    from vaudio.io import ArraySource, RawVideoSource, write_wav
+    from vaudio.io import (VIDEO_FILE_EXTENSIONS, ArraySource,
+                           RawVideoSource, VideoFileSource, write_wav)
     from vaudio.runtime import MultiStreamAuralizer
     cfg, params = _build_config(args)
     if not args.input:
@@ -387,6 +408,14 @@ def cmd_pod(args) -> int:
     def open_source(path):
         if path.endswith((".npy", ".npz")):
             return ArraySource.load(path, fps=args.fps).frames()
+        if path.lower().endswith(VIDEO_FILE_EXTENSIONS):
+            # Encoded clip: decoded in-process; the pod's static shape
+            # contract still applies (a wrong-size clip fails loudly).
+            it = VideoFileSource(path).frames()
+            if args.max_frames:
+                import itertools
+                it = itertools.islice(it, args.max_frames)
+            return it
         return RawVideoSource(path, width=w, height=h,
                               pix_fmt=args.pix_fmt, fps=args.fps,
                               max_frames=args.max_frames).frames()
@@ -607,13 +636,16 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("stream",
-                       help="raw frames (stdin/FIFO/device node) -> f32 "
-                            "PCM on stdout")
-    p.add_argument("--size", required=True, help="HxW of incoming frames")
+                       help="frames (stdin/FIFO/device node/video file) "
+                            "-> f32 PCM on stdout")
+    p.add_argument("--size", default=None,
+                   help="HxW of incoming frames (required for raw "
+                        "inputs; encoded video files self-describe)")
     p.add_argument("--input", default="-",
-                   help="frame source: '-' = stdin, or a file/FIFO/"
-                        "capture-device node (e.g. /dev/video0 in a raw "
-                        "pixel format)")
+                   help="frame source: '-' = stdin, a file/FIFO/"
+                        "capture-device node in a raw pixel format, or "
+                        "an encoded video file (.mp4/.avi/... decoded "
+                        "in-process)")
     p.add_argument("--pix-fmt", default="rgb24",
                    choices=("rgb24", "i420", "nv12"),
                    help="incoming raw pixel format")

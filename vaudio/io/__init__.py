@@ -25,6 +25,7 @@ Sinks:
 """
 
 from vaudio.io.sources import (
+    VIDEO_FILE_EXTENSIONS,
     ArraySource,
     CameraSource,
     NativeFrameReader,
@@ -41,6 +42,7 @@ from vaudio.io.sources import (
 from vaudio.io.sinks import SubprocessPlayer, read_wav, write_wav
 
 __all__ = [
+    "VIDEO_FILE_EXTENSIONS",
     "ArraySource",
     "CameraSource",
     "NativeFrameReader",

@@ -1,9 +1,9 @@
 """Frame sources.
 
-A source is any object with ``.frames()`` yielding f32[H, W, 3] RGB arrays
-in [0,1] and a ``.shape`` property — the host-side stand-in for the
-reference's AVCaptureSession + CVPixelBuffer path (VisionEngine.swift:55-75,
-91-128).
+A source is any object with ``.frames()`` yielding [H, W, 3] RGB arrays
+(uint8, or f32 in [0,1] — the device step normalizes uint8 on-chip) and a
+``.shape`` property — the host-side stand-in for the reference's
+AVCaptureSession + CVPixelBuffer path (VisionEngine.swift:55-75, 91-128).
 """
 
 from __future__ import annotations
@@ -494,27 +494,82 @@ class ArraySource:
         return cls(np.load(path), fps)
 
 
-class VideoFileSource:
-    """Decode a video file via an ffmpeg subprocess into RGB frames.
+# File extensions routed to VideoFileSource by the CLI front doors
+# (anything else on --input is treated as raw frames / a device node).
+VIDEO_FILE_EXTENSIONS = (".mp4", ".m4v", ".mov", ".avi", ".mkv", ".webm",
+                         ".mpg", ".mpeg", ".wmv", ".flv")
 
-    Gated on ffmpeg availability (this image has no video codecs baked in);
-    raises a clear error otherwise.  Decodes to rawvideo rgb24 on a pipe —
-    the host-side equivalent of the AVCaptureSession frame feed.
+
+class VideoFileSource:
+    """Decode an encoded video file (mp4/avi/mkv/...) into RGB frames.
+
+    The host-side equivalent of the AVCaptureSession frame feed for
+    pre-recorded clips (VisionEngine.swift:55-75 feeds live capture; the
+    capability is "sonify video", so encoded files must ingest too).
+
+    Two decode backends, picked by ``backend``:
+
+    * ``"cv2"`` — OpenCV ``VideoCapture`` (bundles FFmpeg codecs; no
+      external binary needed).  Frames are yielded as stored — no
+      resampling; ``fps`` is taken from the container unless overridden.
+    * ``"ffmpeg"`` — an ``ffmpeg`` subprocess decoding rawvideo rgb24 on
+      a pipe, resampled to ``fps`` via ``-r``.
+    * ``"auto"`` (default) — cv2 if importable, else ffmpeg, else a
+      clear error naming both options.
+
+    Frames are uint8 RGB by default — the device step normalizes
+    on-chip and uint8 takes the exact int8 pooling path while shipping
+    4x fewer bytes (same rationale as ArraySource); ``as_float=True``
+    yields f32 in [0,1] instead.
     """
 
     def __init__(self, path: str, width: Optional[int] = None,
-                 height: Optional[int] = None, fps: float = 30.0):
-        if shutil.which("ffmpeg") is None:
-            raise RuntimeError(
-                "ffmpeg not found: VideoFileSource requires an ffmpeg "
-                "binary on PATH. Use ArraySource (.npy/.npz tensors) or the "
-                "synthetic generators instead.")
+                 height: Optional[int] = None, fps: Optional[float] = None,
+                 backend: str = "auto", as_float: bool = False):
+        if backend not in ("auto", "cv2", "ffmpeg"):
+            raise ValueError(f"unknown backend {backend!r}")
         if not os.path.exists(path):
             raise FileNotFoundError(path)
         self.path = path
-        self.fps = fps
-        if width is None or height is None:
+        self.as_float = as_float
+        self._cv2 = None
+        if backend in ("auto", "cv2"):
+            try:
+                import cv2
+                self._cv2 = cv2
+            except ImportError:
+                if backend == "cv2":
+                    raise RuntimeError(
+                        "backend='cv2' requires the opencv-python package")
+        if self._cv2 is None and shutil.which("ffmpeg") is None:
+            raise RuntimeError(
+                "VideoFileSource needs a decode backend: neither the cv2 "
+                "module nor an ffmpeg binary on PATH is available. Use "
+                "ArraySource (.npy/.npz tensors), RawVideoSource (raw "
+                "rgb24/yuv), or the synthetic generators instead.")
+        self.backend = "cv2" if self._cv2 is not None else "ffmpeg"
+        self._num_frames: Optional[int] = None
+        probed_fps: Optional[float] = None
+        if self.backend == "cv2":
+            cap = self._cv2.VideoCapture(path)
+            if not cap.isOpened():
+                cap.release()
+                raise RuntimeError(
+                    f"cv2 could not open {path!r} (unsupported container "
+                    "or codec); try backend='ffmpeg' or a raw source")
+            if width is None or height is None:
+                width = int(cap.get(self._cv2.CAP_PROP_FRAME_WIDTH))
+                height = int(cap.get(self._cv2.CAP_PROP_FRAME_HEIGHT))
+            probed_fps = float(cap.get(self._cv2.CAP_PROP_FPS)) or None
+            n = int(cap.get(self._cv2.CAP_PROP_FRAME_COUNT))
+            self._num_frames = n if n > 0 else None
+            cap.release()
+        elif width is None or height is None:
             width, height = self._probe_dims()
+        self.fps = float(fps if fps is not None else (probed_fps or 30.0))
+        self._resample = fps is not None      # ffmpeg -r only when asked
+        if not width or not height:
+            raise RuntimeError(f"could not determine frame size of {path!r}")
         self._w, self._h = int(width), int(height)
 
     def _probe_dims(self) -> Tuple[int, int]:
@@ -531,15 +586,44 @@ class VideoFileSource:
     def shape(self) -> Tuple[int, int]:
         return self._h, self._w
 
+    @property
+    def num_frames(self) -> Optional[int]:
+        """Container frame count when the backend can probe it, else None."""
+        return self._num_frames
+
+    def _finish(self, rgb_u8: np.ndarray) -> np.ndarray:
+        if self.as_float:
+            return rgb_u8.astype(np.float32) / 255.0
+        return rgb_u8
+
     def frames(self) -> Iterator[np.ndarray]:
+        if self.backend == "cv2":
+            cap = self._cv2.VideoCapture(self.path)
+            try:
+                while True:
+                    ok, bgr = cap.read()
+                    if not ok:
+                        break
+                    # cv2 decodes BGR; the pipeline is RGB throughout.
+                    yield self._finish(
+                        np.ascontiguousarray(bgr[..., ::-1]))
+            finally:
+                cap.release()
+            return
         cmd = ["ffmpeg", "-v", "error", "-i", self.path,
-               "-f", "rawvideo", "-pix_fmt", "rgb24",
-               "-r", str(self.fps), "pipe:1"]
+               "-f", "rawvideo", "-pix_fmt", "rgb24"]
+        if self._resample:
+            cmd += ["-r", str(self.fps)]
+        cmd += ["pipe:1"]
         frame_bytes = self._w * self._h * 3
         with subprocess.Popen(cmd, stdout=subprocess.PIPE) as proc:
             while True:
                 buf = proc.stdout.read(frame_bytes)
                 if len(buf) < frame_bytes:
                     break
-                yield np.frombuffer(buf, np.uint8).reshape(
-                    self._h, self._w, 3).astype(np.float32) / 255.0
+                yield self._finish(np.frombuffer(buf, np.uint8).reshape(
+                    self._h, self._w, 3))
+
+    def tensor(self) -> np.ndarray:
+        """Decode the whole clip to one [T, H, W, 3] tensor."""
+        return np.stack(list(self.frames()))

@@ -108,8 +108,7 @@ def cmd_sonify(args) -> int:
         src = ArraySource.load(args.input, fps=args.fps)
         frames = src.tensor()
     else:
-        vf = VideoFileSource(args.input, fps=args.fps)
-        frames = np.stack(list(vf.frames()))
+        frames = VideoFileSource(args.input, fps=args.fps).tensor()
     if getattr(args, "model", "auralizer") == "orthomodes":
         audio = _sonify_orthomodes(cfg, params, frames, args.output)
     else:
@@ -510,12 +509,15 @@ def cmd_debug(args) -> int:
     per-pixel signed mode heatmaps for H/S/I, the 4x4 dominant-hue matrix,
     the log-dB spectrum and the output waveform."""
     from vaudio.api import Auralizer
-    from vaudio.io import ArraySource, hsb_frames
+    from vaudio.io import (VIDEO_FILE_EXTENSIONS, ArraySource,
+                           VideoFileSource, hsb_frames)
     from vaudio.utils.render import render_debug_surface
     cfg, params = _build_config(args)
     if args.input == "synthetic":
         frames = hsb_frames(args.hue, args.saturation, args.brightness,
                             num_frames=args.frames)
+    elif args.input.lower().endswith(VIDEO_FILE_EXTENSIONS):
+        frames = VideoFileSource(args.input).tensor()
     else:
         frames = ArraySource.load(args.input).tensor()
         if frames.ndim == 3:

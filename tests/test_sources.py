@@ -397,3 +397,58 @@ class TestVideoFileSource:
         assert proc.returncode == 0, err.decode()[-2000:]
         pcm = np.frombuffer(out, "<f4")
         assert pcm.size >= 2048 and np.isfinite(pcm).all()
+
+
+class TestCv2CameraSource:
+    """Webcam capture via OpenCV — exercised against a video file,
+    which VideoCapture treats identically to a camera stream."""
+
+    @pytest.fixture
+    def clip(self, tmp_path):
+        frames = np.stack([np.full((48, 64, 3), (0, 255, 0), np.uint8)
+                           for _ in range(6)])
+        path = str(tmp_path / "cam.mp4")
+        _write_test_mp4(path, frames)
+        return path
+
+    def test_probe_and_frames(self, clip):
+        from vaudio.io import Cv2CameraSource
+        with Cv2CameraSource(clip) as cam:
+            assert cam.shape == (48, 64)
+            got = list(cam.frames())
+        assert len(got) == 6
+        assert got[0].dtype == np.uint8 and got[0].shape == (48, 64, 3)
+        assert got[0][..., 1].mean() > 200      # green, RGB order
+
+    def test_live_continuation_and_max_frames(self, clip):
+        """frames() continues the SAME stream (live semantics) and
+        max_frames bounds TOTAL delivery across calls."""
+        import itertools
+
+        from vaudio.io import Cv2CameraSource
+        with Cv2CameraSource(clip, max_frames=4) as cam:
+            first = list(itertools.islice(cam.frames(), 2))
+            rest = list(cam.frames())
+        assert len(first) == 2 and len(rest) == 2
+
+    def test_bad_device_raises(self):
+        from vaudio.io import Cv2CameraSource
+        with pytest.raises(RuntimeError):
+            Cv2CameraSource("/nonexistent/cam.mp4")
+
+    def test_cli_stream_cv2_scheme(self, clip):
+        """`vaudio stream --input cv2:<path>` — the webcam scheme."""
+        import subprocess
+        import sys
+        env = dict(os.environ)
+        env["VAUDIO_PLATFORM"] = "cpu"
+        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/vaudio_test_jax_cache"
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "vaudio", "stream", "--input",
+             f"cv2:{clip}", "--max-frames", "5", "--mip-level", "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        out, err = proc.communicate(timeout=300)
+        assert proc.returncode == 0, err.decode()[-2000:]
+        pcm = np.frombuffer(out, "<f4")
+        assert pcm.size >= 2048 and np.isfinite(pcm).all()

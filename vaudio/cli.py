@@ -179,7 +179,14 @@ def cmd_stream(args) -> int:
                     debug=bool(args.live_debug or args.serve))
 
     path = "/dev/stdin" if args.input == "-" else args.input
-    if path.lower().endswith(VIDEO_FILE_EXTENSIONS):
+    if path.startswith("cv2:"):
+        # Live webcam through OpenCV's codecs (cv2:0 = default camera;
+        # cv2:<anything-else> is passed to VideoCapture verbatim).
+        from vaudio.io import Cv2CameraSource
+        dev = path[4:]
+        src = Cv2CameraSource(int(dev) if dev.isdigit() else dev,
+                              max_frames=args.max_frames)
+    elif path.lower().endswith(VIDEO_FILE_EXTENSIONS):
         # Encoded clip (mp4/avi/...): decode in-process (cv2/ffmpeg);
         # the container self-describes, so --size is not needed.
         src = VideoFileSource(path)
@@ -645,9 +652,10 @@ def main(argv=None) -> int:
                         "inputs; encoded video files self-describe)")
     p.add_argument("--input", default="-",
                    help="frame source: '-' = stdin, a file/FIFO/"
-                        "capture-device node in a raw pixel format, or "
+                        "capture-device node in a raw pixel format, "
                         "an encoded video file (.mp4/.avi/... decoded "
-                        "in-process)")
+                        "in-process), or cv2:N — live webcam N via "
+                        "OpenCV (handles compressed MJPEG/H.264 cams)")
     p.add_argument("--pix-fmt", default="rgb24",
                    choices=("rgb24", "i420", "nv12"),
                    help="incoming raw pixel format")

@@ -28,6 +28,7 @@ from vaudio.io.sources import (
     VIDEO_FILE_EXTENSIONS,
     ArraySource,
     CameraSource,
+    Cv2CameraSource,
     NativeFrameReader,
     RawVideoSource,
     VideoFileSource,
@@ -45,6 +46,7 @@ __all__ = [
     "VIDEO_FILE_EXTENSIONS",
     "ArraySource",
     "CameraSource",
+    "Cv2CameraSource",
     "NativeFrameReader",
     "RawVideoSource",
     "VideoFileSource",

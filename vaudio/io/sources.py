@@ -416,6 +416,80 @@ class CameraSource(RawVideoSource):
                          max_frames=max_frames)
 
 
+class Cv2CameraSource:
+    """Live webcam capture via OpenCV ``VideoCapture`` — the zero-config
+    camera front door (the AVCaptureSession of CameraModel.swift:12-37
+    for arbitrary webcams).
+
+    :class:`CameraSource` reads a V4L2 node already configured for a RAW
+    pixel format; most webcams instead deliver compressed MJPEG/H.264,
+    which cv2's bundled codecs decode.  ``device`` is a cv2 capture
+    index (0 = default camera) or any string cv2 accepts (a device path,
+    a GStreamer pipeline, or a video file — the latter is how tests
+    exercise this path without hardware).
+
+    Live semantics: the capture is opened once at construction (shape/
+    fps probed from the device) and ``frames()`` drains it until the
+    device stops delivering or ``max_frames`` is reached — a second
+    ``frames()`` call continues the SAME live stream, it does not
+    rewind.  Yields uint8 RGB (the exact int8 ingest path).
+    """
+
+    def __init__(self, device=0, width: Optional[int] = None,
+                 height: Optional[int] = None, fps: Optional[float] = None,
+                 max_frames: Optional[int] = None):
+        try:
+            import cv2
+        except ImportError:
+            raise RuntimeError(
+                "Cv2CameraSource requires the opencv-python package; "
+                "for raw V4L2 nodes use CameraSource instead")
+        self._cv2 = cv2
+        self._cap = cv2.VideoCapture(device)
+        if not self._cap.isOpened():
+            self._cap.release()
+            raise RuntimeError(f"cv2 could not open capture device "
+                               f"{device!r}")
+        # Requested capture properties are best-effort (drivers may
+        # ignore them); the authoritative shape is re-probed below.
+        if width is not None:
+            self._cap.set(cv2.CAP_PROP_FRAME_WIDTH, width)
+        if height is not None:
+            self._cap.set(cv2.CAP_PROP_FRAME_HEIGHT, height)
+        if fps is not None:
+            self._cap.set(cv2.CAP_PROP_FPS, fps)
+        self._w = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self._h = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        self.fps = float(self._cap.get(cv2.CAP_PROP_FPS)) or (fps or 30.0)
+        self.max_frames = max_frames
+        self._delivered = 0
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self._h, self._w
+
+    def frames(self) -> Iterator[np.ndarray]:
+        while self.max_frames is None or self._delivered < self.max_frames:
+            ok, bgr = self._cap.read()
+            if not ok:
+                break
+            self._delivered += 1
+            yield np.ascontiguousarray(bgr[..., ::-1])   # BGR -> RGB
+        # Live device: leave the capture open for a subsequent frames()
+        # call; close() is the explicit release.
+
+    def close(self) -> None:
+        if self._cap is not None:
+            self._cap.release()
+            self._cap = None
+
+    def __enter__(self) -> "Cv2CameraSource":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 class Yuv420FileSource(RawVideoSource):
     """Raw YUV 4:2:0 file/stream source (the codec-free camera formats) —
     a :class:`RawVideoSource` restricted to the YUV pixel formats, kept as

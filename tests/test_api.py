@@ -112,6 +112,24 @@ class TestAuralizerAPI:
         aur.stop()
         assert aur.metrics["buffer_fill"] == 0
 
+    def test_source_object_with_frames_method(self, tmp_path):
+        """Auralizer(source=<any source object>) must duck-type .frames()
+        — previously only ArraySource/ndarray worked and every other
+        source (RawVideoSource, VideoFileSource, Cv2CameraSource) had to
+        be pre-converted by the caller."""
+        frames = solid_color_frames([0.1, 1, 0.1], 64, 64, 4)
+
+        class MySource:                      # user-defined source contract
+            shape = (64, 64)
+
+            def frames(self):
+                yield from frames
+
+        aur = Auralizer(source=MySource())
+        aur.run_until_exhausted()
+        assert aur.metrics["frames_processed"] == 4
+        aur.stop()
+
     def test_toggle(self):
         frames = solid_color_frames([1, 0.1, 0.1], 64, 64, 3)
         aur = Auralizer(source=frames)

@@ -30,6 +30,9 @@ from vaudio.io import ArraySource, write_wav
 from vaudio.runtime import run_offline
 from vaudio.runtime.stream import StreamingAuralizer
 
+# A source is: a [T,H,W,3] tensor, a bare iterable of frames, or any
+# object exposing .frames() (ArraySource, RawVideoSource, VideoFileSource,
+# Cv2CameraSource, user-defined).
 SourceLike = Union[ArraySource, np.ndarray, Iterable[np.ndarray], None]
 
 
@@ -121,10 +124,14 @@ class Auralizer:
     def _frame_iter(self, source: SourceLike) -> Iterable[np.ndarray]:
         if source is None:
             raise ValueError("no frame source provided")
-        if isinstance(source, ArraySource):
-            return source.frames()
         if isinstance(source, np.ndarray):
             return ArraySource(source).frames()
+        # Any source object (ArraySource, RawVideoSource, VideoFileSource,
+        # Cv2CameraSource, user-defined) exposes .frames(); a bare
+        # iterable of frames is accepted as-is.
+        frames = getattr(source, "frames", None)
+        if callable(frames):
+            return frames()
         return source
 
     def start(self, source: SourceLike = None) -> None:

@@ -267,6 +267,44 @@ class TestPodCLI:
         assert b"pod: 10 frames over 2 streams" in res.stderr
 
 
+    def test_pod_cli_encoded_video_inputs(self, tmp_path):
+        """`vaudio pod --input a.mp4 --input b.mp4` — encoded clips are
+        decoded in-process per slot (CPU-forced subprocess)."""
+        import os
+        import subprocess
+        import sys
+        import wave
+
+        cv2 = pytest.importorskip("cv2")
+        paths = []
+        for i, color in enumerate([(255, 0, 0), (0, 0, 255)]):
+            frames = np.stack([np.full((64, 64, 3), color, np.uint8)
+                               for _ in range(5)])
+            path = str(tmp_path / f"clip{i}.mp4")
+            wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 30, (64, 64))
+            if not wr.isOpened():
+                pytest.skip("cv2 VideoWriter cannot encode mp4 here")
+            for f in frames:
+                wr.write(f[..., ::-1])
+            wr.release()
+            paths.append(path)
+        outdir = str(tmp_path / "pod_out")
+        env = dict(os.environ, VAUDIO_PLATFORM="cpu",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
+                   PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH",
+                                                             ""))
+        res = subprocess.run(
+            [sys.executable, "-m", "vaudio", "pod", "--size", "64x64",
+             "--input", paths[0], "--input", paths[1], "-o", outdir,
+             "--chunk-frames", "2"],
+            capture_output=True, timeout=600, env=env, cwd="/root/repo")
+        assert res.returncode == 0, res.stderr.decode()[-800:]
+        for i in range(2):
+            with wave.open(os.path.join(outdir, f"slot{i}.wav")) as wv:
+                assert wv.getnframes() == 5 * HOP
+
+
 class TestPodCLICheckpoint:
     def test_pod_split_across_two_cli_processes(self, tmp_path):
         """`vaudio pod --save-state` / `--load-state`: a pod split

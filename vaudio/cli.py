@@ -412,6 +412,11 @@ def cmd_pod(args) -> int:
     os.makedirs(args.output, exist_ok=True)
 
     def open_source(path):
+        if path.startswith("cv2:"):
+            from vaudio.io import Cv2CameraSource
+            dev = path[4:]
+            return Cv2CameraSource(int(dev) if dev.isdigit() else dev,
+                                   max_frames=args.max_frames).frames()
         if path.endswith((".npy", ".npz")):
             return ArraySource.load(path, fps=args.fps).frames()
         if path.lower().endswith(VIDEO_FILE_EXTENSIONS):

@@ -469,6 +469,8 @@ class Cv2CameraSource:
         return self._h, self._w
 
     def frames(self) -> Iterator[np.ndarray]:
+        if self._cap is None:
+            raise RuntimeError("capture is closed")
         while self.max_frames is None or self._delivered < self.max_frames:
             ok, bgr = self._cap.read()
             if not ok:

@@ -1,0 +1,390 @@
+"""Network (push-model) frame ingest tests.
+
+The reference's capture stack PUSHES frames into the engine
+(AVFoundation -> ``captureOutput(_:didOutput:from:)``,
+VisionEngine.swift:77-101) and drops what the engine cannot keep up
+with (``alwaysDiscardsLateVideoFrames``, CameraModel.swift:24).  These
+tests cover the network-serving equivalent: :class:`vaudio.io.PushSource`
+(the bounded newest-wins queue), the pod's idle-tick/arm_push plumbing
+(runtime/multistream.py), the PodServer HTTP ingest door
+(``POST /slots/<i>/push`` / ``/frames``), the ``push_frames`` client,
+and the ``vaudio push`` CLI.
+"""
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from vaudio.config import AuralizerConfig
+from vaudio.io import PushSource, hsb_frames
+from vaudio.runtime import MultiStreamAuralizer
+
+
+def _get(url, timeout=30):
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post_json(url, obj, timeout=30):
+    req = urllib.request.Request(url, data=json.dumps(obj).encode(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post_bytes(url, body, timeout=30):
+    req = urllib.request.Request(
+        url, data=body, method="POST",
+        headers={"Content-Type": "application/octet-stream"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def _npy_bytes(arr):
+    import io
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def _wait(pred, timeout=120, what="condition"):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if pred():
+            return
+        time.sleep(0.01)
+    raise AssertionError(f"timed out waiting for {what}")
+
+
+class TestPushSource:
+    def test_fifo_order_and_drop_oldest(self):
+        ps = PushSource(maxsize=3, when_empty="dark")
+        for v in range(5):
+            ps.push(v)
+        # Capacity 3: 0 and 1 were dropped (newest frames win,
+        # CameraModel.swift:24); 2, 3, 4 remain in order.
+        assert ps.dropped == 2 and ps.pushed == 5 and ps.fill == 3
+        it = ps.frames()
+        assert [next(it) for _ in range(3)] == [2, 3, 4]
+        assert next(it) is None                      # empty: dark tick
+
+    def test_hold_policy_repeats_last(self):
+        ps = PushSource(when_empty="hold")
+        it = ps.frames()
+        assert next(it) is None          # nothing yet: idle, not frozen
+        ps.push("a")
+        assert next(it) == "a"
+        assert next(it) == "a"           # camera held still
+        ps.push("b")
+        assert next(it) == "b"
+        assert next(it) == "b"
+
+    def test_close_drains_then_stops(self):
+        ps = PushSource(when_empty="dark")
+        ps.push(1)
+        ps.push(2)
+        ps.close()
+        assert list(ps.frames()) == [1, 2]
+        with pytest.raises(ValueError):
+            ps.push(3)
+
+    def test_block_policy_waits_for_push(self):
+        ps = PushSource(when_empty="block")
+        got = []
+
+        def consume():
+            got.extend(ps.frames())
+        t = threading.Thread(target=consume, daemon=True)
+        t.start()
+        time.sleep(0.05)
+        assert got == []                 # blocked, not yielding None
+        ps.push("x")
+        _wait(lambda: got == ["x"], 10, "blocked consumer to wake")
+        ps.close()
+        t.join(timeout=10)
+        assert not t.is_alive() and got == ["x"]
+
+    def test_pushers_never_blocked_by_suspended_consumer(self):
+        # Regression: yielding while holding the queue condition would
+        # deadlock producers whenever the consumer sits between next()
+        # calls (which is always, in the pod's tick loop).
+        ps = PushSource(maxsize=4, when_empty="hold")
+        it = ps.frames()
+        ps.push(1)
+        assert next(it) == 1             # generator now suspended
+        done = threading.Event()
+
+        def pusher():
+            ps.push(2)
+            done.set()
+        threading.Thread(target=pusher, daemon=True).start()
+        assert done.wait(5), "push blocked while consumer was suspended"
+
+    def test_state_dict(self):
+        ps = PushSource(maxsize=2, when_empty="dark")
+        ps.push(1)
+        s = ps.state()
+        assert s == {"armed": True, "closed": False, "fill": 1,
+                     "maxsize": 2, "pushed": 1, "dropped": 0,
+                     "when_empty": "dark"}
+
+    def test_bad_args(self):
+        with pytest.raises(ValueError):
+            PushSource(maxsize=0)
+        with pytest.raises(ValueError):
+            PushSource(when_empty="spin")
+
+
+class TestPodPushIntegration:
+    def test_push_slot_produces_audio_and_closes(self):
+        """End to end without HTTP: slot 0 plays a finite clip, slot 1
+        is push-armed; pushed frames synthesize audio into slot 1's
+        ring; closing the push stream exhausts the slot and the pod
+        exits (batch semantics)."""
+        cfg = AuralizerConfig(mip_level=1)
+        pod = MultiStreamAuralizer(cfg, n_streams=2)
+        ps = pod.arm_push(1, when_empty="dark")
+        clip = hsb_frames(0.0, 1.0, 1.0, width=64, height=64,
+                          num_frames=6)
+        pod.start([iter(clip), iter(())])
+        try:
+            for f in hsb_frames(0.33, 1.0, 1.0, width=64, height=64,
+                                num_frames=6):
+                ps.push(f)
+                time.sleep(0.01)
+            # The pod must stay alive on the open push slot even after
+            # slot 0's finite clip ends.
+            _wait(lambda: pod.metrics.frames_processed >= 8, 120,
+                  "frames through both slots")
+            assert pod.is_running
+            ps.close()
+            _wait(lambda: not pod.is_running, 120, "pod exit on close")
+            pod.raise_if_failed()
+            assert pod.rings[1].available >= 1     # slot 1 made audio
+        finally:
+            pod.stop()
+
+    def test_arm_push_rejects_block_policy(self):
+        pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=1)
+        with pytest.raises(ValueError, match="lockstep"):
+            pod.arm_push(0, when_empty="block")
+        with pytest.raises(ValueError, match="lockstep"):
+            pod.arm_push(0, push_source=PushSource(when_empty="block"))
+
+    def test_check_frame_structural(self):
+        pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=1)
+        assert pod.check_frame(np.zeros((8, 8, 3), np.uint8)) is None
+        assert "RGB" in pod.check_frame(np.zeros(7, np.float32))
+        assert pod.check_frame({"y": np.zeros((8, 8), np.uint8),
+                                "u": np.zeros((4, 4), np.uint8),
+                                "v": np.zeros((4, 4), np.uint8)}) is None
+        assert "members" in pod.check_frame({"y": np.zeros(3, np.uint8)})
+
+
+@pytest.fixture(scope="module")
+def push_pod():
+    """A running 2-slot pod with the panel attached: slot 0 processed a
+    finite clip (establishing the pod signature, f32 64x64 RGB); slot 1
+    awaits network frames.  Torn down by closing slot 1."""
+    cfg = AuralizerConfig(mip_level=1)
+    pod = MultiStreamAuralizer(cfg, n_streams=2)
+    server = pod.serve(port=0)
+    status, resp = _post_json(server.url + "slots/1/push",
+                              {"when_empty": "dark", "maxsize": 4})
+    assert status == 200 and resp["armed"] and resp["when_empty"] == "dark"
+    clip = hsb_frames(0.6, 1.0, 1.0, width=64, height=64, num_frames=5)
+    pod.start([iter(clip), iter(())])
+    _wait(lambda: pod.metrics.frames_processed >= 5, 120,
+          "slot 0 clip to process")
+    yield pod, server
+    try:
+        if pod.push_sources[1] is not None:
+            pod.push_sources[1].close()
+        _wait(lambda: not pod.is_running, 60, "pod exit")
+    finally:
+        server.stop()
+        pod.stop()
+
+
+class TestPushEndpoints:
+    def test_push_state_and_frame_roundtrip(self, push_pod):
+        pod, server = push_pod
+        status, state = _get(server.url + "slots/1/push")
+        assert status == 200 and state["armed"]
+        frame = np.asarray(hsb_frames(0.33, 1.0, 1.0, width=64,
+                                      height=64, num_frames=1))[0]
+        before = pod.metrics.frames_processed
+        status, resp = _post_bytes(server.url + "slots/1/frames",
+                                   _npy_bytes(frame))
+        assert status == 200 and resp["pushed"] >= 1
+        _wait(lambda: pod.metrics.frames_processed > before, 120,
+              "pushed frame to dispatch")
+        # push gauges ride the slot metrics / Prometheus surface
+        status, m = _get(server.url + "metrics")
+        assert m["slots"][1]["push"]["armed"] is True
+        assert "push_fill" in m["slots"][1]
+        with urllib.request.urlopen(server.url + "metrics.prom",
+                                    timeout=30) as r:
+            prom = r.read().decode()
+        assert 'vaudio_slot_push_fill{slot="1"}' in prom
+
+    def test_raw_rgb24_with_query_dims(self, push_pod):
+        pod, server = push_pod
+        # Raw-bytes form: but the pod signature is float32 (slot 0's
+        # clip), and raw rgb24 decodes to uint8 -> contract mismatch
+        # must answer 400 BEFORE the queue (slot must not dark).
+        raw = (np.random.default_rng(0)
+               .integers(0, 255, (64, 64, 3)).astype(np.uint8))
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_bytes(server.url + "slots/1/frames?w=64&h=64&fmt=rgb24",
+                        raw.tobytes())
+        assert e.value.code == 400
+        body = json.loads(e.value.read())
+        assert "signature" in body["error"]
+        status, state = _get(server.url + "slots/1/push")
+        assert status == 200 and not state["closed"]   # slot unharmed
+
+    def test_frames_to_unarmed_slot_409(self, push_pod):
+        _pod, server = push_pod
+        frame = np.zeros((64, 64, 3), np.float32)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_bytes(server.url + "slots/0/frames", _npy_bytes(frame))
+        assert e.value.code == 409
+        assert "push-armed" in json.loads(e.value.read())["error"]
+
+    def test_structurally_bad_frame_400(self, push_pod):
+        _pod, server = push_pod
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_bytes(server.url + "slots/1/frames",
+                        _npy_bytes(np.zeros(17, np.float32)))
+        assert e.value.code == 400
+
+    def test_undecodable_body_400(self, push_pod):
+        _pod, server = push_pod
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_bytes(server.url + "slots/1/frames", b"not a frame")
+        assert e.value.code == 400
+        assert "w=" in json.loads(e.value.read())["error"]
+
+    def test_block_policy_rejected(self, push_pod):
+        _pod, server = push_pod
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_json(server.url + "slots/0/push",
+                       {"when_empty": "block"})
+        assert e.value.code == 400
+
+    def test_close_unarmed_404(self, push_pod):
+        _pod, server = push_pod
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_json(server.url + "slots/0/push", {"close": True})
+        assert e.value.code == 404
+
+
+class TestPushClient:
+    def test_push_frames_client_end_to_end(self):
+        """The push_frames client arms, streams and closes a slot; the
+        pod synthesizes the pushed clip and exits."""
+        from vaudio.io.push import push_frames
+        cfg = AuralizerConfig(mip_level=1)
+        # Long-lived serving semantics: a pod started with nothing but
+        # an empty placeholder must idle awaiting the client's arm (the
+        # batch-semantics default would exit before the client arrives).
+        pod = MultiStreamAuralizer(cfg, n_streams=1,
+                                   exit_when_exhausted=False)
+        server = pod.serve(port=0)
+        try:
+            pod.start([iter(())])
+            clip = hsb_frames(0.15, 1.0, 1.0, width=64, height=64,
+                              num_frames=6)
+            sent = push_frames(server.url, 0, clip, when_empty="dark")
+            assert sent == 6
+            _wait(lambda: pod.metrics.frames_processed == 6, 120,
+                  "pushed clip to process")
+            pod.raise_if_failed()
+            assert pod.is_running          # long-lived: idles, not exits
+            assert pod.rings[0].available >= 1
+        finally:
+            server.stop()
+            pod.stop()
+
+    def test_client_raises_on_rejected_frame(self):
+        from vaudio.io.push import push_frames
+        pod = MultiStreamAuralizer(AuralizerConfig(mip_level=1),
+                                   n_streams=1)
+        server = pod.serve(port=0)
+        try:
+            with pytest.raises(RuntimeError, match="RGB"):
+                push_frames(server.url, 0,
+                            [np.zeros(9, np.float32)],
+                            when_empty="dark")
+        finally:
+            server.stop()
+            pod.stop()
+
+
+class TestPushCLI:
+    def test_pod_push_slot_fed_by_push_cli(self, tmp_path):
+        """Full network loop across two CLI subprocesses: `vaudio pod
+        --input push --serve` hosts the slot, `vaudio push` feeds it an
+        .npy clip over HTTP, and the pod writes the slot's WAV."""
+        import os
+        import re
+        import subprocess
+        import sys
+        import wave
+
+        clip = hsb_frames(0.33, 1.0, 1.0, width=64, height=64,
+                          num_frames=8)
+        p = str(tmp_path / "clip.npy")
+        np.save(p, np.asarray(clip))
+        env = dict(os.environ, VAUDIO_PLATFORM="cpu",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
+                   PYTHONPATH="/root/repo:" + os.environ.get(
+                       "PYTHONPATH", ""))
+        pod_proc = subprocess.Popen(
+            [sys.executable, "-m", "vaudio", "pod", "--size", "64x64",
+             "--input", "push:dark", "--serve", "127.0.0.1:0",
+             "-o", str(tmp_path / "out")],
+            stderr=subprocess.PIPE, stdout=subprocess.PIPE, env=env,
+            cwd="/root/repo")
+        try:
+            # Read stderr until BOTH the panel URL and the armed-slot
+            # line appear (pushing with --no-arm before the arm would
+            # 409).
+            url = armed = None
+            deadline = time.monotonic() + 300
+            lines = []
+            while time.monotonic() < deadline and not (url and armed):
+                line = pod_proc.stderr.readline().decode()
+                if not line and pod_proc.poll() is not None:
+                    break
+                lines.append(line)
+                m = re.search(r"live panel at (http://\S+/)", line)
+                if m:
+                    url = m.group(1)
+                if "armed for push ingest" in line:
+                    armed = True
+            assert url and armed, \
+                "pod never announced panel+arm: " + "".join(lines)
+            res = subprocess.run(
+                [sys.executable, "-m", "vaudio", "push", "--url", url,
+                 "--slot", "0", "--input", p, "--no-arm"],
+                capture_output=True, timeout=600, env=env,
+                cwd="/root/repo")
+            assert res.returncode == 0, res.stderr.decode()[-800:]
+            assert b"8 frames" in res.stderr
+            out, err = pod_proc.communicate(timeout=600)
+            assert pod_proc.returncode == 0, err.decode()[-800:]
+            wav = tmp_path / "out" / "slot0.wav"
+            assert wav.exists()
+            with wave.open(str(wav)) as w:
+                assert w.getnframes() > 0
+        finally:
+            if pod_proc.poll() is None:
+                pod_proc.kill()
+                pod_proc.communicate()

@@ -389,6 +389,37 @@ def cmd_stream(args) -> int:
     return rc
 
 
+def _open_frame_iter(path: str, *, width: int, height: int,
+                     pix_fmt: str = "rgb24", fps: float = 30.0,
+                     max_frames=None):
+    """One frame iterable from a CLI input spec (shared by ``pod`` and
+    ``push``): ``cv2:N`` = live webcam, ``.npy``/``.npz`` = clip tensor,
+    an encoded video file (decoded in-process), or a raw video
+    file/FIFO/device node in ``pix_fmt`` at ``width``x``height``."""
+    from vaudio.io import (VIDEO_FILE_EXTENSIONS, ArraySource,
+                           RawVideoSource, VideoFileSource)
+    if path.startswith("cv2:"):
+        from vaudio.io import Cv2CameraSource
+        dev = path[4:]
+        return Cv2CameraSource(int(dev) if dev.isdigit() else dev,
+                               max_frames=max_frames).frames()
+    if path.endswith((".npy", ".npz")):
+        return ArraySource.load(path, fps=fps).frames()
+    if path.lower().endswith(VIDEO_FILE_EXTENSIONS):
+        # Encoded clip: decoded in-process; a pod's static shape
+        # contract still applies (a wrong-size clip fails loudly).
+        it = VideoFileSource(path).frames()
+        if max_frames:
+            import itertools
+            it = itertools.islice(it, max_frames)
+        return it
+    if width is None or height is None:
+        raise SystemExit(f"raw input {path!r} needs --size HxW")
+    return RawVideoSource(path, width=width, height=height,
+                          pix_fmt=pix_fmt, fps=fps,
+                          max_frames=max_frames).frames()
+
+
 def cmd_pod(args) -> int:
     """Multi-stream serving pod: N raw-video inputs -> N WAV files
     through ONE batched device dispatch per tick
@@ -398,12 +429,15 @@ def cmd_pod(args) -> int:
 
         python -m vaudio pod --size 64x64 -o out/ \
             --input a.rgb --input b.rgb --input c.rgb
-    """
+
+    ``--input push`` (or ``push:dark``) arms a slot for NETWORK ingest
+    instead: clients feed it over the --serve panel's HTTP door
+    (``POST /slots/<i>/frames``; see ``python -m vaudio push``) and the
+    slot idles dark until frames arrive."""
     import os
     import time as _time
 
-    from vaudio.io import (VIDEO_FILE_EXTENSIONS, ArraySource,
-                           RawVideoSource, VideoFileSource, write_wav)
+    from vaudio.io import write_wav
     from vaudio.runtime import MultiStreamAuralizer
     cfg, params = _build_config(args)
     if not args.input:
@@ -411,25 +445,22 @@ def cmd_pod(args) -> int:
     h, w = (int(x) for x in args.size.split("x"))
     os.makedirs(args.output, exist_ok=True)
 
-    def open_source(path):
-        if path.startswith("cv2:"):
-            from vaudio.io import Cv2CameraSource
-            dev = path[4:]
-            return Cv2CameraSource(int(dev) if dev.isdigit() else dev,
-                                   max_frames=args.max_frames).frames()
-        if path.endswith((".npy", ".npz")):
-            return ArraySource.load(path, fps=args.fps).frames()
-        if path.lower().endswith(VIDEO_FILE_EXTENSIONS):
-            # Encoded clip: decoded in-process; the pod's static shape
-            # contract still applies (a wrong-size clip fails loudly).
-            it = VideoFileSource(path).frames()
-            if args.max_frames:
-                import itertools
-                it = itertools.islice(it, args.max_frames)
-            return it
-        return RawVideoSource(path, width=w, height=h,
-                              pix_fmt=args.pix_fmt, fps=args.fps,
-                              max_frames=args.max_frames).frames()
+    push_slots = {}             # slot index -> when_empty policy
+    for i, path in enumerate(args.input):
+        if path == "push" or path.startswith("push:"):
+            policy = path.partition(":")[2] or "hold"
+            if policy not in ("hold", "dark"):
+                raise SystemExit(f"pod: --input {path!r}: push policy "
+                                 "must be 'hold' or 'dark'")
+            push_slots[i] = policy
+
+    def open_source(path, i):
+        if i in push_slots:
+            # Placeholder: arm_push replaces it before the first tick.
+            return iter(())
+        return _open_frame_iter(path, width=w, height=h,
+                                pix_fmt=args.pix_fmt, fps=args.fps,
+                                max_frames=args.max_frames)
 
     n = len(args.input)
     # CLI flags seed an INDEPENDENT LiveParams per slot, so --serve can
@@ -444,6 +475,19 @@ def cmd_pod(args) -> int:
         host, _, port = args.serve.rpartition(":")
         server = pod.serve(port=int(port), host=host or "127.0.0.1")
         print(f"pod: live panel at {server.url}", file=sys.stderr)
+    if push_slots:
+        if server is None:
+            raise SystemExit("pod: --input push needs --serve (frames "
+                             "arrive via POST /slots/<i>/frames)")
+        if not args.realtime:
+            print("pod: note: push slots without --realtime re-process "
+                  "held frames at device speed; live serving wants "
+                  "--realtime", file=sys.stderr)
+        for i, policy in push_slots.items():
+            pod.arm_push(i, when_empty=policy)
+            print(f"pod: slot {i} armed for push ingest "
+                  f"(POST {server.url}slots/{i}/frames; policy "
+                  f"{policy})", file=sys.stderr)
     if args.load_state:
         # Resume every slot's DSP carry (runtime/checkpoint.py,
         # n_streams-validated) — the next tick continues each stream.
@@ -452,7 +496,7 @@ def cmd_pod(args) -> int:
               file=sys.stderr)
     from vaudio.utils.profiling import trace_context
     with trace_context(args.trace):
-        pod.start([open_source(p) for p in args.input])
+        pod.start([open_source(p, i) for i, p in enumerate(args.input)])
 
         # Drain every slot's ring while the pod runs (the rings are
         # drop-on-full real-time sinks, SoundEngine.swift:448 — an
@@ -512,6 +556,33 @@ def cmd_pod(args) -> int:
     if server is not None:
         server.stop()
     pod.stop()
+    return 0
+
+
+def cmd_push(args) -> int:
+    """Feed frames to a REMOTE serving pod over HTTP — the client half
+    of the network-ingest door (the pod side is ``vaudio pod --serve ...
+    --input push``; vaudio.runtime.podserver POST /slots/<i>/frames).
+    Pure host-side numpy + urllib: runs anywhere, never touches jax or
+    the accelerator.
+
+        python -m vaudio push --url http://pod-host:8000 --slot 0 \\
+            --input clip.mp4 --realtime
+    """
+    from vaudio.io.push import push_frames
+    w = h = None
+    if args.size:
+        h, w = (int(x) for x in args.size.split("x"))
+    frames = _open_frame_iter(args.input, width=w, height=h,
+                              pix_fmt=args.pix_fmt, fps=args.fps,
+                              max_frames=args.max_frames)
+    sent = push_frames(args.url, args.slot, frames,
+                       fps=args.fps if args.realtime else None,
+                       arm=not args.no_arm, when_empty=args.when_empty,
+                       maxsize=args.maxsize, reset=args.reset,
+                       close=not args.no_close)
+    print(f"push: {sent} frames -> {args.url} slot {args.slot}",
+          file=sys.stderr)
     return 0
 
 
@@ -723,8 +794,11 @@ def main(argv=None) -> int:
     p.add_argument("--input", action="append", default=[],
                    metavar="PATH",
                    help="frame source (repeatable, one per serving "
-                        "slot): raw video file/FIFO, or .npy/.npz clip "
-                        "tensor")
+                        "slot): raw video file/FIFO, .npy/.npz clip "
+                        "tensor, encoded video, cv2:N webcam, or "
+                        "'push'/'push:dark' — a network-ingest slot "
+                        "fed over HTTP (needs --serve; see 'vaudio "
+                        "push')")
     p.add_argument("--pix-fmt", default="rgb24",
                    choices=("rgb24", "i420", "nv12"))
     p.add_argument("--chunk-frames", type=int, default=1,
@@ -750,6 +824,43 @@ def main(argv=None) -> int:
                         "run to DIR")
     _add_config_args(p)
     p.set_defaults(fn=cmd_pod)
+
+    p = sub.add_parser("push",
+                       help="feed frames to a remote serving pod over "
+                            "HTTP (client for 'pod --serve --input "
+                            "push')")
+    p.add_argument("--url", required=True,
+                   help="pod panel base URL, e.g. http://host:8000")
+    p.add_argument("--slot", type=int, default=0,
+                   help="target serving slot index")
+    p.add_argument("--input", required=True,
+                   help="frame source: raw video file/FIFO, .npy/.npz "
+                        "clip, encoded video file, or cv2:N webcam")
+    p.add_argument("--size", default=None,
+                   help="HxW of incoming frames (raw inputs only)")
+    p.add_argument("--pix-fmt", default="rgb24",
+                   choices=("rgb24", "i420", "nv12"))
+    p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--realtime", action="store_true",
+                   help="pace pushes at --fps (live-camera cadence) "
+                        "instead of as fast as the pod accepts them")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--when-empty", default="hold",
+                   choices=("hold", "dark"),
+                   help="slot policy between pushes: repeat the last "
+                        "frame (camera held still) or go dark")
+    p.add_argument("--maxsize", type=int, default=8,
+                   help="pod-side push queue depth (full queues drop "
+                        "their OLDEST frame — newest wins)")
+    p.add_argument("--reset", action="store_true",
+                   help="zero the slot's DSP state when arming (a "
+                        "brand-new client, not the same camera back)")
+    p.add_argument("--no-arm", action="store_true",
+                   help="skip arming (the slot is already push-armed)")
+    p.add_argument("--no-close", action="store_true",
+                   help="leave the push stream open when the input ends "
+                        "(another push can continue the same slot)")
+    p.set_defaults(fn=cmd_push)
 
     p = sub.add_parser("debug",
                        help="render the debug surface (heatmaps, hue "

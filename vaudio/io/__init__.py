@@ -40,6 +40,7 @@ from vaudio.io.sources import (
     solid_color_frames,
     yuv420_to_rgb,
 )
+from vaudio.io.push import PushSource
 from vaudio.io.sinks import SubprocessPlayer, read_wav, write_wav
 
 __all__ = [
@@ -59,5 +60,6 @@ __all__ = [
     "solid_color_frames",
     "read_wav",
     "write_wav",
+    "PushSource",
     "SubprocessPlayer",
 ]

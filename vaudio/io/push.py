@@ -1,0 +1,209 @@
+"""Push-model frame sources: frames arrive from another thread (an HTTP
+handler, an RPC server, a capture callback) instead of being pulled from
+a file descriptor.
+
+This is the network-serving counterpart of the reference's capture
+delegate: AVFoundation *pushes* frames into
+``captureOutput(_:didOutput:from:)`` (VisionEngine.swift:77-101) and the
+engine consumes them at its own cadence, dropping what it cannot keep up
+with (``alwaysDiscardsLateVideoFrames``, CameraModel.swift:24).
+:class:`PushSource` reproduces that contract host-side: a bounded
+thread-safe queue where *newest frames win* — when the queue is full the
+oldest queued frame is dropped, never the incoming one.
+
+The pod runtime (:mod:`vaudio.runtime.multistream`) consumes sources in
+lockstep, one ``next()`` per slot per tick, so a push slot must never
+block the batch. The ``when_empty`` policy controls what an empty queue
+yields:
+
+* ``"hold"``  — repeat the last delivered frame (a camera held still:
+  hues/gradients persist, audio sustains). Before the first frame
+  arrives, yields ``None`` (an idle tick — the pod keeps the slot dark
+  but alive).
+* ``"dark"``  — yield ``None`` every empty tick (silence between
+  frames).
+* ``"block"`` — wait for the next push (single-stream use, where the
+  producer thread serves exactly one source and blocking is the natural
+  pacing).
+
+``close()`` ends the stream: the iterator drains what is queued, then
+raises ``StopIteration`` (the slot exhausts / goes dark like any other
+ended source).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import deque
+from typing import Iterator, Optional
+
+__all__ = ["PushSource", "push_frames"]
+
+
+class PushSource:
+    """Thread-safe push-model frame source (see module docstring).
+
+    Args:
+      maxsize: queue capacity in frames. When full, ``push`` drops the
+        OLDEST queued frame (real-time semantics — the engine should
+        always see the freshest input; CameraModel.swift:24).
+      when_empty: ``"hold"`` | ``"dark"`` | ``"block"`` — what the
+        iterator yields when the queue is empty (module docstring).
+    """
+
+    def __init__(self, maxsize: int = 8, when_empty: str = "hold"):
+        if maxsize < 1:
+            raise ValueError("maxsize must be >= 1")
+        if when_empty not in ("hold", "dark", "block"):
+            raise ValueError(
+                f"when_empty must be 'hold', 'dark' or 'block', "
+                f"not {when_empty!r}")
+        self.maxsize = int(maxsize)
+        self.when_empty = when_empty
+        self._q: deque = deque()
+        self._cond = threading.Condition()
+        self._closed = False
+        self._last = None          # last frame handed out (hold policy)
+        #: Frames discarded because the queue was full when a newer one
+        #: arrived (the alwaysDiscardsLateVideoFrames counter).
+        self.dropped = 0
+        #: Total frames accepted by :meth:`push`.
+        self.pushed = 0
+
+    # -- producer side -------------------------------------------------------
+
+    def push(self, frame) -> None:
+        """Enqueue one frame (any object the pipeline accepts: an RGB
+        array, a planar-YUV dict). Never blocks: a full queue drops its
+        oldest entry. Raises ``ValueError`` after :meth:`close`."""
+        with self._cond:
+            if self._closed:
+                raise ValueError("push on a closed PushSource")
+            if len(self._q) >= self.maxsize:
+                self._q.popleft()
+                self.dropped += 1
+            self._q.append(frame)
+            self.pushed += 1
+            self._cond.notify()
+
+    def close(self) -> None:
+        """End the stream: queued frames still drain, then the iterator
+        stops. Idempotent."""
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+
+    # -- consumer side -------------------------------------------------------
+
+    @property
+    def closed(self) -> bool:
+        return self._closed
+
+    @property
+    def fill(self) -> int:
+        """Frames currently queued."""
+        with self._cond:
+            return len(self._q)
+
+    def frames(self) -> Iterator[Optional["object"]]:
+        """The consumer iterator (one consumer at a time). Yields frames,
+        or ``None`` on empty ticks under the ``hold``/``dark`` policies
+        (``hold`` yields the previous frame once one exists)."""
+        _IDLE = object()
+        while True:
+            # Pop under the lock, yield OUTSIDE it: a generator suspended
+            # at a yield inside the `with` would hold the condition while
+            # the consumer processes the frame, deadlocking pushers.
+            with self._cond:
+                if self.when_empty == "block":
+                    while not self._q and not self._closed:
+                        self._cond.wait()
+                if self._q:
+                    frame = self._q.popleft()
+                    self._last = frame
+                elif self._closed:
+                    return
+                else:
+                    frame = _IDLE        # empty, open, non-blocking
+            if frame is _IDLE:
+                yield self._last if self.when_empty == "hold" else None
+            else:
+                yield frame
+
+    __iter__ = frames
+
+    def state(self) -> dict:
+        """JSON-ready queue state (the pod panel's ``GET
+        /slots/<i>/push`` body)."""
+        with self._cond:
+            return {"armed": True, "closed": self._closed,
+                    "fill": len(self._q), "maxsize": self.maxsize,
+                    "pushed": self.pushed, "dropped": self.dropped,
+                    "when_empty": self.when_empty}
+
+
+def push_frames(base_url: str, slot: int, frames, fps: Optional[float]
+                = None, arm: bool = True, when_empty: str = "hold",
+                maxsize: int = 8, reset: bool = False, close: bool = True,
+                timeout: float = 30.0) -> int:
+    """HTTP client for a serving pod's network-ingest door: arm
+    ``slot`` on the pod at ``base_url`` (``POST /slots/<slot>/push``),
+    stream ``frames`` to it one ``POST /slots/<slot>/frames`` at a time
+    (self-describing ``.npy`` bodies; planar-YUV dict frames go as
+    ``.npz``), optionally paced at ``fps``, then close the push stream.
+    Returns the number of frames sent.  Server-rejected frames (4xx)
+    raise ``RuntimeError`` with the pod's error message — e.g. a frame
+    violating the pod's static shape contract.
+
+    This is what ``python -m vaudio push`` runs; the server side is
+    :class:`vaudio.runtime.podserver.PodServer`."""
+    import io
+    import json
+    import time
+    import urllib.error
+    import urllib.request
+
+    import numpy as np
+
+    base = base_url.rstrip("/")
+
+    def post(path: str, data: bytes, ctype: str) -> dict:
+        req = urllib.request.Request(
+            f"{base}{path}", data=data, method="POST",
+            headers={"Content-Type": ctype})
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            detail = e.read().decode(errors="replace")
+            raise RuntimeError(
+                f"pod rejected POST {path} ({e.code}): {detail}") from None
+
+    if arm:
+        post(f"/slots/{slot}/push",
+             json.dumps({"when_empty": when_empty, "maxsize": maxsize,
+                         "reset": reset}).encode(), "application/json")
+    period = None if not fps else 1.0 / float(fps)
+    next_t = time.monotonic()
+    sent = 0
+    try:
+        for frame in frames:
+            if period is not None:
+                now = time.monotonic()
+                if now < next_t:
+                    time.sleep(next_t - now)
+                next_t = max(next_t + period, time.monotonic())
+            buf = io.BytesIO()
+            if isinstance(frame, dict):
+                np.savez(buf, **{k: np.ascontiguousarray(v)
+                                 for k, v in frame.items()})
+            else:
+                np.save(buf, np.ascontiguousarray(frame))
+            post(f"/slots/{slot}/frames", buf.getvalue(),
+                 "application/octet-stream")
+            sent += 1
+    finally:
+        if close:
+            post(f"/slots/{slot}/push", b'{"close": true}',
+                 "application/json")
+    return sent

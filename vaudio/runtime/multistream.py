@@ -188,6 +188,9 @@ class MultiStreamAuralizer:
             [None] * self.n_streams
         self._source_lock = threading.Lock()
         self._pending_sources: List = []   # (slot, iterator, reset_carry)
+        #: Per-slot :class:`vaudio.io.PushSource` handles for slots armed
+        #: with :meth:`arm_push` (network/push ingest); None elsewhere.
+        self.push_sources: List = [None] * self.n_streams
         self._thread: Optional[threading.Thread] = None
         self._stop_event = threading.Event()
         self._running = False
@@ -343,9 +346,68 @@ class MultiStreamAuralizer:
         slots can be re-armed indefinitely."""
         if not 0 <= slot < self.n_streams:
             raise IndexError(f"slot {slot} out of range")
+        self.push_sources[slot] = None   # re-set by arm_push if push
         with self._source_lock:
             self._pending_sources.append((slot, iter(source),
                                           bool(reset_carry)))
+
+    def arm_push(self, slot: int, *, maxsize: int = 8,
+                 when_empty: str = "hold", reset_carry: bool = False,
+                 push_source=None):
+        """Arm serving ``slot`` for push-model (network) ingest: frames
+        arrive via :meth:`vaudio.io.PushSource.push` — from an HTTP
+        handler (PodServer ``POST /slots/<i>/frames``), an RPC server, or
+        any capture callback — instead of being pulled from a file.
+
+        The slot is re-armed live (see :meth:`replace_source`); between
+        pushes it idles per ``when_empty`` (``"hold"`` repeats the last
+        frame — a camera held still; ``"dark"`` goes silent).  Returns
+        the :class:`~vaudio.io.PushSource` (also kept in
+        :attr:`push_sources`).  NOTE: an un-paced pod (``realtime=False``)
+        re-processes a held frame as fast as the device allows — push
+        pods should run ``realtime=True``."""
+        from vaudio.io.push import PushSource
+        if not 0 <= slot < self.n_streams:
+            raise IndexError(f"slot {slot} out of range")
+        if when_empty == "block" or (push_source is not None
+                                     and push_source.when_empty == "block"):
+            raise ValueError(
+                "when_empty='block' is not allowed on a pod slot: the "
+                "pod advances all slots in lockstep, so one blocking "
+                "slot stalls the whole batch; use 'hold' or 'dark'")
+        ps = push_source if push_source is not None else PushSource(
+            maxsize=maxsize, when_empty=when_empty)
+        # Order matters: replace_source clears the slot's push handle
+        # (re-arming with a plain source un-pushes the slot).
+        self.replace_source(slot, ps.frames(), reset_carry=reset_carry)
+        self.push_sources[slot] = ps
+        return ps
+
+    def check_frame(self, frame) -> Optional[str]:
+        """Validate a candidate frame against the pod contract without
+        queueing it (the network-ingest door, PodServer
+        ``POST /slots/<i>/frames``): structurally a video frame, and —
+        once the pod's static signature is established by the first
+        frame any slot delivered — matching it.  Returns an error
+        message, or ``None`` when acceptable.  A frame rejected here
+        would otherwise dark its slot at dispatch time (:meth:`_fail_slot`)."""
+        try:
+            fr = _normalize_frame(frame)
+        except Exception as e:
+            return f"undecodable frame: {type(e).__name__}: {e}"
+        if isinstance(fr, dict):
+            if not {"y", "u", "v"} <= set(fr) or any(
+                    fr[k].ndim != 2 for k in ("y", "u", "v")):
+                return ("planar-YUV frame needs 2-D 'y', 'u', 'v' "
+                        f"members, got {[(k, v.shape) for k, v in fr.items()]}")
+        elif fr.ndim != 3 or fr.shape[-1] != 3:
+            return (f"frame must be (H, W, 3) RGB, got shape {fr.shape}")
+        sig = _frame_sig(fr)
+        if self._template_sig is not None and sig != self._template_sig:
+            return (f"frame signature {sig} != pod signature "
+                    f"{self._template_sig}: a pod serves ONE static "
+                    "shape/dtype (route other resolutions to another pod)")
+        return None
 
     def _apply_pending_sources(self) -> None:
         with self._source_lock:
@@ -394,7 +456,7 @@ class MultiStreamAuralizer:
         ``self.metrics``)."""
         ring = self.rings[slot]
         err = self.slot_errors[slot]
-        return {
+        out = {
             "active": self._active[slot],
             "failed": err is not None,   # numeric for /metrics.prom
             "buffer_fill": ring.available,
@@ -403,6 +465,13 @@ class MultiStreamAuralizer:
             "underrun_samples": int(getattr(ring, "underrun_samples", 0)),
             "error": None if err is None else f"{type(err).__name__}: {err}",
         }
+        ps = self.push_sources[slot]
+        if ps is not None:
+            state = ps.state()
+            out["push"] = state
+            out["push_fill"] = state["fill"]        # prom gauges
+            out["push_dropped"] = state["dropped"]
+        return out
 
     def metrics_dict(self) -> Dict[str, object]:
         """The pod's observability surface as one JSON-ready dict:
@@ -459,7 +528,10 @@ class MultiStreamAuralizer:
     def _next_batch(self):
         """Advance every slot one frame.  Returns (frames, real) or
         None when no slot has ever yielded; exhausted slots get black
-        frames (static batch shape) and real[i] = False."""
+        frames (static batch shape) and real[i] = False.  A source may
+        yield ``None`` to mean "no frame this tick" (an idle push slot,
+        :class:`vaudio.io.PushSource`): the slot stays armed but is
+        dark for the tick."""
         frames = [None] * self.n_streams
         real = [False] * self.n_streams
         for i in range(self.n_streams):
@@ -473,6 +545,8 @@ class MultiStreamAuralizer:
             except Exception as e:
                 self._fail_slot(i, e)
                 continue
+            if fr is None:
+                continue                     # idle tick: dark but alive
             try:
                 fr = _normalize_frame(fr)
                 sig = _frame_sig(fr)
@@ -576,7 +650,16 @@ class MultiStreamAuralizer:
                                     time.monotonic())
             tick = self._next_batch()
             if tick is None:
-                continue                   # every source died yielding 0
+                # No dispatch this tick (every source died yielding zero
+                # frames, or every armed slot is an idle push slot
+                # between frames): flush the in-flight result — it is
+                # normally flushed by the NEXT dispatch, which may be a
+                # long time coming — and don't spin the loop hot.
+                if pending is not None:
+                    self._flush(pending)
+                    pending = None
+                time.sleep(0.001)
+                continue
             frames, real = tick
             if self.observe:
                 # Input-preview state (the CameraPreview surface,

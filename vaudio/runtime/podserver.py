@@ -34,6 +34,24 @@ SoundEngine.swift:156-228) replicated *per serving slot*:
   last real output hop / last ingested-frame preview; populated while
   the pod runs with :attr:`MultiStreamAuralizer.observe` on (this
   server turns it on when it starts);
+* ``POST /slots/<i>/push``       — arm slot ``i`` for network (push)
+  ingest: frames then arrive over HTTP instead of from a pod-side file/
+  device (the capture delegate's push contract, VisionEngine.swift:77-101,
+  moved across the network).  Optional JSON body ``{"maxsize": 8,
+  "when_empty": "hold"|"dark", "reset": false}``; ``{"close": true}``
+  ends the slot's push stream (queued frames drain, then the slot goes
+  dark and can be re-armed);
+* ``GET /slots/<i>/push``        — the slot's push-queue state
+  (``armed``/``fill``/``dropped``/``closed``);
+* ``POST /slots/<i>/frames``     — push ONE frame to an armed slot: a
+  self-describing ``.npy`` body, a planar-YUV ``.npz`` (members y/u/v),
+  or raw ``rgb24``/``i420``/``nv12`` bytes with ``?w=&h=&fmt=`` params
+  (:func:`vaudio.runtime.server.decode_frame_body`).  The frame is
+  validated against the pod's static shape/dtype contract BEFORE it is
+  queued (a bad frame answers 400; it must not dark the slot).  A full
+  queue drops its oldest frame — newest frames win, exactly the
+  capture stack's ``alwaysDiscardsLateVideoFrames`` policy
+  (CameraModel.swift:24);
 * ``GET /slots/<i>/audio.wav``   — a live 16-bit WAV stream pulled from
   the slot's ring at the hardware cadence (one listener per slot).
   NOTE: any other consumer of that ring (the ``vaudio pod`` CLI's WAV
@@ -233,6 +251,11 @@ class PodServer:
                         if rest == ["params"]:
                             self._json(server._params_dict(slot))
                             return
+                        if rest == ["push"]:
+                            ps = server.pod.push_sources[slot]
+                            self._json({"armed": False} if ps is None
+                                       else ps.state())
+                            return
                         if rest == ["audio.wav"]:
                             server._stream_audio(self, slot)
                             return
@@ -319,12 +342,18 @@ class PodServer:
                     return
                 parts = path.strip("/").split("/")
                 if (len(parts) != 3 or parts[0] != "slots"
-                        or parts[2] != "params"):
+                        or parts[2] not in ("params", "push", "frames")):
                     self._json({"error": "not found"}, 404)
                     return
                 slot = self._slot(parts[1])
                 if slot is None:
                     self._json({"error": f"no slot {parts[1]!r}"}, 404)
+                    return
+                if parts[2] == "push":
+                    self._post_push(slot)
+                    return
+                if parts[2] == "frames":
+                    self._post_frame(slot)
                     return
                 msg = self._read_json()
                 if msg is None:
@@ -364,6 +393,79 @@ class PodServer:
                 self._json({"applied": applied, "warnings": warnings,
                             "shared": server._params_shared(),
                             "params": server._params_dict(slot)})
+
+            def _post_push(self, slot: int) -> None:
+                """Arm/close push-model ingest for one slot (module
+                docstring, POST /slots/<i>/push)."""
+                msg = self._read_json()
+                if msg is None:
+                    return
+                pod = server.pod
+                if msg.get("close"):
+                    ps = pod.push_sources[slot]
+                    if ps is None:
+                        self._json({"error": f"slot {slot} is not "
+                                    "push-armed"}, 404)
+                        return
+                    ps.close()
+                    self._json(ps.state())
+                    return
+                when_empty = msg.get("when_empty", "hold")
+                if when_empty == "block":
+                    # A blocking push slot would stall the pod's lockstep
+                    # tick for every other slot.
+                    self._json({"error": "when_empty='block' is not "
+                                "allowed on a pod slot (it would block "
+                                "the whole batch); use 'hold' or "
+                                "'dark'"}, 400)
+                    return
+                try:
+                    ps = pod.arm_push(
+                        slot, maxsize=int(msg.get("maxsize", 8)),
+                        when_empty=when_empty,
+                        reset_carry=bool(msg.get("reset", False)))
+                except (TypeError, ValueError) as e:
+                    self._json({"error": f"bad value: {e}"}, 400)
+                    return
+                self._json(ps.state())
+
+            def _post_frame(self, slot: int) -> None:
+                """Push one frame to an armed slot (module docstring,
+                POST /slots/<i>/frames)."""
+                from urllib.parse import parse_qs
+                from vaudio.runtime.server import (MAX_FRAME_BODY,
+                                                   decode_frame_body)
+                ps = server.pod.push_sources[slot]
+                if ps is None:
+                    self._json({"error": f"slot {slot} is not push-armed;"
+                                " POST /slots/"
+                                f"{slot}/push first"}, 409)
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                if n > MAX_FRAME_BODY:
+                    self._json({"error": f"frame body {n} bytes exceeds "
+                                f"the {MAX_FRAME_BODY}-byte limit"}, 413)
+                    return
+                query = {k: v[0] for k, v in parse_qs(
+                    self.path.partition("?")[2]).items()}
+                try:
+                    frame = decode_frame_body(self.rfile.read(n), query)
+                except ValueError as e:
+                    self._json({"error": str(e)}, 400)
+                    return
+                err = server.pod.check_frame(frame)
+                if err is not None:
+                    # Reject at the door: queueing a contract-violating
+                    # frame would dark the slot at dispatch time.
+                    self._json({"error": err}, 400)
+                    return
+                try:
+                    ps.push(frame)
+                except ValueError as e:       # closed mid-request
+                    self._json({"error": str(e)}, 409)
+                    return
+                self._json({"queued": ps.fill, "pushed": ps.pushed,
+                            "dropped": ps.dropped})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._httpd.daemon_threads = True

@@ -159,13 +159,68 @@ def prometheus_text(metrics: dict, prefix: str = "vaudio") -> str:
             # Metric-major: all samples of one metric must form a single
             # group (Prometheus text exposition format requirement) —
             # slot-major emission would interleave them.
-            for k in value[0]:
+            # Union of keys across slots: per-slot-only metrics (e.g. a
+            # push-armed slot's queue gauges) must emit even when slot 0
+            # lacks them.
+            keys = dict.fromkeys(k for slot in value for k in slot)
+            for k in keys:
                 for i, slot in enumerate(value):
                     emit(f"slot_{k}", slot.get(k),
                          labels=f'{{slot="{i}"}}')
         else:
             emit(key, value)
     return "\n".join(lines) + "\n"
+
+
+#: Upper bound on a pushed-frame HTTP body (a float32 4K RGB frame is
+#: ~95 MB; anything past this is a client bug, not a frame).
+MAX_FRAME_BODY = 256 * 1024 * 1024
+
+
+def decode_frame_body(body: bytes, query: dict):
+    """Decode one pushed video frame from an HTTP request body (the
+    network-ingest counterpart of the capture delegate's CVPixelBuffer,
+    VisionEngine.swift:77-101).  Accepted encodings:
+
+    * a ``.npy`` array (self-describing shape/dtype — the preferred
+      form; ``numpy.save`` to a socket on the client side);
+    * a ``.npz`` with planar-YUV members (``y``/``u``/``v`` or
+      ``y``/``uv``) for the device-side 4:2:0 path;
+    * raw bytes with ``?w=&h=`` query params and optional
+      ``fmt=rgb24|i420|nv12`` (default rgb24) — the ffmpeg-pipe-friendly
+      form.
+
+    Raises ``ValueError`` on anything else."""
+    import io as _io
+    if len(body) > MAX_FRAME_BODY:
+        raise ValueError(f"frame body {len(body)} bytes exceeds the "
+                         f"{MAX_FRAME_BODY}-byte limit")
+    if body[:6] == b"\x93NUMPY":
+        return np.load(_io.BytesIO(body), allow_pickle=False)
+    if body[:4] == b"PK\x03\x04":          # .npz is a zip archive
+        z = np.load(_io.BytesIO(body), allow_pickle=False)
+        return {k: z[k] for k in z.files}
+    w, h = query.get("w"), query.get("h")
+    if not (w and h):
+        raise ValueError("raw frame bytes need ?w=&h= query params "
+                         "(or send a self-describing .npy body)")
+    w, h = int(w), int(h)
+    fmt = query.get("fmt", "rgb24")
+    if fmt == "rgb24":
+        expect = h * w * 3
+        if len(body) != expect:
+            raise ValueError(f"rgb24 {w}x{h} needs {expect} bytes, "
+                             f"got {len(body)}")
+        return np.frombuffer(body, np.uint8).reshape(h, w, 3)
+    if fmt in ("i420", "nv12"):
+        expect = h * w * 3 // 2
+        if len(body) != expect:
+            raise ValueError(f"{fmt} {w}x{h} needs {expect} bytes, "
+                             f"got {len(body)}")
+        from vaudio.io import parse_yuv420
+        y, u, v = parse_yuv420(body, h, w, fmt)
+        return {"y": y, "u": u, "v": v}
+    raise ValueError(f"unknown fmt {fmt!r} (rgb24, i420 or nv12)")
 
 
 def npz_bytes(save_fn) -> bytes:

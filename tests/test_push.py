@@ -327,6 +327,116 @@ class TestPushClient:
             pod.stop()
 
 
+class TestSingleStreamPush:
+    def test_api_push_stream_end_to_end(self):
+        """The single-stream counterpart: Auralizer(source=PushSource),
+        frames POSTed to the LiveServer's /frames door, closed via
+        /push, PCM verified."""
+        from vaudio.api import Auralizer
+        ps = PushSource(when_empty="block")
+        aur = Auralizer(source=ps, config=AuralizerConfig(mip_level=1),
+                        debug=False)
+        server = aur.serve(port=0)
+        try:
+            aur.start()
+            clip = np.asarray(hsb_frames(0.8, 1.0, 1.0, width=64,
+                                         height=64, num_frames=6))
+            for f in clip:
+                status, resp = _post_bytes(server.url + "frames",
+                                           _npy_bytes(f))
+                assert status == 200
+            status, state = _get(server.url + "push")
+            assert status == 200 and state["armed"] and state["pushed"] == 6
+            status, state = _post_json(server.url + "push",
+                                       {"close": True})
+            assert status == 200 and state["closed"]
+            _wait(lambda: not aur.is_running, 120, "stream end on close")
+            aur.raise_if_failed()
+            m = aur.metrics
+            assert m["frames_processed"] == 6
+            assert m["buffer_fill"] >= 1
+        finally:
+            server.stop()
+            aur.stop()
+
+    def test_frames_endpoint_409_on_non_push_stream(self):
+        from vaudio.api import Auralizer
+        aur = Auralizer(config=AuralizerConfig(mip_level=1), debug=False)
+        server = aur.serve(port=0)
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post_bytes(server.url + "frames",
+                            _npy_bytes(np.zeros((8, 8, 3), np.float32)))
+            assert e.value.code == 409
+            status, state = _get(server.url + "push")
+            assert status == 200 and state == {"armed": False}
+        finally:
+            server.stop()
+
+    def test_non_block_policy_rejected_single_stream(self):
+        from vaudio.api import Auralizer
+        aur = Auralizer(source=PushSource(when_empty="hold"),
+                        config=AuralizerConfig(mip_level=1), debug=False)
+        with pytest.raises(ValueError, match="block"):
+            aur.start()
+
+    def test_stream_cli_push(self, tmp_path):
+        """`vaudio stream --input push --serve` + `vaudio push --stream`
+        across two subprocesses; PCM lands on the stream's stdout."""
+        import os
+        import re
+        import subprocess
+        import sys
+
+        clip = hsb_frames(0.45, 1.0, 1.0, width=64, height=64,
+                          num_frames=6)
+        p = str(tmp_path / "clip.npy")
+        np.save(p, np.asarray(clip))
+        env = dict(os.environ, VAUDIO_PLATFORM="cpu",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
+                   PYTHONPATH="/root/repo:" + os.environ.get(
+                       "PYTHONPATH", ""))
+        out_pcm = open(tmp_path / "out.pcm", "wb")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "vaudio", "stream", "--input", "push",
+             "--serve", "127.0.0.1:0"],
+            stdout=out_pcm, stderr=subprocess.PIPE, env=env,
+            cwd="/root/repo")
+        try:
+            url = None
+            deadline = time.monotonic() + 300
+            lines = []
+            while time.monotonic() < deadline:
+                line = proc.stderr.readline().decode()
+                if not line and proc.poll() is not None:
+                    break
+                lines.append(line)
+                m = re.search(r"panel at (http://\S+/)", line)
+                if m:
+                    url = m.group(1)
+                    break
+            assert url, "stream never printed its panel URL: " \
+                + "".join(lines)
+            res = subprocess.run(
+                [sys.executable, "-m", "vaudio", "push", "--url", url,
+                 "--stream", "--input", p],
+                capture_output=True, timeout=600, env=env,
+                cwd="/root/repo")
+            assert res.returncode == 0, res.stderr.decode()[-800:]
+            assert b"6 frames" in res.stderr
+            _out, err = proc.communicate(timeout=600)
+            assert proc.returncode == 0, err.decode()[-800:]
+            out_pcm.close()
+            pcm = np.fromfile(tmp_path / "out.pcm", "<f4")
+            assert pcm.size > 0 and np.isfinite(pcm).all()
+            assert float(np.abs(pcm).max()) > 1e-4   # audible, not silence
+        finally:
+            out_pcm.close()
+            if proc.poll() is None:
+                proc.kill()
+                proc.communicate()
+
+
 class TestPushCLI:
     def test_pod_push_slot_fed_by_push_cli(self, tmp_path):
         """Full network loop across two CLI subprocesses: `vaudio pod

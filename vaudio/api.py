@@ -63,6 +63,10 @@ class Auralizer:
         self.config = config
         self.params = params if params is not None else LiveParams()
         self._source = source
+        #: The live :class:`vaudio.io.PushSource` when the stream's
+        #: source is push-model (set by :meth:`start`); the LiveServer's
+        #: ``POST /frames`` network-ingest door routes here.
+        self.push_source = None
         self._stream = StreamingAuralizer(
             config, params=self.params, realtime=realtime,
             prefer_native=prefer_native, debug=debug,
@@ -124,6 +128,18 @@ class Auralizer:
     def _frame_iter(self, source: SourceLike) -> Iterable[np.ndarray]:
         if source is None:
             raise ValueError("no frame source provided")
+        from vaudio.io.push import PushSource
+        self.push_source = source if isinstance(source, PushSource) \
+            else None
+        if (self.push_source is not None
+                and self.push_source.when_empty != "block"):
+            # hold/dark yield None idle ticks — a pod concept (the pod
+            # advances slots in lockstep); the single-stream producer
+            # has its own thread and should simply block on arrival.
+            raise ValueError(
+                "a single-stream push source must use "
+                "when_empty='block' (hold/dark idle ticks are pod "
+                "semantics)")
         if isinstance(source, np.ndarray):
             return ArraySource(source).frames()
         # Any source object (ArraySource, RawVideoSource, VideoFileSource,

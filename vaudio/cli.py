@@ -179,7 +179,16 @@ def cmd_stream(args) -> int:
                     debug=bool(args.live_debug or args.serve))
 
     path = "/dev/stdin" if args.input == "-" else args.input
-    if path.startswith("cv2:"):
+    if path == "push":
+        # Network ingest: frames arrive over the --serve panel's HTTP
+        # door (POST /frames; see `vaudio push`).  block policy: the
+        # producer thread paces on arrival, like a pipe read.
+        if not args.serve:
+            raise SystemExit("stream: --input push needs --serve "
+                             "(frames arrive via POST /frames)")
+        from vaudio.io import PushSource
+        src = PushSource(when_empty="block")
+    elif path.startswith("cv2:"):
         # Live webcam through OpenCV's codecs (cv2:0 = default camera;
         # cv2:<anything-else> is passed to VideoCapture verbatim).
         from vaudio.io import Cv2CameraSource
@@ -299,7 +308,7 @@ def cmd_stream(args) -> int:
               file=sys.stderr)
         return 128 + (_sig["n"] or int(_signal.SIGINT))
 
-    aur.start(src.frames())
+    aur.start(src)              # duck-typed: anything with .frames()
     out = sys.stdout.buffer
     quantum = 2048 * cfg.channels
     hop_samples = cfg.hop_size * cfg.channels
@@ -576,13 +585,14 @@ def cmd_push(args) -> int:
     frames = _open_frame_iter(args.input, width=w, height=h,
                               pix_fmt=args.pix_fmt, fps=args.fps,
                               max_frames=args.max_frames)
-    sent = push_frames(args.url, args.slot, frames,
+    slot = None if args.stream else args.slot
+    sent = push_frames(args.url, slot, frames,
                        fps=args.fps if args.realtime else None,
                        arm=not args.no_arm, when_empty=args.when_empty,
                        maxsize=args.maxsize, reset=args.reset,
                        close=not args.no_close)
-    print(f"push: {sent} frames -> {args.url} slot {args.slot}",
-          file=sys.stderr)
+    target = "stream" if slot is None else f"slot {slot}"
+    print(f"push: {sent} frames -> {args.url} {target}", file=sys.stderr)
     return 0
 
 
@@ -730,8 +740,10 @@ def main(argv=None) -> int:
                    help="frame source: '-' = stdin, a file/FIFO/"
                         "capture-device node in a raw pixel format, "
                         "an encoded video file (.mp4/.avi/... decoded "
-                        "in-process), or cv2:N — live webcam N via "
-                        "OpenCV (handles compressed MJPEG/H.264 cams)")
+                        "in-process), cv2:N — live webcam N via "
+                        "OpenCV (handles compressed MJPEG/H.264 cams), "
+                        "or 'push' — network ingest via the --serve "
+                        "panel's POST /frames (see 'vaudio push')")
     p.add_argument("--pix-fmt", default="rgb24",
                    choices=("rgb24", "i420", "nv12"),
                    help="incoming raw pixel format")
@@ -832,7 +844,10 @@ def main(argv=None) -> int:
     p.add_argument("--url", required=True,
                    help="pod panel base URL, e.g. http://host:8000")
     p.add_argument("--slot", type=int, default=0,
-                   help="target serving slot index")
+                   help="target serving slot index (pod panels)")
+    p.add_argument("--stream", action="store_true",
+                   help="target a single-stream panel ('vaudio stream "
+                        "--input push --serve') instead of a pod slot")
     p.add_argument("--input", required=True,
                    help="frame source: raw video file/FIFO, .npy/.npz "
                         "clip, encoded video file, or cv2:N webcam")

@@ -142,9 +142,10 @@ class PushSource:
                     "when_empty": self.when_empty}
 
 
-def push_frames(base_url: str, slot: int, frames, fps: Optional[float]
-                = None, arm: bool = True, when_empty: str = "hold",
-                maxsize: int = 8, reset: bool = False, close: bool = True,
+def push_frames(base_url: str, slot: Optional[int], frames,
+                fps: Optional[float] = None, arm: bool = True,
+                when_empty: str = "hold", maxsize: int = 8,
+                reset: bool = False, close: bool = True,
                 timeout: float = 30.0) -> int:
     """HTTP client for a serving pod's network-ingest door: arm
     ``slot`` on the pod at ``base_url`` (``POST /slots/<slot>/push``),
@@ -155,8 +156,13 @@ def push_frames(base_url: str, slot: int, frames, fps: Optional[float]
     raise ``RuntimeError`` with the pod's error message — e.g. a frame
     violating the pod's static shape contract.
 
-    This is what ``python -m vaudio push`` runs; the server side is
-    :class:`vaudio.runtime.podserver.PodServer`."""
+    ``slot=None`` targets a SINGLE-STREAM panel instead (``vaudio
+    stream --input push --serve``: root ``POST /frames`` / ``/push``
+    endpoints, pre-armed at launch so ``arm`` is ignored).
+
+    This is what ``python -m vaudio push`` runs; the server sides are
+    :class:`vaudio.runtime.podserver.PodServer` and
+    :class:`vaudio.runtime.server.LiveServer`."""
     import io
     import json
     import time
@@ -179,8 +185,9 @@ def push_frames(base_url: str, slot: int, frames, fps: Optional[float]
             raise RuntimeError(
                 f"pod rejected POST {path} ({e.code}): {detail}") from None
 
-    if arm:
-        post(f"/slots/{slot}/push",
+    prefix = "" if slot is None else f"/slots/{slot}"
+    if arm and slot is not None:
+        post(f"{prefix}/push",
              json.dumps({"when_empty": when_empty, "maxsize": maxsize,
                          "reset": reset}).encode(), "application/json")
     period = None if not fps else 1.0 / float(fps)
@@ -199,11 +206,11 @@ def push_frames(base_url: str, slot: int, frames, fps: Optional[float]
                                  for k, v in frame.items()})
             else:
                 np.save(buf, np.ascontiguousarray(frame))
-            post(f"/slots/{slot}/frames", buf.getvalue(),
+            post(f"{prefix}/frames", buf.getvalue(),
                  "application/octet-stream")
             sent += 1
     finally:
         if close:
-            post(f"/slots/{slot}/push", b'{"close": true}',
+            post(f"{prefix}/push", b'{"close": true}',
                  "application/json")
     return sent

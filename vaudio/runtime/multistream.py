@@ -391,17 +391,14 @@ class MultiStreamAuralizer:
         frame any slot delivered — matching it.  Returns an error
         message, or ``None`` when acceptable.  A frame rejected here
         would otherwise dark its slot at dispatch time (:meth:`_fail_slot`)."""
+        from vaudio.runtime.server import frame_structure_error
         try:
             fr = _normalize_frame(frame)
         except Exception as e:
             return f"undecodable frame: {type(e).__name__}: {e}"
-        if isinstance(fr, dict):
-            if not {"y", "u", "v"} <= set(fr) or any(
-                    fr[k].ndim != 2 for k in ("y", "u", "v")):
-                return ("planar-YUV frame needs 2-D 'y', 'u', 'v' "
-                        f"members, got {[(k, v.shape) for k, v in fr.items()]}")
-        elif fr.ndim != 3 or fr.shape[-1] != 3:
-            return (f"frame must be (H, W, 3) RGB, got shape {fr.shape}")
+        err = frame_structure_error(fr)
+        if err is not None:
+            return err
         sig = _frame_sig(fr)
         if self._template_sig is not None and sig != self._template_sig:
             return (f"frame signature {sig} != pod signature "

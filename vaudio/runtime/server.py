@@ -32,6 +32,15 @@ stdlib only (``http.server``): one ephemeral HTTP endpoint exposing
 * ``GET /debug/input.png`` — a downsampled preview of the last ingested
   frame (the CameraPreview surface, Views/CameraPreview.swift:11-51;
   also needs ``debug=True``, which makes the stream keep the frame);
+* ``POST /frames``     — network frame ingest when the stream's source
+  is a :class:`vaudio.io.PushSource` (``vaudio stream --input push``):
+  one frame per request as a self-describing ``.npy`` body, a
+  planar-YUV ``.npz``, or raw ``rgb24``/``i420``/``nv12`` bytes with
+  ``?w=&h=&fmt=`` (:func:`decode_frame_body`) — the capture delegate's
+  push contract over HTTP (VisionEngine.swift:77-101).  A full queue
+  drops its oldest frame (newest wins, CameraModel.swift:24);
+* ``GET /push`` / ``POST /push`` — inbound push-queue state / close
+  (``{"close": true}`` ends the stream once the queue drains);
 * ``GET /audio.wav``   — a live 16-bit WAV stream pulled from the audio
   ring at the hardware cadence (the AVAudioSourceNode equivalent, so a
   browser ``<audio>`` element IS the speaker).  One listener at a time;
@@ -223,6 +232,22 @@ def decode_frame_body(body: bytes, query: dict):
     raise ValueError(f"unknown fmt {fmt!r} (rgb24, i420 or nv12)")
 
 
+def frame_structure_error(frame) -> Optional[str]:
+    """Structural validation for a pushed frame (before any pipeline
+    contract checks): an (H, W, 3) RGB array or a planar-YUV dict with
+    2-D y/u/v members.  Returns an error message or None."""
+    if isinstance(frame, dict):
+        if not {"y", "u", "v"} <= set(frame) or any(
+                np.asanyarray(frame[k]).ndim != 2 for k in ("y", "u", "v")):
+            return ("planar-YUV frame needs 2-D 'y', 'u', 'v' members, "
+                    f"got {[(k, np.asanyarray(v).shape) for k, v in frame.items()]}")
+        return None
+    arr = np.asanyarray(frame)
+    if arr.ndim != 3 or arr.shape[-1] != 3:
+        return f"frame must be (H, W, 3) RGB, got shape {arr.shape}"
+    return None
+
+
 def npz_bytes(save_fn) -> bytes:
     """Run a ``save_state``-style callable against an in-memory buffer
     (np.savez accepts file objects) and return the .npz bytes."""
@@ -344,6 +369,10 @@ class LiveServer:
                                             "or no debug state yet"}, 404)
                             else:
                                 self._send(200, "image/png", png)
+                    elif path == "/push":
+                        ps = server.aur.push_source
+                        self._json({"armed": False} if ps is None
+                                   else ps.state())
                     elif path == "/audio.wav":
                         server._stream_audio(self)
                     else:
@@ -375,6 +404,70 @@ class LiveServer:
                                    400)
                         return
                     self._json({"restored": True})
+                    return
+                if path == "/frames":
+                    # Network frame ingest (the push-model capture
+                    # contract over HTTP, VisionEngine.swift:77-101):
+                    # only meaningful when the stream's source is a
+                    # PushSource (`vaudio stream --input push`).
+                    ps = server.aur.push_source
+                    if ps is None:
+                        self._json({"error": "this stream's source is "
+                                    "not push-model; launch with "
+                                    "--input push (or an "
+                                    "io.PushSource)"}, 409)
+                        return
+                    n = int(self.headers.get("Content-Length", 0))
+                    if n > MAX_FRAME_BODY:
+                        self._json({"error": f"frame body {n} bytes "
+                                    f"exceeds the {MAX_FRAME_BODY}-byte "
+                                    "limit"}, 413)
+                        return
+                    from urllib.parse import parse_qs
+                    query = {k: v[0] for k, v in parse_qs(
+                        self.path.partition("?")[2]).items()}
+                    try:
+                        frame = decode_frame_body(self.rfile.read(n),
+                                                  query)
+                    except ValueError as e:
+                        self._json({"error": str(e)}, 400)
+                        return
+                    err = frame_structure_error(frame)
+                    if err is not None:
+                        # No static shape contract here — the single
+                        # stream manages resolution changes — but a
+                        # non-frame must not kill the producer.
+                        self._json({"error": err}, 400)
+                        return
+                    try:
+                        ps.push(frame)
+                    except ValueError as e:      # closed mid-request
+                        self._json({"error": str(e)}, 409)
+                        return
+                    self._json({"queued": ps.fill, "pushed": ps.pushed,
+                                "dropped": ps.dropped})
+                    return
+                if path == "/push":
+                    # Close the inbound push stream ({"close": true});
+                    # arming happens at launch for a single stream.
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        msg = json.loads(self.rfile.read(n) or b"{}")
+                    except json.JSONDecodeError as e:
+                        self._json({"error": f"bad request: {e}"}, 400)
+                        return
+                    ps = server.aur.push_source
+                    if ps is None:
+                        self._json({"error": "source is not push-model"},
+                                   409)
+                        return
+                    if not (isinstance(msg, dict) and msg.get("close")):
+                        self._json({"error": "only {\"close\": true} is "
+                                    "supported here (single-stream push "
+                                    "sources are armed at launch)"}, 400)
+                        return
+                    ps.close()
+                    self._json(ps.state())
                     return
                 if path != "/params":
                     self._json({"error": "not found"}, 404)

@@ -130,6 +130,32 @@ class TestAuralizerAPI:
         assert aur.metrics["frames_processed"] == 4
         aur.stop()
 
+    def test_chunk_frames_and_metrics_log_kwargs(self, tmp_path):
+        """Auralizer forwards chunk_frames/metrics_log to the streaming
+        loop: the throughput knob and the JSONL log are front-door
+        options, not StreamingAuralizer-only (SERVING.md's 'one knob
+        that matters')."""
+        frames = solid_color_frames([1, 0.2, 0.1], 64, 64, 8)
+        log = str(tmp_path / "m.jsonl")
+        aur = Auralizer(source=frames, chunk_frames=4, metrics_log=log,
+                        debug=False)
+        aur.run_until_exhausted()
+        m = aur.metrics
+        assert m["frames_processed"] == 8
+        assert m["dispatches"] == 2            # two chunks of 4
+        chunked = aur.pull(8 * 2048)
+        aur.stop()
+        # One record per DISPATCH (two chunks of 4), each counting its
+        # real frames.
+        records = [json.loads(l) for l in open(log)]
+        assert len(records) == 2
+        assert sum(r["frames"] for r in records) == 8
+        assert all("latency_ms" in r for r in records)
+        ref = Auralizer(source=frames, debug=False)
+        ref.run_until_exhausted()
+        np.testing.assert_allclose(chunked, ref.pull(8 * 2048), atol=2e-4)
+        ref.stop()
+
     def test_toggle(self):
         frames = solid_color_frames([1, 0.1, 0.1], 64, 64, 3)
         aur = Auralizer(source=frames)
@@ -310,6 +336,27 @@ class TestStreamCLI:
         pcm = np.frombuffer(r.stdout, "<f4")
         assert len(pcm) >= 4 * 2048
         assert np.all(np.isfinite(pcm))
+
+    def test_chunk_frames_and_metrics_log_flags(self, tmp_path):
+        """`vaudio stream --chunk-frames 4 --metrics-log x.jsonl`: the
+        throughput pipeline + per-frame JSONL at the CLI front door."""
+        frames = (solid_color_frames([0.2, 0.9, 0.2], 64, 64, 8)
+                  * 255).astype(np.uint8)
+        log = str(tmp_path / "m.jsonl")
+        env = dict(os.environ, VAUDIO_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
+                   PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH",
+                                                             ""))
+        r = subprocess.run(
+            [sys.executable, "-m", "vaudio", "stream", "--size", "64x64",
+             "--chunk-frames", "4", "--metrics-log", log],
+            input=frames.tobytes(), capture_output=True, env=env,
+            cwd="/root/repo", timeout=300)
+        assert r.returncode == 0, r.stderr.decode()[-500:]
+        pcm = np.frombuffer(r.stdout, "<f4")
+        assert len(pcm) >= 8 * 2048 and np.all(np.isfinite(pcm))
+        records = [json.loads(l) for l in open(log)]
+        assert sum(r["frames"] for r in records) == 8
 
     def test_sigterm_graceful_shutdown_saves_state(self, tmp_path):
         """SIGTERM mid-stream exits cleanly (rc 143): PCM flushed,

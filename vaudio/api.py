@@ -51,6 +51,12 @@ class Auralizer:
         aur.start()
         pcm = aur.pull(512)                  # audio-callback style
         aur.stop()
+
+    ``chunk_frames > 1`` selects the chunk-batched streaming pipeline
+    (one device dispatch per N frames — the throughput shape, at the
+    cost of N-1 frame times of buffering); ``metrics_log`` appends one
+    JSONL record per processed frame for offline analysis.  Both
+    forward to :class:`vaudio.runtime.StreamingAuralizer`.
     """
 
     def __init__(self, source: SourceLike = None,
@@ -59,7 +65,9 @@ class Auralizer:
                  realtime: bool = False,
                  debug: bool = True,
                  prefer_native: bool = True,
-                 sink_latency_ms: Optional[float] = None):
+                 sink_latency_ms: Optional[float] = None,
+                 chunk_frames: int = 1,
+                 metrics_log: Optional[str] = None):
         self.config = config
         self.params = params if params is not None else LiveParams()
         self._source = source
@@ -70,7 +78,8 @@ class Auralizer:
         self._stream = StreamingAuralizer(
             config, params=self.params, realtime=realtime,
             prefer_native=prefer_native, debug=debug,
-            sink_latency_ms=sink_latency_ms)
+            sink_latency_ms=sink_latency_ms,
+            chunk_frames=chunk_frames, metrics_log=metrics_log)
 
     # ------------------------------------------------------------------
     # Offline

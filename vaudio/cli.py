@@ -176,7 +176,9 @@ def cmd_stream(args) -> int:
         VideoFileSource
     cfg, params = _build_config(args)
     aur = Auralizer(config=cfg, params=params, realtime=args.realtime,
-                    debug=bool(args.live_debug or args.serve))
+                    debug=bool(args.live_debug or args.serve),
+                    chunk_frames=args.chunk_frames,
+                    metrics_log=args.metrics_log)
 
     path = "/dev/stdin" if args.input == "-" else args.input
     if path == "push":
@@ -478,7 +480,8 @@ def cmd_pod(args) -> int:
         cfg, n_streams=n,
         params=[dataclasses.replace(params) for _ in range(n)],
         realtime=args.realtime,
-        chunk_frames=args.chunk_frames)
+        chunk_frames=args.chunk_frames,
+        metrics_log=args.metrics_log)
     server = None
     if args.serve:
         host, _, port = args.serve.rpartition(":")
@@ -795,6 +798,15 @@ def main(argv=None) -> int:
                    help="capture a jax.profiler device trace of the "
                         "whole stream to DIR (TensorBoard/Perfetto "
                         "format)")
+    p.add_argument("--chunk-frames", type=int, default=1, metavar="N",
+                   help="frames per device dispatch: 1 = lowest "
+                        "latency, >1 = the chunk-batched throughput "
+                        "pipeline (amortizes dispatch overhead N-fold "
+                        "at the cost of N-1 frame times of buffering)")
+    p.add_argument("--metrics-log", default=None, metavar="JSONL",
+                   help="append one JSONL metrics record per processed "
+                        "frame (timestamp, latency, buffer fill) for "
+                        "offline analysis")
     _add_config_args(p)
     p.set_defaults(fn=cmd_stream)
 
@@ -816,6 +828,10 @@ def main(argv=None) -> int:
     p.add_argument("--chunk-frames", type=int, default=1,
                    help="frames per stream per dispatch (>1 = the "
                         "chunk-batched throughput pipeline)")
+    p.add_argument("--metrics-log", default=None, metavar="JSONL",
+                   help="append one JSONL metrics record per dispatch "
+                        "(timestamp, real frames, latency, per-slot "
+                        "state) for offline analysis")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--realtime", action="store_true",
                    help="pace ticks at --fps (live serving) instead of "

@@ -177,13 +177,50 @@ class TestPodPushIntegration:
             pod.arm_push(0, push_source=PushSource(when_empty="block"))
 
     def test_check_frame_structural(self):
-        pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=1)
+        pod = MultiStreamAuralizer(AuralizerConfig(mip_level=1),
+                                   n_streams=1)
         assert pod.check_frame(np.zeros((8, 8, 3), np.uint8)) is None
         assert "RGB" in pod.check_frame(np.zeros(7, np.float32))
         assert pod.check_frame({"y": np.zeros((8, 8), np.uint8),
                                 "u": np.zeros((4, 4), np.uint8),
                                 "v": np.zeros((4, 4), np.uint8)}) is None
         assert "members" in pod.check_frame({"y": np.zeros(3, np.uint8)})
+
+    def test_check_frame_catches_dispatch_time_killers(self):
+        """Frames that pass a naive shape-arity check but would RAISE at
+        trace time (killing the WHOLE pod producer, not just darkening a
+        slot) must be rejected at the door: mismatched 4:2:0 chroma,
+        YUV into a mip_level=0 config, frames too small for the cell
+        grid, non-numeric dtypes."""
+        pod = MultiStreamAuralizer(AuralizerConfig(mip_level=1),
+                                   n_streams=1)
+        # A fresh pod has NO template signature yet — the structural
+        # check is the only line of defense for the first frame.
+        assert pod._template_sig is None
+        yuv = {"y": np.zeros((64, 64), np.uint8),
+               "u": np.zeros((2, 2), np.uint8),
+               "v": np.zeros((2, 2), np.uint8)}
+        assert "chroma" in pod.check_frame(yuv)
+        pod0 = MultiStreamAuralizer(AuralizerConfig(mip_level=0),
+                                    n_streams=1)
+        good_yuv = {"y": np.zeros((64, 64), np.uint8),
+                    "u": np.zeros((32, 32), np.uint8),
+                    "v": np.zeros((32, 32), np.uint8)}
+        assert pod0.check_frame(good_yuv) is not None   # mip_level >= 1
+        pod3 = MultiStreamAuralizer(AuralizerConfig(mip_level=3),
+                                    n_streams=1)
+        assert "too small" in pod3.check_frame(
+            np.zeros((8, 8, 3), np.uint8))      # 8>>3=1 < grid_size 4
+        # String frames: _normalize_frame's float cast rejects them
+        # before the structural check; the single-stream door (no
+        # normalize step) relies on the dtype check directly.
+        assert pod.check_frame(np.zeros((8, 8, 3), "U1")) is not None
+        from vaudio.runtime.server import frame_structure_error
+        assert "numeric" in frame_structure_error(
+            np.zeros((8, 8, 3), "U1"))
+        assert "numeric" in frame_structure_error(
+            {"y": np.zeros((8, 8), "U1"), "u": np.zeros((4, 4), "U1"),
+             "v": np.zeros((4, 4), "U1")})
 
 
 @pytest.fixture(scope="module")
@@ -270,6 +307,18 @@ class TestPushEndpoints:
             _post_bytes(server.url + "slots/1/frames", b"not a frame")
         assert e.value.code == 400
         assert "w=" in json.loads(e.value.read())["error"]
+
+    def test_truncated_npz_body_400_not_connection_drop(self, push_pod):
+        """A body with a zip magic but corrupt content raised
+        zipfile.BadZipFile PAST the ValueError handler — the client saw
+        a dropped connection instead of the documented 400."""
+        _pod, server = push_pod
+        for body in (b"PK\x03\x04 definitely not a zip",
+                     b"\x93NUMPY truncated header"):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post_bytes(server.url + "slots/1/frames", body)
+            assert e.value.code == 400
+            assert "undecodable" in json.loads(e.value.read())["error"]
 
     def test_block_policy_rejected(self, push_pod):
         _pod, server = push_pod
@@ -379,6 +428,108 @@ class TestSingleStreamPush:
                         config=AuralizerConfig(mip_level=1), debug=False)
         with pytest.raises(ValueError, match="block"):
             aur.start()
+        # The REJECTED source must not stay installed: a running
+        # LiveServer would otherwise answer 200 on /frames and queue
+        # into a source no producer ever consumes.
+        assert aur.push_source is None
+
+    def test_single_push_audio_released_without_next_push(self):
+        """Flush-on-idle: the depth-1 dispatch pipeline used to withhold
+        each pushed frame's audio until the NEXT push (or close) arrived
+        — an interactive client always heard its audio one push late."""
+        from vaudio.api import Auralizer
+        ps = PushSource(when_empty="block")
+        aur = Auralizer(source=ps, config=AuralizerConfig(mip_level=1),
+                        debug=False)
+        aur.start()
+        try:
+            clip = np.asarray(hsb_frames(0.3, 1.0, 1.0, width=64,
+                                         height=64, num_frames=1))
+            ps.push(clip[0])
+            # No close, no second frame: the audio must still arrive.
+            _wait(lambda: aur.metrics["buffer_fill"] >= 1, 120,
+                  "audio from a single un-followed push")
+            aur.raise_if_failed()
+        finally:
+            aur.stop()
+
+    def test_chunked_push_flushes_partial_chunk_on_idle(self):
+        """chunk_frames > 1 + a push source: a partial chunk must not
+        wait (possibly forever) for the queue to refill — on idle it
+        flushes as single steps."""
+        from vaudio.api import Auralizer
+        ps = PushSource(when_empty="block")
+        aur = Auralizer(source=ps, config=AuralizerConfig(mip_level=1),
+                        chunk_frames=4, debug=False)
+        aur.start()
+        try:
+            clip = np.asarray(hsb_frames(0.7, 1.0, 1.0, width=64,
+                                         height=64, num_frames=2))
+            for f in clip:
+                ps.push(f)
+            _wait(lambda: aur.metrics["frames_processed"] >= 2, 120,
+                  "both frames of a sub-chunk push to process")
+            _wait(lambda: aur.metrics["buffer_fill"] >= 2, 120,
+                  "sub-chunk audio to flush on idle")
+            aur.raise_if_failed()
+        finally:
+            aur.stop()
+
+    def test_stop_wakes_blocked_push_producer(self):
+        """Auralizer.stop() closes the push source first: a producer
+        blocked in PushSource.frames()'s condition wait used to burn
+        the full 10 s join timeout and leak a zombie thread."""
+        from vaudio.api import Auralizer
+        ps = PushSource(when_empty="block")
+        aur = Auralizer(source=ps, config=AuralizerConfig(mip_level=1),
+                        debug=False)
+        aur.start()
+        clip = np.asarray(hsb_frames(0.5, 1.0, 1.0, width=64, height=64,
+                                     num_frames=1))
+        ps.push(clip[0])
+        _wait(lambda: aur.metrics["frames_processed"] >= 1, 120,
+              "warm-up frame")
+        t0 = time.monotonic()
+        aur.stop()                    # producer is blocked in wait()
+        assert time.monotonic() - t0 < 5.0
+        assert not aur.is_running
+        # No zombie: a fresh start on a new source must be accepted.
+        aur2_src = PushSource(when_empty="block")
+        aur.start(aur2_src)
+        aur2_src.close()
+        _wait(lambda: not aur.is_running, 60, "restarted stream to end")
+        aur.stop()
+
+    def test_failed_stream_answers_409_on_frames(self):
+        """A dead producer must not keep collecting 200s: POST /frames
+        on a failed stream answers 409 with the failure."""
+        from vaudio.api import Auralizer
+        ps = PushSource(when_empty="block")
+        aur = Auralizer(source=ps, config=AuralizerConfig(mip_level=1),
+                        debug=False)
+        server = aur.serve(port=0)
+        try:
+            aur.start()
+            aur._stream._error = RuntimeError("injected wreck")
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post_bytes(server.url + "frames",
+                            _npy_bytes(np.zeros((64, 64, 3), np.float32)))
+            assert e.value.code == 409
+            assert "FAILED" in json.loads(e.value.read())["error"]
+        finally:
+            aur._stream._error = None
+            server.stop()
+            aur.stop()
+
+    def test_cli_push_stream_rejects_pod_arm_flags(self, tmp_path):
+        """--when-empty/--maxsize/--reset are pod arm-time knobs; with
+        --stream they were silently ignored."""
+        from vaudio.cli import main
+        p = str(tmp_path / "c.npy")
+        np.save(p, np.zeros((1, 16, 16, 3), np.float32))
+        with pytest.raises(SystemExit, match="arm time"):
+            main(["push", "--url", "http://127.0.0.1:1", "--stream",
+                  "--when-empty", "dark", "--input", p])
 
     def test_stream_cli_push(self, tmp_path):
         """`vaudio stream --input push --serve` + `vaudio push --stream`

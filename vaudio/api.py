@@ -138,10 +138,8 @@ class Auralizer:
         if source is None:
             raise ValueError("no frame source provided")
         from vaudio.io.push import PushSource
-        self.push_source = source if isinstance(source, PushSource) \
-            else None
-        if (self.push_source is not None
-                and self.push_source.when_empty != "block"):
+        ps = source if isinstance(source, PushSource) else None
+        if ps is not None and ps.when_empty != "block":
             # hold/dark yield None idle ticks — a pod concept (the pod
             # advances slots in lockstep); the single-stream producer
             # has its own thread and should simply block on arrival.
@@ -149,6 +147,15 @@ class Auralizer:
                 "a single-stream push source must use "
                 "when_empty='block' (hold/dark idle ticks are pod "
                 "semantics)")
+        # Install only a VALIDATED source: a rejected one must not leave
+        # the LiveServer's /frames door queueing into a dead queue.
+        self.push_source = ps
+        # Flush-on-idle: when the push queue is empty the producer is
+        # about to block indefinitely in PushSource.frames(), so the
+        # depth-1 dispatch pipeline must not withhold the LAST pushed
+        # frame's audio until the next push arrives.
+        self._stream.idle_probe = (
+            (lambda: ps.fill == 0) if ps is not None else None)
         if isinstance(source, np.ndarray):
             return ArraySource(source).frames()
         # Any source object (ArraySource, RawVideoSource, VideoFileSource,
@@ -165,6 +172,12 @@ class Auralizer:
         self._stream.start(self._frame_iter(source))
 
     def stop(self) -> None:
+        if self.push_source is not None:
+            # Wake a producer blocked in PushSource.frames()'s
+            # condition wait — _stop_event alone is only checked
+            # between frames, so stop() would otherwise burn the full
+            # join timeout and leave a zombie thread.
+            self.push_source.close()
         self._stream.stop()
 
     def toggle(self, source: SourceLike = None) -> None:
@@ -264,6 +277,14 @@ class Auralizer:
             "dropped_frames": getattr(ring, "dropped_frames", 0),
             "underrun_samples": getattr(ring, "underrun_samples", 0),
         }
+
+    @property
+    def failure(self):
+        """The exception the producer thread died with, or ``None`` —
+        the non-raising probe behind :meth:`raise_if_failed` (the HTTP
+        ingest door answers 409 from it instead of queueing frames
+        into a dead stream)."""
+        return self._stream._error
 
     def raise_if_failed(self) -> None:
         """Re-raise any exception the producer thread died with."""

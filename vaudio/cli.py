@@ -351,7 +351,11 @@ def cmd_stream(args) -> int:
                   file=sys.stderr)
         except KeyboardInterrupt:
             rc = interrupt_rc()
-        finish()
+        finally:
+            # Also on producer failure (raise_if_failed): the error
+            # propagates loudly, but the trace must stop and
+            # --save-state must still capture the consistent carry.
+            finish()
         return rc
 
     def emit(pcm) -> int:
@@ -393,10 +397,14 @@ def cmd_stream(args) -> int:
             written += emit(aur.pull(min(quantum, fill * hop_samples)))
     except KeyboardInterrupt:
         rc = interrupt_rc()
-    out.flush()
-    print(f"stream: {written / cfg.sample_rate / cfg.channels:.2f}s of "
-          f"PCM written; metrics: {aur.metrics}", file=sys.stderr)
-    finish()
+    finally:
+        # Also on producer failure (raise_if_failed): the error
+        # propagates loudly, but the PCM written so far must flush and
+        # --save-state must still capture the consistent carry.
+        out.flush()
+        print(f"stream: {written / cfg.sample_rate / cfg.channels:.2f}s "
+              f"of PCM written; metrics: {aur.metrics}", file=sys.stderr)
+        finish()
     return rc
 
 
@@ -589,6 +597,16 @@ def cmd_push(args) -> int:
                               pix_fmt=args.pix_fmt, fps=args.fps,
                               max_frames=args.max_frames)
     slot = None if args.stream else args.slot
+    if slot is None and (args.when_empty != "hold" or args.maxsize != 8
+                         or args.reset):
+        # Single-stream panels configure their PushSource at launch
+        # (block policy, fixed queue) — silently ignoring the requested
+        # queue policy would be worse than refusing.
+        raise SystemExit(
+            "push: --when-empty/--maxsize/--reset configure a POD "
+            "slot's queue at arm time; a single-stream panel "
+            "(--stream) is armed at launch and cannot be re-armed "
+            "remotely")
     sent = push_frames(args.url, slot, frames,
                        fps=args.fps if args.realtime else None,
                        arm=not args.no_arm, when_empty=args.when_empty,

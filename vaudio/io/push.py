@@ -193,6 +193,7 @@ def push_frames(base_url: str, slot: Optional[int], frames,
     period = None if not fps else 1.0 / float(fps)
     next_t = time.monotonic()
     sent = 0
+    ok = False
     try:
         for frame in frames:
             if period is not None:
@@ -209,8 +210,18 @@ def push_frames(base_url: str, slot: Optional[int], frames,
             post(f"{prefix}/frames", buf.getvalue(),
                  "application/octet-stream")
             sent += 1
+        ok = True
     finally:
         if close:
-            post(f"{prefix}/push", b'{"close": true}',
-                 "application/json")
+            try:
+                post(f"{prefix}/push", b'{"close": true}',
+                     "application/json")
+            except Exception:
+                # When the send loop itself failed, the close POST to
+                # the same dead/unreachable host must not mask WHICH
+                # frame POST failed; on a successful send, a failed
+                # close is a real error the caller needs (the server
+                # would never learn the stream ended).
+                if ok:
+                    raise
     return sent

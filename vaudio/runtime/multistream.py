@@ -396,7 +396,7 @@ class MultiStreamAuralizer:
             fr = _normalize_frame(frame)
         except Exception as e:
             return f"undecodable frame: {type(e).__name__}: {e}"
-        err = frame_structure_error(fr)
+        err = frame_structure_error(fr, self.cfg)
         if err is not None:
             return err
         sig = _frame_sig(fr)

@@ -432,40 +432,12 @@ class PodServer:
             def _post_frame(self, slot: int) -> None:
                 """Push one frame to an armed slot (module docstring,
                 POST /slots/<i>/frames)."""
-                from urllib.parse import parse_qs
-                from vaudio.runtime.server import (MAX_FRAME_BODY,
-                                                   decode_frame_body)
-                ps = server.pod.push_sources[slot]
-                if ps is None:
-                    self._json({"error": f"slot {slot} is not push-armed;"
-                                " POST /slots/"
-                                f"{slot}/push first"}, 409)
-                    return
-                n = int(self.headers.get("Content-Length", 0))
-                if n > MAX_FRAME_BODY:
-                    self._json({"error": f"frame body {n} bytes exceeds "
-                                f"the {MAX_FRAME_BODY}-byte limit"}, 413)
-                    return
-                query = {k: v[0] for k, v in parse_qs(
-                    self.path.partition("?")[2]).items()}
-                try:
-                    frame = decode_frame_body(self.rfile.read(n), query)
-                except ValueError as e:
-                    self._json({"error": str(e)}, 400)
-                    return
-                err = server.pod.check_frame(frame)
-                if err is not None:
-                    # Reject at the door: queueing a contract-violating
-                    # frame would dark the slot at dispatch time.
-                    self._json({"error": err}, 400)
-                    return
-                try:
-                    ps.push(frame)
-                except ValueError as e:       # closed mid-request
-                    self._json({"error": str(e)}, 409)
-                    return
-                self._json({"queued": ps.fill, "pushed": ps.pushed,
-                            "dropped": ps.dropped})
+                from vaudio.runtime.server import handle_frame_post
+                handle_frame_post(
+                    self, server.pod.push_sources[slot],
+                    server.pod.check_frame,
+                    not_armed=f"slot {slot} is not push-armed; POST "
+                    f"/slots/{slot}/push first")
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._httpd.daemon_threads = True

@@ -193,8 +193,8 @@ def decode_frame_body(body: bytes, query: dict):
 
     * a ``.npy`` array (self-describing shape/dtype — the preferred
       form; ``numpy.save`` to a socket on the client side);
-    * a ``.npz`` with planar-YUV members (``y``/``u``/``v`` or
-      ``y``/``uv``) for the device-side 4:2:0 path;
+    * a ``.npz`` with planar-YUV members ``y``/``u``/``v`` for the
+      device-side 4:2:0 path;
     * raw bytes with ``?w=&h=`` query params and optional
       ``fmt=rgb24|i420|nv12`` (default rgb24) — the ffmpeg-pipe-friendly
       form.
@@ -205,10 +205,16 @@ def decode_frame_body(body: bytes, query: dict):
         raise ValueError(f"frame body {len(body)} bytes exceeds the "
                          f"{MAX_FRAME_BODY}-byte limit")
     if body[:6] == b"\x93NUMPY":
-        return np.load(_io.BytesIO(body), allow_pickle=False)
+        try:
+            return np.load(_io.BytesIO(body), allow_pickle=False)
+        except Exception as e:    # truncated/corrupt .npy: EOFError etc.
+            raise ValueError(f"undecodable .npy body: {e}") from None
     if body[:4] == b"PK\x03\x04":          # .npz is a zip archive
-        z = np.load(_io.BytesIO(body), allow_pickle=False)
-        return {k: z[k] for k in z.files}
+        try:
+            z = np.load(_io.BytesIO(body), allow_pickle=False)
+            return {k: z[k] for k in z.files}
+        except Exception as e:    # zipfile.BadZipFile on truncation etc.
+            raise ValueError(f"undecodable .npz body: {e}") from None
     w, h = query.get("w"), query.get("h")
     if not (w and h):
         raise ValueError("raw frame bytes need ?w=&h= query params "
@@ -232,20 +238,90 @@ def decode_frame_body(body: bytes, query: dict):
     raise ValueError(f"unknown fmt {fmt!r} (rgb24, i420 or nv12)")
 
 
-def frame_structure_error(frame) -> Optional[str]:
-    """Structural validation for a pushed frame (before any pipeline
-    contract checks): an (H, W, 3) RGB array or a planar-YUV dict with
-    2-D y/u/v members.  Returns an error message or None."""
+def frame_structure_error(frame, cfg=None) -> Optional[str]:
+    """Validate a pushed frame against what the pipeline can actually
+    trace — network ingest must reject at the door anything that would
+    otherwise raise at dispatch time and kill the producer (a pod loses
+    EVERY slot to one such frame).  Checks: an (H, W, 3) numeric RGB
+    array, or a planar-YUV dict with 2-D numeric y/u/v members whose
+    chroma planes are the 4:2:0 half-size of y (the device-side path
+    crops one-texel-larger chroma but broadcast-fails on anything
+    smaller, vision.yuv420_mip_to_rgb_planes).  With ``cfg``, also
+    checks the config can take the frame: YUV needs ``mip_level >= 1``,
+    and the mip plane must still cover the ``grid_size`` cell grid.
+    Returns an error message or None."""
     if isinstance(frame, dict):
         if not {"y", "u", "v"} <= set(frame) or any(
                 np.asanyarray(frame[k]).ndim != 2 for k in ("y", "u", "v")):
             return ("planar-YUV frame needs 2-D 'y', 'u', 'v' members, "
                     f"got {[(k, np.asanyarray(v).shape) for k, v in frame.items()]}")
-        return None
-    arr = np.asanyarray(frame)
-    if arr.ndim != 3 or arr.shape[-1] != 3:
-        return f"frame must be (H, W, 3) RGB, got shape {arr.shape}"
+        y, u, v = (np.asanyarray(frame[k]) for k in ("y", "u", "v"))
+        if not all(np.issubdtype(p.dtype, np.number) for p in (y, u, v)):
+            return ("planar-YUV members must be numeric, got dtypes "
+                    f"{[str(np.asanyarray(frame[k]).dtype) for k in ('y', 'u', 'v')]}")
+        hc, wc = (y.shape[0] + 1) // 2, (y.shape[1] + 1) // 2
+        if u.shape != (hc, wc) or v.shape != (hc, wc):
+            return (f"4:2:0 chroma planes for y{y.shape} must be "
+                    f"({hc}, {wc}), got u{u.shape} v{v.shape}")
+        if cfg is not None and cfg.mip_level < 1:
+            return ("planar-YUV frames need mip_level >= 1 (the "
+                    "device-side path pools half-resolution chroma at "
+                    "level-1); send RGB to this config")
+        h, w = y.shape
+    else:
+        arr = np.asanyarray(frame)
+        if arr.ndim != 3 or arr.shape[-1] != 3:
+            return f"frame must be (H, W, 3) RGB, got shape {arr.shape}"
+        if not np.issubdtype(arr.dtype, np.number):
+            return f"frame dtype must be numeric, got {arr.dtype}"
+        h, w = arr.shape[:2]
+    if cfg is not None and ((h >> cfg.mip_level) < cfg.grid_size
+                            or (w >> cfg.mip_level) < cfg.grid_size):
+        return (f"frame {h}x{w} is too small: the level-{cfg.mip_level} "
+                f"mip ({h >> cfg.mip_level}x{w >> cfg.mip_level}) cannot "
+                f"cover the {cfg.grid_size}x{cfg.grid_size} cell grid")
     return None
+
+
+def handle_frame_post(handler, ps, validate, not_armed: str) -> None:
+    """The shared ``POST .../frames`` ingest door (LiveServer root and
+    PodServer per-slot): size-check, decode, validate, enqueue, reply.
+    ``ps`` is the target :class:`vaudio.io.PushSource` (None answers
+    409 with ``not_armed``); ``validate(frame) -> Optional[str]`` is
+    the door's contract check."""
+    from urllib.parse import parse_qs
+    if ps is None:
+        handler._json({"error": not_armed}, 409)
+        return
+    try:
+        n = int(handler.headers.get("Content-Length", 0))
+    except ValueError:
+        handler._json({"error": "bad Content-Length header"}, 400)
+        return
+    if n > MAX_FRAME_BODY:
+        handler._json({"error": f"frame body {n} bytes exceeds the "
+                       f"{MAX_FRAME_BODY}-byte limit"}, 413)
+        return
+    query = {k: v[0] for k, v in parse_qs(
+        handler.path.partition("?")[2]).items()}
+    try:
+        frame = decode_frame_body(handler.rfile.read(n), query)
+    except ValueError as e:
+        handler._json({"error": str(e)}, 400)
+        return
+    err = validate(frame)
+    if err is not None:
+        # Reject at the door: a queued contract-violating frame would
+        # kill the producer (or dark the slot) at dispatch time.
+        handler._json({"error": err}, 400)
+        return
+    try:
+        ps.push(frame)
+    except ValueError as e:                   # closed mid-request
+        handler._json({"error": str(e)}, 409)
+        return
+    handler._json({"queued": ps.fill, "pushed": ps.pushed,
+                   "dropped": ps.dropped})
 
 
 def npz_bytes(save_fn) -> bytes:
@@ -409,43 +485,20 @@ class LiveServer:
                     # Network frame ingest (the push-model capture
                     # contract over HTTP, VisionEngine.swift:77-101):
                     # only meaningful when the stream's source is a
-                    # PushSource (`vaudio stream --input push`).
-                    ps = server.aur.push_source
-                    if ps is None:
-                        self._json({"error": "this stream's source is "
-                                    "not push-model; launch with "
-                                    "--input push (or an "
-                                    "io.PushSource)"}, 409)
+                    # PushSource (`vaudio stream --input push`).  A
+                    # dead stream must answer 409, not keep queueing
+                    # into a producer nobody runs.
+                    aur = server.aur
+                    if aur.failure is not None:
+                        self._json({"error": "the stream has FAILED: "
+                                    f"{aur.failure}"}, 409)
                         return
-                    n = int(self.headers.get("Content-Length", 0))
-                    if n > MAX_FRAME_BODY:
-                        self._json({"error": f"frame body {n} bytes "
-                                    f"exceeds the {MAX_FRAME_BODY}-byte "
-                                    "limit"}, 413)
-                        return
-                    from urllib.parse import parse_qs
-                    query = {k: v[0] for k, v in parse_qs(
-                        self.path.partition("?")[2]).items()}
-                    try:
-                        frame = decode_frame_body(self.rfile.read(n),
-                                                  query)
-                    except ValueError as e:
-                        self._json({"error": str(e)}, 400)
-                        return
-                    err = frame_structure_error(frame)
-                    if err is not None:
-                        # No static shape contract here — the single
-                        # stream manages resolution changes — but a
-                        # non-frame must not kill the producer.
-                        self._json({"error": err}, 400)
-                        return
-                    try:
-                        ps.push(frame)
-                    except ValueError as e:      # closed mid-request
-                        self._json({"error": str(e)}, 409)
-                        return
-                    self._json({"queued": ps.fill, "pushed": ps.pushed,
-                                "dropped": ps.dropped})
+                    handle_frame_post(
+                        self, aur.push_source,
+                        lambda f: frame_structure_error(f, aur.config),
+                        not_armed="this stream's source is not "
+                        "push-model; launch with --input push (or an "
+                        "io.PushSource)")
                     return
                 if path == "/push":
                     # Close the inbound push stream ({"close": true});

@@ -159,6 +159,12 @@ class StreamingAuralizer:
         self._error: Optional[BaseException] = None
         self._metrics_log = metrics_log
         self._metrics_fh = None
+        #: Optional callable: True when the frame source is about to
+        #: block awaiting external input (e.g. an empty PushSource
+        #: queue).  The producer then flushes the in-flight dispatch
+        #: and any partial chunk instead of withholding audio until
+        #: the next frame arrives.
+        self.idle_probe = None
         # Last debug snapshot (hues/grads/spectrum/pcm) — the
         # ConvolutionDebugView data feed equivalent, refreshed per flush.
         self.debug_state: Dict[str, np.ndarray] = {}
@@ -447,8 +453,27 @@ class StreamingAuralizer:
                 flush(pending)
             pending = (out, t_capture, len(frames_np))
 
-        for frame in frames:
+        frames_it = iter(frames)
+        while True:
             if self._stop_event.is_set():
+                break
+            if (self.idle_probe is not None and self.idle_probe()
+                    and (pending is not None or chunk_buf)):
+                # The source reports it is about to BLOCK (a push-model
+                # queue ran empty): release everything in flight now —
+                # the depth-1 pending pipeline and a partial chunk are
+                # normally flushed by the NEXT dispatch, which may be a
+                # long time coming (an interactive client pushing at
+                # 1 fps must not hear its audio one full push late).
+                for f in chunk_buf:
+                    dispatch([f], chunk_t0 or time.monotonic())
+                chunk_buf = []
+                if pending is not None:
+                    flush(pending)
+                    pending = None
+            try:
+                frame = next(frames_it)
+            except StopIteration:
                 break
             if self.realtime:
                 now = time.monotonic()

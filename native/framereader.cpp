@@ -30,6 +30,7 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
+#include <cstring>
 #include <deque>
 #include <fcntl.h>
 #include <mutex>
@@ -51,7 +52,7 @@ struct FrameReader {
   bool done = false;             // EOF/error reached
   bool stop = false;             // close requested
   bool seen_data = false;        // any byte ever read (FIFO EOF latch)
-  bool is_pipe_like = false;     // FIFO or char device (vs regular file)
+  bool wait_for_writer = false;  // NAMED fifo: r==0 pre-data = no writer yet
   int64_t frames_read = 0;
   std::mutex mu;
   std::condition_variable cv_free;   // reader waits for a free slot
@@ -86,10 +87,14 @@ bool read_exact(FrameReader* fr, uint8_t* dst, size_t n) {
     if (r < 0 && errno != EAGAIN && errno != EWOULDBLOCK)
       return false;  // hard error
     if (r == 0) {
-      // Regular file: r==0 is always EOF.  FIFO/char device: r==0 means
-      // "no writers" — final once the stream has ever produced data or a
-      // frame is mid-read, otherwise the writer just hasn't connected.
-      if (!fr->is_pipe_like) return false;
+      // r==0 is real EOF everywhere EXCEPT a NAMED fifo read-end that
+      // no writer has connected to yet: regular files, char devices
+      // (/dev/null), sockets and ANONYMOUS shell pipes (whose writers
+      // all existed at fork — none can attach later) must end the
+      // stream here, or an empty input hangs the reader forever.
+      if (!fr->wait_for_writer) return false;
+      // Named FIFO: final once the stream ever produced data or a
+      // frame is mid-read; otherwise the writer just hasn't connected.
       if (fr->seen_data || got > 0) return false;
     }
     // EAGAIN (live writer, empty pipe) or no-writer-yet FIFO: wait a
@@ -138,13 +143,20 @@ void* va_fr_open(const char* path, int64_t frame_bytes, int n_buffers) {
   int fd = open(path, O_RDONLY | O_NONBLOCK);
   if (fd < 0) return nullptr;
   struct stat st;
-  bool pipe_like = false;
-  if (fstat(fd, &st) == 0)
-    pipe_like = S_ISFIFO(st.st_mode) || S_ISCHR(st.st_mode) ||
-                S_ISSOCK(st.st_mode);
+  bool wait_writer = false;
+  if (fstat(fd, &st) == 0 && S_ISFIFO(st.st_mode)) {
+    // A NAMED fifo's writer may connect after us (r==0 until then); an
+    // anonymous pipe's writers all existed at fork, so its r==0 is
+    // always final.  /proc/self/fd distinguishes them: anonymous pipes
+    // resolve to "pipe:[inode]", named fifos to their filesystem path.
+    char link[64], tgt[16];
+    snprintf(link, sizeof link, "/proc/self/fd/%d", fd);
+    ssize_t n = readlink(link, tgt, sizeof tgt - 1);
+    wait_writer = !(n >= 5 && strncmp(tgt, "pipe:", 5) == 0);
+  }
   auto* fr = new FrameReader();
   fr->fd = fd;
-  fr->is_pipe_like = pipe_like;
+  fr->wait_for_writer = wait_writer;
   fr->frame_bytes = static_cast<size_t>(frame_bytes);
   fr->n_buffers = n_buffers;
   fr->pool.resize(n_buffers);

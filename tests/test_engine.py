@@ -1,0 +1,189 @@
+"""Streaming-engine seam: pluggable model families at the live front
+doors (runtime/engine.py).
+
+The host loop (ring, pacing, metrics, control, panel, checkpoints) is
+model-agnostic; an engine supplies the jitted steps, the carry, and the
+LiveParams mapping.  These tests pin the OrthoModes family — the
+reference's abandoned per-pixel design (computeOrthogonalModes.metal,
+SURVEY.md §2.9) completed in models/orthomodes.py — behind the same
+streaming surface the flagship uses.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from vaudio.api import Auralizer
+from vaudio.config import AuralizerConfig, LiveParams
+from vaudio.io import solid_color_frames
+
+
+def _clip(n=6, size=64, color=(1.0, 0.2, 0.1)):
+    return solid_color_frames(list(color), size, size, n)
+
+
+class TestOrthoModesEngine:
+    def test_stream_matches_offline_sonify(self):
+        frames = _clip()
+        aur = Auralizer(model="orthomodes")
+        aur.run_until_exhausted(frames)
+        aur.raise_if_failed()
+        pcm = aur.pull(6 * 2048)
+        aur.stop()
+        off = Auralizer(model="orthomodes").sonify(np.asarray(frames))
+        np.testing.assert_allclose(pcm, off[: len(pcm)], atol=2e-4)
+        assert np.abs(pcm).max() > 1e-3        # audible
+
+    def test_chunked_stream_matches_offline(self):
+        frames = _clip()
+        aur = Auralizer(model="orthomodes", chunk_frames=3)
+        aur.run_until_exhausted(frames)
+        aur.raise_if_failed()
+        assert aur.metrics["dispatches"] == 2  # two scan chunks of 3
+        pcm = aur.pull(6 * 2048)
+        aur.stop()
+        off = Auralizer(model="orthomodes").sonify(np.asarray(frames))
+        np.testing.assert_allclose(pcm, off[: len(pcm)], atol=2e-4)
+
+    def test_stereo_config_coerced_to_mono(self):
+        aur = Auralizer(config=AuralizerConfig(channels=2),
+                        model="orthomodes")
+        assert aur.config.channels == 1
+        assert not aur.config.enable_filters
+
+    def test_live_params_apply(self):
+        """attack/release/spectrum_mixing are live for the per-pixel
+        family too: wildly different AGC settings must change the PCM."""
+        frames = np.asarray(_clip(n=4))
+        a = Auralizer(model="orthomodes",
+                      params=LiveParams(attack=1.0, release=1.0))
+        fast = a.sonify(frames)
+        b = Auralizer(model="orthomodes",
+                      params=LiveParams(attack=0.01, release=0.01))
+        slow = b.sonify(frames)
+        assert not np.allclose(fast, slow, atol=1e-5)
+
+    def test_resolution_change_reinits_carry(self):
+        """The per-pixel carry is sized by the frame: a mid-stream
+        resolution change must re-initialize it (old oscillator state
+        has no meaning at the new pixel count), not crash the producer."""
+        frames = list(_clip(n=3, size=64)) + list(_clip(n=3, size=32))
+        aur = Auralizer(model="orthomodes")
+        aur.run_until_exhausted(frames)
+        aur.raise_if_failed()
+        m = aur.metrics
+        assert m["frames_processed"] == 6
+        assert m["resolution_changes"] == 1
+        pcm = aur.pull(6 * 2048)
+        aur.stop()
+        assert np.isfinite(pcm).all()
+
+    def test_checkpoint_roundtrip_and_cross_model_guard(self, tmp_path):
+        frames = _clip(n=4)
+        aur = Auralizer(model="orthomodes")
+        aur.run_until_exhausted(frames)
+        p = str(tmp_path / "ortho.npz")
+        aur.save_state(p)
+        aur.load_state(p)                      # engine-aware restore
+        aur.stop()
+        flag = Auralizer()                     # flagship engine
+        with pytest.raises(ValueError, match="checkpoint"):
+            flag.load_state(p)                 # per-pixel carry rejected
+        flag2 = Auralizer(model="orthomodes")
+        fp = str(tmp_path / "flag.npz")
+        flag.save_state(fp)
+        with pytest.raises(ValueError, match="OrthoModes"):
+            flag2.load_state(fp)               # flagship carry rejected
+
+    def test_snapshot_before_first_frame_is_loud(self):
+        aur = Auralizer(model="orthomodes")
+        with pytest.raises(ValueError, match="first frame"):
+            aur.save_state("/tmp/never.npz")
+
+    def test_inspect_frame_and_debug_sonify_guards(self):
+        aur = Auralizer(model="orthomodes")
+        with pytest.raises(ValueError, match="16-cell"):
+            aur.inspect_frame(np.zeros((64, 64, 3), np.float32))
+        with pytest.raises(ValueError, match="debug"):
+            aur.sonify(np.asarray(_clip(n=2)), debug=True)
+
+    def test_frame_error_is_engine_aware(self):
+        aur = Auralizer(model="orthomodes")
+        yuv = {"y": np.zeros((64, 64), np.uint8),
+               "u": np.zeros((32, 32), np.uint8),
+               "v": np.zeros((32, 32), np.uint8)}
+        assert "RGB-only" in aur.frame_error(yuv)
+        assert aur.frame_error(np.zeros((64, 64, 3), np.float32)) is None
+        flagship = Auralizer(config=AuralizerConfig(mip_level=1))
+        assert flagship.frame_error(yuv) is None
+
+    def test_push_serving_full_loop(self):
+        """The per-pixel family behind the NETWORK front door: push
+        frames over HTTP, spectrum view renders, hue view (absent for
+        this family) answers 404, PCM lands."""
+        import io
+        import urllib.error
+        import urllib.request
+
+        from vaudio.io import PushSource
+        ps = PushSource(when_empty="block")
+        aur = Auralizer(source=ps, model="orthomodes", debug=True)
+        server = aur.serve(port=0)
+        try:
+            aur.start()
+            clip = np.asarray(_clip(n=4))
+            for f in clip:
+                buf = io.BytesIO()
+                np.save(buf, f)
+                req = urllib.request.Request(
+                    server.url + "frames", data=buf.getvalue(),
+                    method="POST")
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    assert r.status == 200
+            import time
+            deadline = time.monotonic() + 120
+            while (aur.metrics["frames_processed"] < 4
+                   and time.monotonic() < deadline):
+                time.sleep(0.05)
+            assert aur.metrics["frames_processed"] == 4
+            with urllib.request.urlopen(server.url + "debug/spectrum.png",
+                                        timeout=60) as r:
+                assert r.status == 200 and r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(server.url + "debug/hue_matrix.png",
+                                       timeout=60)
+            assert e.value.code == 404
+        finally:
+            server.stop()
+            aur.stop()
+
+
+class TestOrthoModesCLI:
+    def test_stream_cli_model_flag(self, tmp_path):
+        frames = (np.asarray(_clip(n=4, color=(0.2, 0.9, 0.2)))
+                  * 255).astype(np.uint8)
+        env = dict(os.environ, VAUDIO_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
+                   PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH",
+                                                             ""))
+        r = subprocess.run(
+            [sys.executable, "-m", "vaudio", "stream", "--size", "64x64",
+             "--model", "orthomodes"],
+            input=frames.tobytes(), capture_output=True, env=env,
+            cwd="/root/repo", timeout=300)
+        assert r.returncode == 0, r.stderr.decode()[-500:]
+        pcm = np.frombuffer(r.stdout, "<f4")
+        assert len(pcm) >= 4 * 2048 and np.all(np.isfinite(pcm))
+
+    def test_stream_cli_rejects_yuv_and_live_debug(self):
+        from vaudio.cli import main
+        with pytest.raises(SystemExit, match="RGB-only"):
+            main(["stream", "--size", "64x64", "--model", "orthomodes",
+                  "--pix-fmt", "i420"])
+        with pytest.raises(SystemExit, match="debug"):
+            main(["stream", "--size", "64x64", "--model", "orthomodes",
+                  "--live-debug", "/tmp/x"])

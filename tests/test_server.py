@@ -151,7 +151,9 @@ class TestOpsEndpoints:
         assert status == 200 and ctype == "application/octet-stream"
         data = np.load(io.BytesIO(body))
         assert set(data.files) == {"hues", "phases", "prev_spectrum",
-                                   "ola_tail", "running_max"}
+                                   "ola_tail", "running_max",
+                                   "carry_type"}
+        assert str(data["carry_type"]) == "StepCarry"
         assert data["hues"].shape == (aur.config.num_cells,)
 
         # Restore a recognizably different carry and confirm it landed.

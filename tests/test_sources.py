@@ -8,6 +8,7 @@ and never seeks — exercising exactly the contract the live path needs.
 
 import os
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -78,6 +79,40 @@ class TestRawVideoSource:
         from vaudio.io import NativeFrameReader
         with pytest.raises(FileNotFoundError):
             NativeFrameReader("/nonexistent/x", frame_bytes=16)
+
+    def test_empty_inputs_reach_eof(self, tmp_path):
+        """A zero-byte input must END the stream, not hang it: /dev/null
+        (char device) and an empty regular file both read r==0 with no
+        data ever seen — the C++ reader used to treat that as 'no FIFO
+        writer yet' and poll forever (named FIFOs still wait; anonymous
+        pipes and everything else end).  framereader.cpp read_exact."""
+        from vaudio.io import NativeFrameReader
+        empty = str(tmp_path / "empty.raw")
+        open(empty, "wb").close()
+        for path in ("/dev/null", empty):
+            r = NativeFrameReader(path, frame_bytes=192)
+            t0 = time.monotonic()
+            got = list(r.frames_bytes())
+            assert got == [] and time.monotonic() - t0 < 5.0, path
+            r.close()
+
+    def test_empty_stdin_stream_exits(self, tmp_path):
+        """End-to-end: `vaudio stream < /dev/null` exits 0 promptly
+        (used to hang forever in the native reader's writer wait)."""
+        import subprocess
+        import sys
+        env = dict(os.environ, VAUDIO_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
+                   PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH",
+                                                             ""))
+        with open("/dev/null", "rb") as devnull:
+            r = subprocess.run(
+                [sys.executable, "-m", "vaudio", "stream", "--size",
+                 "64x64"],
+                stdin=devnull, capture_output=True, env=env,
+                cwd="/root/repo", timeout=240)
+        assert r.returncode == 0, r.stderr.decode()[-500:]
+        assert b"0 frames" in r.stderr or b"frames_processed': 0" in r.stderr
 
     def test_i420_raw_planes_from_fifo(self, fifo, rng):
         h, w = 16, 16

@@ -67,10 +67,22 @@ class Auralizer:
                  prefer_native: bool = True,
                  sink_latency_ms: Optional[float] = None,
                  chunk_frames: int = 1,
-                 metrics_log: Optional[str] = None):
+                 metrics_log: Optional[str] = None,
+                 model: str = "auralizer"):
+        from vaudio.runtime.engine import make_engine
+        if model == "orthomodes" and (config.channels != 1
+                                      or config.enable_filters):
+            # The per-pixel family is mono and unfiltered; coerce the
+            # shared config so the ring/PCM plumbing agrees with the
+            # engine (the CLI warns about this, cli._warn_orthomodes).
+            import dataclasses
+            config = dataclasses.replace(config, channels=1,
+                                         enable_filters=False)
+        self.model = model
         self.config = config
         self.params = params if params is not None else LiveParams()
         self._source = source
+        self._engine = make_engine(model, config, debug=debug)
         #: The live :class:`vaudio.io.PushSource` when the stream's
         #: source is push-model (set by :meth:`start`); the LiveServer's
         #: ``POST /frames`` network-ingest door routes here.
@@ -79,7 +91,8 @@ class Auralizer:
             config, params=self.params, realtime=realtime,
             prefer_native=prefer_native, debug=debug,
             sink_latency_ms=sink_latency_ms,
-            chunk_frames=chunk_frames, metrics_log=metrics_log)
+            chunk_frames=chunk_frames, metrics_log=metrics_log,
+            engine=self._engine)
 
     # ------------------------------------------------------------------
     # Offline
@@ -106,6 +119,15 @@ class Auralizer:
             frames = frames.tensor()
         if not isinstance(frames, dict):
             frames = np.asarray(frames)
+        if self.model == "orthomodes":
+            if debug:
+                raise ValueError("the OrthoModes family has no cell "
+                                 "debug surface (per-pixel model); "
+                                 "sonify with debug=False")
+            if isinstance(frames, dict):
+                raise ValueError("the OrthoModes family is RGB-only")
+            return self._engine.model.sonify(
+                frames, self._engine.params_arrays(self.params))
         if mode not in ("auto", "chunked", "scan"):
             raise ValueError(f"unknown sonify mode {mode!r} "
                              f"(expected auto, chunked or scan)")
@@ -278,6 +300,12 @@ class Auralizer:
             "underrun_samples": getattr(ring, "underrun_samples", 0),
         }
 
+    def frame_error(self, frame) -> Optional[str]:
+        """Engine-aware frame validation for the network-ingest door:
+        an error message when this stream's model family could not
+        trace the frame, else None (runtime.server ``POST /frames``)."""
+        return self._engine.frame_error(frame, self.config)
+
     @property
     def failure(self):
         """The exception the producer thread died with, or ``None`` —
@@ -307,6 +335,11 @@ class Auralizer:
         import jax.numpy as jnp
 
         from vaudio.vision import extract_features
+        if self.model != "auralizer":
+            raise ValueError(
+                f"inspect_frame analyzes the flagship 16-cell model; "
+                f"the {self.model!r} family has no cell debug surface "
+                "(spectrum/waveform views still work live)")
         # uint8 passes through UNconverted: the vision graph folds the
         # 1/255 scale in and takes the exact int8 pooling path — the
         # same path the live stream uses, so the debug surface can
@@ -340,6 +373,6 @@ class Auralizer:
 
     def load_state(self, path: str) -> None:
         """Restore a previously saved DSP carry; the next frame continues
-        the stream seamlessly."""
-        from vaudio.runtime.checkpoint import load_state
-        self._stream.set_carry(load_state(path, self.config))
+        the stream seamlessly.  Validation is engine-aware (the
+        OrthoModes family's carry is per-pixel, not per-cell)."""
+        self._stream.set_carry(self._engine.load_carry(path))

@@ -68,16 +68,10 @@ def _build_config(args):
     return cfg, params
 
 
-def _sonify_orthomodes(cfg, params, frames, output):
-    """Route a clip through the OrthoModes family (the completed §2.9
-    design, models/orthomodes.py), honoring the CLI params it supports.
-
-    attack / release / spectrum_mixing map directly; the remaining live
-    params (filters, stereo_width, pan_angles) have no per-pixel-model
-    equivalent — warn rather than silently drop, and the model is mono.
-    """
-    from vaudio.io import write_wav
-    from vaudio.models import OrthoModesConfig, OrthoModesModel
+def _warn_orthomodes(cfg, params) -> None:
+    """Say which CLI params the per-pixel family has no equivalent for
+    (attack / release / spectrum_mixing map directly; the model is mono
+    and unfiltered) — warn rather than silently drop."""
     if cfg.channels > 1:
         print("orthomodes: per-pixel model is mono; writing 1 channel",
               file=sys.stderr)
@@ -88,6 +82,14 @@ def _sonify_orthomodes(cfg, params, frames, output):
     if ignored:
         print(f"orthomodes: no equivalent for {', '.join(ignored)}; "
               "ignored", file=sys.stderr)
+
+
+def _sonify_orthomodes(cfg, params, frames, output):
+    """Route a clip through the OrthoModes family (the completed §2.9
+    design, models/orthomodes.py), honoring the CLI params it supports."""
+    from vaudio.io import write_wav
+    from vaudio.models import OrthoModesConfig, OrthoModesModel
+    _warn_orthomodes(cfg, params)
     model = OrthoModesModel(OrthoModesConfig(
         audio=dataclasses.replace(cfg, channels=1,
                                   enable_filters=False)))
@@ -175,10 +177,21 @@ def cmd_stream(args) -> int:
     from vaudio.io import VIDEO_FILE_EXTENSIONS, RawVideoSource, \
         VideoFileSource
     cfg, params = _build_config(args)
+    model = getattr(args, "model", "auralizer")
+    if model == "orthomodes":
+        _warn_orthomodes(cfg, params)
+        if args.raw_yuv or args.pix_fmt != "rgb24":
+            raise SystemExit("stream: the OrthoModes family is RGB-only "
+                             "(no planar-YUV path); use --pix-fmt rgb24")
+        if args.live_debug or args.debug_heatmaps:
+            raise SystemExit("stream: the OrthoModes family has no cell "
+                             "debug surface; use --serve for its live "
+                             "spectrum/waveform views")
     aur = Auralizer(config=cfg, params=params, realtime=args.realtime,
                     debug=bool(args.live_debug or args.serve),
                     chunk_frames=args.chunk_frames,
-                    metrics_log=args.metrics_log)
+                    metrics_log=args.metrics_log, model=model)
+    cfg = aur.config          # orthomodes coerces channels/filters
 
     path = "/dev/stdin" if args.input == "-" else args.input
     if path == "push":
@@ -821,6 +834,11 @@ def main(argv=None) -> int:
                         "latency, >1 = the chunk-batched throughput "
                         "pipeline (amortizes dispatch overhead N-fold "
                         "at the cost of N-1 frame times of buffering)")
+    p.add_argument("--model", choices=("auralizer", "orthomodes"),
+                   default="auralizer",
+                   help="model family: the flagship 16-cell synthesis "
+                        "or the per-pixel OrthoModes synthesis (mono, "
+                        "RGB-only; attack/release/mixing stay live)")
     p.add_argument("--metrics-log", default=None, metavar="JSONL",
                    help="append one JSONL metrics record per processed "
                         "frame (timestamp, latency, buffer fill) for "

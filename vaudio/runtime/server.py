@@ -494,8 +494,7 @@ class LiveServer:
                                     f"{aur.failure}"}, 409)
                         return
                     handle_frame_post(
-                        self, aur.push_source,
-                        lambda f: frame_structure_error(f, aur.config),
+                        self, aur.push_source, aur.frame_error,
                         not_armed="this stream's source is not "
                         "push-model; launch with --input push (or an "
                         "io.PushSource)")

@@ -98,7 +98,8 @@ class StreamingAuralizer:
                  debug: bool = False,
                  chunk_frames: int = 1,
                  metrics_log: Optional[str] = None,
-                 sink_latency_ms: Optional[float] = None):
+                 sink_latency_ms: Optional[float] = None,
+                 engine=None):
         """``chunk_frames > 1`` dispatches N frames per device call
         through the chunk-batched pipeline (runtime.chunked): adds N-1
         frame times of buffering latency but amortizes per-dispatch
@@ -129,16 +130,27 @@ class StreamingAuralizer:
         self.sink_latency_ms = float(sink_latency_ms)
         self.debug = debug
         self.chunk_frames = max(1, int(chunk_frames))
-        self._step = make_step(cfg, debug=debug)
+        if engine is None:
+            # The flagship model family; ``engine`` swaps in another
+            # (e.g. runtime.engine.OrthoModesEngine) behind the same
+            # host loop — ring, pacing, metrics, control, panel and
+            # checkpoints are model-agnostic.
+            from vaudio.runtime.engine import AuralizerEngine
+            engine = AuralizerEngine(cfg, debug=debug)
+        self.engine = engine
+        self._step = engine.make_step()
         self._chunk_step = None
         if self.chunk_frames > 1:
-            # The chunk-batched pipeline (runtime.chunked): serial scan
-            # only where the math demands it, one frame-batched XLA
-            # contraction for the heavy stage — measured ~2x the scan
-            # path at 1080p (docs/BENCHMARKS.md round 2).
-            from vaudio.runtime.chunked import make_chunk_pipeline
-            self._chunk_step = make_chunk_pipeline(cfg, debug=debug)
-        self._carry: StepCarry = init_carry(cfg)
+            # For the flagship: the chunk-batched pipeline
+            # (runtime.chunked) — serial scan only where the math
+            # demands it, one frame-batched XLA contraction for the
+            # heavy stage, measured ~2x the scan path at 1080p
+            # (docs/BENCHMARKS.md round 2).
+            self._chunk_step = engine.make_chunk_step()
+        # Engines whose carry is sized by the frame (carry_static False)
+        # defer construction to the first dispatch.
+        self._carry = (engine.init_carry() if engine.carry_static
+                       else None)
         # Guards the carry against the donation race: the step functions
         # donate the carry (donate_argnums=(0,)), so a dispatch DELETES
         # the buffers of the carry it consumed.  Any cross-thread reader
@@ -259,8 +271,9 @@ class StreamingAuralizer:
         # Reference quirk kept: the OLA tail *is* cleared on stop
         # (SoundEngine.swift:470) while phases/previousSpectrum are not.
         with self._carry_lock:
-            self._carry = self._carry._replace(
-                ola_tail=jax.numpy.zeros_like(self._carry.ola_tail))
+            if self._carry is not None:
+                self._carry = self._carry._replace(
+                    ola_tail=jax.numpy.zeros_like(self._carry.ola_tail))
 
     def snapshot_carry(self) -> StepCarry:
         """A consistent host-side (NumPy) snapshot of the DSP carry, safe
@@ -269,7 +282,12 @@ class StreamingAuralizer:
         very next dispatch; materializing under the carry lock blocks
         that dispatch until the copy is complete."""
         with self._carry_lock:
-            return StepCarry(*[np.asarray(x) for x in self._carry])
+            if self._carry is None:
+                raise ValueError(
+                    "no DSP carry yet: this engine sizes it from the "
+                    "first frame and none has been processed")
+            return type(self._carry)(*[np.asarray(x)
+                                       for x in self._carry])
 
     def set_carry(self, carry: StepCarry) -> None:
         """Replace the DSP carry (checkpoint resume)."""
@@ -394,6 +412,13 @@ class StreamingAuralizer:
 
         def dispatch(frames_np, t_capture):
             nonlocal pending
+            if self._carry is None:
+                # Frame-sized carry (engine.carry_static False): built
+                # from the first frame, rebuilt after a resolution
+                # change (the per-oscillator state has no meaning
+                # across a pixel-count change).
+                with self._carry_lock:
+                    self._carry = self.engine.init_carry(frames_np[0])
             if self.debug:
                 # Copy: a zero-copy source view's memory is recycled two
                 # iterations later, but last_frame outlives that window
@@ -402,7 +427,7 @@ class StreamingAuralizer:
                 self.last_frame = (
                     {k: np.array(v) for k, v in last.items()}
                     if isinstance(last, dict) else np.array(last))
-            params_arrays = self.params.as_arrays()
+            params_arrays = self.engine.params_arrays(self.params)
             if len(frames_np) == 1:
                 # Strip the BorrowedFrame marker down to a base-class
                 # VIEW (same memory, no copy) before device_put: jax's
@@ -500,6 +525,16 @@ class StreamingAuralizer:
                 for f in chunk_buf:
                     dispatch([f], chunk_t0 or time.monotonic())
                 chunk_buf = []
+                if not self.engine.carry_static:
+                    # Frame-sized carry: the old-shape state cannot
+                    # carry across (different oscillator count).  Drain
+                    # the in-flight dispatch first — it reads the old
+                    # carry.
+                    if pending is not None:
+                        flush(pending)
+                        pending = None
+                    with self._carry_lock:
+                        self._carry = None
             last_shape = shape
             if self.chunk_frames == 1:
                 dispatch([frame_np], time.monotonic())

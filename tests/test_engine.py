@@ -162,6 +162,111 @@ class TestOrthoModesEngine:
             aur.stop()
 
 
+class TestOrthoModesPod:
+    def _run_pod(self, pod, sources, timeout=180):
+        import time
+        pod.start([iter(s) for s in sources])
+        t0 = time.monotonic()
+        while pod.is_running and time.monotonic() - t0 < timeout:
+            time.sleep(0.05)
+        pod.raise_if_failed()
+
+    def test_pod_slots_match_offline(self):
+        from vaudio.runtime import MultiStreamAuralizer
+        from vaudio.runtime.engine import make_engine
+        eng = make_engine("orthomodes", AuralizerConfig())
+        pod = MultiStreamAuralizer(eng.cfg, n_streams=2, engine=eng)
+        a = _clip(color=(1, 0.2, 0.1))
+        b = _clip(color=(0.1, 0.3, 1))
+        self._run_pod(pod, [a, b])
+        for src, slot in ((a, 0), (b, 1)):
+            off = Auralizer(model="orthomodes").sonify(np.asarray(src))
+            got = pod.pull(slot, 6 * 2048)
+            np.testing.assert_allclose(got, off[: len(got)], atol=2e-4)
+        pod.stop()
+
+    def test_chunked_pod_matches_offline(self):
+        from vaudio.runtime import MultiStreamAuralizer
+        from vaudio.runtime.engine import make_engine
+        eng = make_engine("orthomodes", AuralizerConfig())
+        pod = MultiStreamAuralizer(eng.cfg, n_streams=2, engine=eng,
+                                   chunk_frames=3)
+        a = _clip(color=(1, 0.2, 0.1))
+        b = _clip(color=(0.1, 0.3, 1))
+        self._run_pod(pod, [a, b])
+        assert pod.metrics.dispatches == 2
+        off = Auralizer(model="orthomodes").sonify(np.asarray(a))
+        got = pod.pull(0, 6 * 2048)
+        np.testing.assert_allclose(got, off[: len(got)], atol=2e-4)
+        pod.stop()
+
+    def test_pod_checkpoint_engine_aware(self, tmp_path):
+        from vaudio.runtime import MultiStreamAuralizer
+        from vaudio.runtime.engine import make_engine
+        eng = make_engine("orthomodes", AuralizerConfig())
+        pod = MultiStreamAuralizer(eng.cfg, n_streams=2, engine=eng)
+        self._run_pod(pod, [_clip(n=4), _clip(n=4)])
+        p = str(tmp_path / "pod.npz")
+        pod.save_state(p)
+        pod.load_state(p)
+        pod.stop()
+        flagship_pod = MultiStreamAuralizer(AuralizerConfig(),
+                                            n_streams=2)
+        with pytest.raises(ValueError, match="OrthoCarry"):
+            flagship_pod.load_state(p)
+        wrong_size = MultiStreamAuralizer(eng.cfg, n_streams=3,
+                                          engine=make_engine(
+                                              "orthomodes",
+                                              AuralizerConfig()))
+        with pytest.raises(ValueError, match="pod size"):
+            wrong_size.load_state(p)
+
+    def test_mesh_pod_rejects_non_flagship(self):
+        import jax
+        from jax.sharding import Mesh
+        from vaudio.runtime import MultiStreamAuralizer
+        from vaudio.runtime.engine import make_engine
+        mesh = Mesh(np.array(jax.devices()[:2]), ("stream",))
+        eng = make_engine("orthomodes", AuralizerConfig())
+        with pytest.raises(ValueError, match="flagship"):
+            MultiStreamAuralizer(eng.cfg, n_streams=2, engine=eng,
+                                 mesh=mesh, params=LiveParams())
+
+    def test_pod_door_validation_is_engine_aware(self):
+        from vaudio.runtime import MultiStreamAuralizer
+        from vaudio.runtime.engine import make_engine
+        eng = make_engine("orthomodes", AuralizerConfig())
+        pod = MultiStreamAuralizer(eng.cfg, n_streams=1, engine=eng)
+        yuv = {"y": np.zeros((64, 64), np.uint8),
+               "u": np.zeros((32, 32), np.uint8),
+               "v": np.zeros((32, 32), np.uint8)}
+        assert "RGB-only" in pod.check_frame(yuv)
+        assert pod.check_frame(np.zeros((64, 64, 3), np.uint8)) is None
+
+    def test_replace_source_reset_matches_init(self):
+        """The engine-agnostic slot reset (zeros + running_max=1) must
+        equal a fresh flagship init_carry row exactly.  White-box and
+        race-free: run the pod to completion, then apply the re-arm
+        directly (no producer racing the snapshot)."""
+        from vaudio.runtime import MultiStreamAuralizer
+        from vaudio.runtime.step import init_carry
+        pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=2)
+        self._run_pod(pod, [_clip(n=3), _clip(n=3)])
+        before = pod.snapshot_carry()
+        assert np.abs(before.phases[1]).sum() > 0    # slot 1 has state
+        pod.replace_source(1, iter(()), reset_carry=True)
+        pod._apply_pending_sources()
+        carry = pod.snapshot_carry()
+        ref = init_carry(pod.cfg)
+        for field in type(ref)._fields:
+            np.testing.assert_array_equal(
+                getattr(carry, field)[1], np.asarray(getattr(ref, field)),
+                err_msg=field)
+        # slot 0 untouched
+        np.testing.assert_array_equal(carry.phases[0], before.phases[0])
+        pod.stop()
+
+
 class TestOrthoModesCLI:
     def test_stream_cli_model_flag(self, tmp_path):
         frames = (np.asarray(_clip(n=4, color=(0.2, 0.9, 0.2)))

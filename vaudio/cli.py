@@ -474,6 +474,16 @@ def cmd_pod(args) -> int:
     cfg, params = _build_config(args)
     if not args.input:
         raise SystemExit("pod: need at least one --input")
+    engine = None
+    if getattr(args, "model", "auralizer") == "orthomodes":
+        _warn_orthomodes(cfg, params)
+        if args.pix_fmt != "rgb24":
+            raise SystemExit("pod: the OrthoModes family is RGB-only "
+                             "(no planar-YUV path); use --pix-fmt rgb24")
+        import dataclasses as _dc
+        from vaudio.runtime.engine import make_engine
+        cfg = _dc.replace(cfg, channels=1, enable_filters=False)
+        engine = make_engine("orthomodes", cfg)
     h, w = (int(x) for x in args.size.split("x"))
     os.makedirs(args.output, exist_ok=True)
 
@@ -502,7 +512,9 @@ def cmd_pod(args) -> int:
         params=[dataclasses.replace(params) for _ in range(n)],
         realtime=args.realtime,
         chunk_frames=args.chunk_frames,
-        metrics_log=args.metrics_log)
+        metrics_log=args.metrics_log,
+        engine=engine)
+    cfg = pod.cfg               # engine may coerce (mono orthomodes)
     server = None
     if args.serve:
         host, _, port = args.serve.rpartition(":")
@@ -868,6 +880,11 @@ def main(argv=None) -> int:
                    help="append one JSONL metrics record per dispatch "
                         "(timestamp, real frames, latency, per-slot "
                         "state) for offline analysis")
+    p.add_argument("--model", choices=("auralizer", "orthomodes"),
+                   default="auralizer",
+                   help="model family served by the pod: the flagship "
+                        "16-cell synthesis or the per-pixel OrthoModes "
+                        "synthesis (mono, RGB-only)")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--realtime", action="store_true",
                    help="pace ticks at --fps (live serving) instead of "

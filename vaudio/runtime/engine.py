@@ -68,9 +68,41 @@ class AuralizerEngine:
         from vaudio.runtime.chunked import make_chunk_pipeline
         return make_chunk_pipeline(self.cfg, debug=self.debug)
 
+    def raw_step(self):
+        """Unjitted ``step(carry, frame, params)`` — what the pod vmaps
+        over its stream axis."""
+        from vaudio.dsp import hann_window_norm
+        from vaudio.runtime.step import frame_step
+        from vaudio.synth import SynthConstants
+        consts = SynthConstants.create(self.cfg)
+        window = jnp.asarray(hann_window_norm(self.cfg.nfft))
+
+        def step(carry, frame, params):
+            return frame_step(carry, frame, params, self.cfg, consts,
+                              window, debug=self.debug)
+        return step
+
+    def raw_chunk_step(self):
+        """Unjitted ``step(carry, frames[N], params)`` per stream — the
+        chunk-batched pipeline for the flagship."""
+        from vaudio.dsp import hann_window_norm
+        from vaudio.runtime.chunked import chunk_pipeline
+        from vaudio.synth import SynthConstants
+        consts = SynthConstants.create(self.cfg)
+        window = jnp.asarray(hann_window_norm(self.cfg.nfft))
+
+        def step(carry, frames, params):
+            return chunk_pipeline(carry, frames, params, self.cfg,
+                                  consts, window)
+        return step
+
     def init_carry(self, frame=None):
         from vaudio.runtime.step import init_carry
         return init_carry(self.cfg)
+
+    def init_carry_batch(self, n: int, frame=None):
+        from vaudio.parallel.sharding import init_carry_batch
+        return init_carry_batch(self.cfg, n)
 
     def params_arrays(self, live: LiveParams):
         return live.as_arrays()
@@ -78,6 +110,10 @@ class AuralizerEngine:
     def load_carry(self, path):
         from vaudio.runtime.checkpoint import load_state
         return load_state(path, self.cfg)
+
+    def load_carry_batch(self, path, n: int):
+        from vaudio.runtime.checkpoint import load_state
+        return load_state(path, self.cfg, n_streams=n)
 
     def frame_error(self, frame, cfg=None) -> Optional[str]:
         from vaudio.runtime.server import frame_structure_error
@@ -129,13 +165,19 @@ class OrthoModesEngine:
     def make_step(self):
         return jax.jit(self._raw_step, donate_argnums=(0,))
 
+    def raw_step(self):
+        return self._raw_step
+
+    def _raw_chunk(self, carry, frames, params):
+        def body(c, f):
+            return self._raw_step(c, f, params)
+        return jax.lax.scan(body, carry, frames)
+
     def make_chunk_step(self):
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def chunk_step(carry, frames, params):
-            def body(c, f):
-                return self._raw_step(c, f, params)
-            return jax.lax.scan(body, carry, frames)
-        return chunk_step
+        return jax.jit(self._raw_chunk, donate_argnums=(0,))
+
+    def raw_chunk_step(self):
+        return self._raw_chunk
 
     # -- carry ---------------------------------------------------------------
 
@@ -148,13 +190,20 @@ class OrthoModesEngine:
                 else np.asarray(frame["y"]).shape)
         return self.model.init_carry(self.model.num_oscillators(h, w))
 
+    def init_carry_batch(self, n: int, frame=None):
+        from vaudio.models.orthomodes import OrthoCarry
+        base = self.init_carry(frame)
+        return OrthoCarry(*(jnp.tile(x, (n,) + (1,) * np.ndim(x))
+                            if np.ndim(x) else jnp.full((n,), x)
+                            for x in base))
+
     def params_arrays(self, live: LiveParams):
         return {**self.model.multipliers.as_arrays(),
                 "spectrum_mixing": np.float32(live.spectrum_mixing),
                 "attack": np.float32(live.attack),
                 "release": np.float32(live.release)}
 
-    def load_carry(self, path):
+    def _load(self, path, expect_spectrum, what):
         from vaudio.models.orthomodes import OrthoCarry
         from vaudio.runtime.checkpoint import carry_type_of
         data = np.load(path)
@@ -169,14 +218,21 @@ class OrthoModesEngine:
             raise ValueError(
                 f"checkpoint is missing OrthoModes carry fields "
                 f"{sorted(missing)} — a flagship-model checkpoint?")
-        F = self.cfg.num_bins
-        if tuple(data["prev_spectrum"].shape) != (F, 2):
+        if tuple(data["prev_spectrum"].shape) != expect_spectrum:
             raise ValueError(
                 f"checkpoint prev_spectrum shape "
-                f"{data['prev_spectrum'].shape}, config expects ({F}, 2)"
-                " — wrong AuralizerConfig?")
+                f"{data['prev_spectrum'].shape}, expected "
+                f"{expect_spectrum} — {what}?")
         return OrthoCarry(**{f: jnp.asarray(data[f])
                              for f in OrthoCarry._fields})
+
+    def load_carry(self, path):
+        return self._load(path, (self.cfg.num_bins, 2),
+                          "wrong AuralizerConfig")
+
+    def load_carry_batch(self, path, n: int):
+        return self._load(path, (n, self.cfg.num_bins, 2),
+                          "wrong pod size or model config")
 
     def frame_error(self, frame, cfg=None) -> Optional[str]:
         from vaudio.runtime.server import frame_structure_error

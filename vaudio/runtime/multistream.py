@@ -127,9 +127,20 @@ class MultiStreamAuralizer:
                  chunk_frames: int = 1,
                  mesh=None,
                  exit_when_exhausted: bool = True,
-                 metrics_log: Optional[str] = None):
+                 metrics_log: Optional[str] = None,
+                 engine=None):
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
+        if engine is None:
+            from vaudio.runtime.engine import AuralizerEngine
+            engine = AuralizerEngine(cfg)
+        elif getattr(engine, "cfg", cfg) is not cfg:
+            cfg = engine.cfg        # engine may coerce (mono orthomodes)
+        if mesh is not None and engine.name != "auralizer":
+            raise ValueError(
+                "mesh pods run the flagship family (the parallel steps "
+                "are flagship-specific); use the single-chip vmap mode")
+        self.engine = engine
         self.cfg = cfg
         self.n_streams = int(n_streams)
         self.realtime = realtime
@@ -162,8 +173,11 @@ class MultiStreamAuralizer:
                     "params need the single-chip vmap mode (mesh=None)")
 
         self._step = self._build_step()
-        self._carry: StepCarry = self._shard_put(
-            _init_carry_batch(cfg, self.n_streams))
+        # Frame-sized carries (engine.carry_static False) defer to the
+        # first dispatch.
+        self._carry = (self._shard_put(
+            engine.init_carry_batch(self.n_streams))
+            if engine.carry_static else None)
         # Same donation race as the single-stream runtime: the batched
         # step donates the carry, so cross-thread readers must
         # materialize under this lock (see runtime.stream).
@@ -224,23 +238,12 @@ class MultiStreamAuralizer:
             if self.chunk_frames > 1:
                 return make_parallel_chunk_step(cfg, self._mesh)
             return make_parallel_step(cfg, self._mesh)
-        from vaudio.dsp import hann_window_norm
-        from vaudio.synth import SynthConstants
-        consts = SynthConstants.create(cfg)
-        window = jnp.asarray(hann_window_norm(cfg.nfft))
-        if self.chunk_frames > 1:
-            from vaudio.runtime.chunked import chunk_pipeline
-
-            def one_chunk(carry, frames, p):
-                return chunk_pipeline(carry, frames, p, cfg, consts,
-                                      window)
-            # in_axes=(0, 0, 0): per-stream params ride a leading axis.
-            return jax.jit(jax.vmap(one_chunk, in_axes=(0, 0, 0)),
-                           donate_argnums=(0,))
-        from vaudio.runtime.step import frame_step
-
-        def one(carry, frame, p):
-            return frame_step(carry, frame, p, cfg, consts, window)
+        # Single-chip vmap mode: the engine supplies the per-stream step
+        # (flagship: the fused frame step / chunk-batched pipeline;
+        # other families: their own raw steps).  in_axes=(0, 0, 0):
+        # per-stream params ride a leading axis.
+        one = (self.engine.raw_chunk_step() if self.chunk_frames > 1
+               else self.engine.raw_step())
         return jax.jit(jax.vmap(one, in_axes=(0, 0, 0)),
                        donate_argnums=(0,))
 
@@ -263,7 +266,7 @@ class MultiStreamAuralizer:
         if self._mesh is not None:
             return self.params[0].as_arrays()
         with self.params_lock:
-            dicts = [p.as_arrays() for p in self.params]
+            dicts = [self.engine.params_arrays(p) for p in self.params]
         keys = set(dicts[0])
         for i, d in enumerate(dicts[1:], 1):
             if set(d) != keys:
@@ -391,12 +394,11 @@ class MultiStreamAuralizer:
         frame any slot delivered — matching it.  Returns an error
         message, or ``None`` when acceptable.  A frame rejected here
         would otherwise dark its slot at dispatch time (:meth:`_fail_slot`)."""
-        from vaudio.runtime.server import frame_structure_error
         try:
             fr = _normalize_frame(frame)
         except Exception as e:
             return f"undecodable frame: {type(e).__name__}: {e}"
-        err = frame_structure_error(fr, self.cfg)
+        err = self.engine.frame_error(fr, self.cfg)
         if err is not None:
             return err
         sig = _frame_sig(fr)
@@ -414,8 +416,18 @@ class MultiStreamAuralizer:
             self._active[slot] = True
             self.slot_errors[slot] = None     # re-armed: failure cleared
             if reset:
-                fresh = init_carry(self.cfg)
                 with self._carry_lock:
+                    if self._carry is None:
+                        continue     # frame-sized carry: nothing to reset
+                    # Engine-agnostic fresh slot state: zero every carry
+                    # row EXCEPT the AGC envelope, which init_carry sets
+                    # to 1.0 (a zero envelope would blow up the first
+                    # normalize) — true for both families' carries.
+                    fresh = type(self._carry)(*[
+                        (jnp.ones_like(x[slot]) if f == "running_max"
+                         else jnp.zeros_like(x[slot]))
+                        for f, x in zip(type(self._carry)._fields,
+                                        self._carry)])
                     self._carry = jax.tree.map(
                         lambda full, f1, s=slot: full.at[s].set(f1),
                         self._carry, fresh)
@@ -431,7 +443,12 @@ class MultiStreamAuralizer:
         """Consistent host-side snapshot of the batched carry (leading
         axis = stream), safe while the pod runs."""
         with self._carry_lock:
-            return StepCarry(*[np.asarray(x) for x in self._carry])
+            if self._carry is None:
+                raise ValueError(
+                    "no DSP carry yet: this engine sizes it from the "
+                    "first tick and none has been processed")
+            return type(self._carry)(*[np.asarray(x)
+                                       for x in self._carry])
 
     def save_state(self, path: str) -> None:
         """Checkpoint every slot's DSP carry to one .npz (safe while the
@@ -440,11 +457,10 @@ class MultiStreamAuralizer:
         save_state(path, self.snapshot_carry())
 
     def load_state(self, path: str) -> None:
-        """Restore a pod checkpoint (shape-validated against the config
-        AND the pod size); the next tick continues every slot's stream
-        seamlessly."""
-        from vaudio.runtime.checkpoint import load_state
-        carry = load_state(path, self.cfg, n_streams=self.n_streams)
+        """Restore a pod checkpoint (engine-aware: shape-validated
+        against the config AND the pod size); the next tick continues
+        every slot's stream seamlessly."""
+        carry = self.engine.load_carry_batch(path, self.n_streams)
         with self._carry_lock:
             self._carry = self._shard_put(carry)
 
@@ -620,6 +636,17 @@ class MultiStreamAuralizer:
 
         def dispatch(stacked, t0, masks):
             nonlocal pending
+            if self._carry is None:
+                # Frame-sized carry (engine.carry_static False): built
+                # from the first tick's frame shape.  The pod's static
+                # shape contract means it never re-initializes.
+                f0 = stacked
+                for _ in range(2 if T > 1 else 1):   # peel stream/chunk
+                    f0 = ({k: v[0] for k, v in f0.items()}
+                          if isinstance(f0, dict) else f0[0])
+                with self._carry_lock:
+                    self._carry = self._shard_put(
+                        self.engine.init_carry_batch(self.n_streams, f0))
             params = self._stack_params()
             batch = self._shard_put(stacked)
             with self._carry_lock:
@@ -710,6 +737,3 @@ class MultiStreamAuralizer:
         self._running = False
 
 
-def _init_carry_batch(cfg: AuralizerConfig, n: int) -> StepCarry:
-    from vaudio.parallel.sharding import init_carry_batch
-    return init_carry_batch(cfg, n)

@@ -478,8 +478,13 @@ class PodServer:
             # Rendered from the slot's row of the live batched DSP carry
             # (consistent snapshot; cheap — hues i32[16] + spectrum
             # f32[F,2] per slot).
-            carry = pod.snapshot_carry()
+            try:
+                carry = pod.snapshot_carry()
+            except ValueError:          # frame-sized carry, no tick yet
+                return None
             if name == "hue_matrix":
+                if not hasattr(carry, "hues"):
+                    return None         # per-pixel family: no cell hues
                 return png_bytes(hue_matrix_image(carry.hues[slot],
                                                   pod.cfg))
             return png_bytes(spectrum_image(carry.prev_spectrum[slot],

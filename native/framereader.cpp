@@ -149,6 +149,10 @@ void* va_fr_open(const char* path, int64_t frame_bytes, int n_buffers) {
     // anonymous pipe's writers all existed at fork, so its r==0 is
     // always final.  /proc/self/fd distinguishes them: anonymous pipes
     // resolve to "pipe:[inode]", named fifos to their filesystem path.
+    // If readlink fails (non-Linux / no procfs — not a supported
+    // deployment target) we keep the conservative named-fifo wait;
+    // note that revives the empty-anonymous-pipe hang there, the price
+    // of not breaking reader-before-writer named fifos.
     char link[64], tgt[16];
     snprintf(link, sizeof link, "/proc/self/fd/%d", fd);
     ssize_t n = readlink(link, tgt, sizeof tgt - 1);

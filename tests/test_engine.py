@@ -104,6 +104,45 @@ class TestOrthoModesEngine:
         with pytest.raises(ValueError, match="first frame"):
             aur.save_state("/tmp/never.npz")
 
+    def test_state_npz_before_first_frame_answers_409(self):
+        """GET /state.npz on a deferred-carry stream used to raise an
+        uncaught ValueError and drop the connection."""
+        import urllib.error
+        import urllib.request
+        aur = Auralizer(model="orthomodes")
+        server = aur.serve(port=0)
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(server.url + "state.npz",
+                                       timeout=60)
+            assert e.value.code == 409
+            assert "carry" in json.loads(e.value.read())["error"]
+        finally:
+            server.stop()
+
+    def test_cross_resolution_checkpoint_fails_clearly(self, tmp_path):
+        """An orthomodes checkpoint from 64x64 restored into a 128x128
+        stream used to die with an opaque broadcast error inside jit;
+        the first dispatch now validates it (engine.carry_mismatch)."""
+        aur = Auralizer(model="orthomodes")
+        aur.run_until_exhausted(_clip(n=2, size=64))
+        p = str(tmp_path / "r64.npz")
+        aur.save_state(p)
+        aur.stop()
+        aur2 = Auralizer(model="orthomodes")
+        aur2.load_state(p)                 # shapes unknowable here: ok
+        with pytest.raises(RuntimeError) as e:
+            aur2.run_until_exhausted(_clip(n=2, size=128))
+            aur2.raise_if_failed()
+        assert "oscillators" in str(e.value.__cause__)
+        aur2.stop()
+        # Same resolution restores still work.
+        aur3 = Auralizer(model="orthomodes")
+        aur3.load_state(p)
+        aur3.run_until_exhausted(_clip(n=2, size=64))
+        aur3.raise_if_failed()
+        aur3.stop()
+
     def test_inspect_frame_and_debug_sonify_guards(self):
         aur = Auralizer(model="orthomodes")
         with pytest.raises(ValueError, match="16-cell"):

@@ -70,19 +70,15 @@ class Auralizer:
                  metrics_log: Optional[str] = None,
                  model: str = "auralizer"):
         from vaudio.runtime.engine import make_engine
-        if model == "orthomodes" and (config.channels != 1
-                                      or config.enable_filters):
-            # The per-pixel family is mono and unfiltered; coerce the
-            # shared config so the ring/PCM plumbing agrees with the
-            # engine (the CLI warns about this, cli._warn_orthomodes).
-            import dataclasses
-            config = dataclasses.replace(config, channels=1,
-                                         enable_filters=False)
+        self._engine = make_engine(model, config, debug=debug)
+        # The engine owns any config coercion (the per-pixel family is
+        # mono and unfiltered); adopt its view so the ring/PCM plumbing
+        # agrees (the CLI warns about this, cli._warn_orthomodes).
+        config = self._engine.cfg
         self.model = model
         self.config = config
         self.params = params if params is not None else LiveParams()
         self._source = source
-        self._engine = make_engine(model, config, debug=debug)
         #: The live :class:`vaudio.io.PushSource` when the stream's
         #: source is push-model (set by :meth:`start`); the LiveServer's
         #: ``POST /frames`` network-ingest door routes here.

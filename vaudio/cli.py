@@ -86,20 +86,13 @@ def _warn_orthomodes(cfg, params) -> None:
 
 def _sonify_orthomodes(cfg, params, frames, output):
     """Route a clip through the OrthoModes family (the completed §2.9
-    design, models/orthomodes.py), honoring the CLI params it supports."""
-    from vaudio.io import write_wav
-    from vaudio.models import OrthoModesConfig, OrthoModesModel
+    design, models/orthomodes.py), honoring the CLI params it supports.
+    One code path: the engine owns the config coercion and the
+    LiveParams -> model-params mapping (runtime/engine.py)."""
+    from vaudio.api import Auralizer
     _warn_orthomodes(cfg, params)
-    model = OrthoModesModel(OrthoModesConfig(
-        audio=dataclasses.replace(cfg, channels=1,
-                                  enable_filters=False)))
-    model_params = {**model.multipliers.as_arrays(),
-                    "spectrum_mixing": np.float32(params.spectrum_mixing),
-                    "attack": np.float32(params.attack),
-                    "release": np.float32(params.release)}
-    audio = model.sonify(frames, model_params)
-    write_wav(output, audio, cfg.sample_rate)
-    return audio
+    return Auralizer(config=cfg, params=params,
+                     model="orthomodes").sonify_to_wav(frames, output)
 
 
 def cmd_sonify(args) -> int:
@@ -480,10 +473,8 @@ def cmd_pod(args) -> int:
         if args.pix_fmt != "rgb24":
             raise SystemExit("pod: the OrthoModes family is RGB-only "
                              "(no planar-YUV path); use --pix-fmt rgb24")
-        import dataclasses as _dc
         from vaudio.runtime.engine import make_engine
-        cfg = _dc.replace(cfg, channels=1, enable_filters=False)
-        engine = make_engine("orthomodes", cfg)
+        engine = make_engine("orthomodes", cfg)   # coerces cfg itself
     h, w = (int(x) for x in args.size.split("x"))
     os.makedirs(args.output, exist_ok=True)
 

@@ -119,6 +119,10 @@ class AuralizerEngine:
         from vaudio.runtime.server import frame_structure_error
         return frame_structure_error(frame, cfg or self.cfg)
 
+    def carry_mismatch(self, carry, frame) -> Optional[str]:
+        """The flagship carry is frame-independent — nothing to check."""
+        return None
+
 
 class OrthoModesEngine:
     """The per-pixel OrthoModes family behind the same streaming loop.
@@ -248,6 +252,24 @@ class OrthoModesEngine:
         if (h >> level) < 1 or (w >> level) < 1:
             return (f"frame {h}x{w} is too small for the level-{level} "
                     "per-pixel mip (no oscillators left)")
+        return None
+
+    def carry_mismatch(self, carry, frame) -> Optional[str]:
+        """Checkpoint shapes are resolution-dependent (one oscillator
+        per mip pixel) but a restore happens before any frame is seen —
+        so the first dispatch validates the restored carry against the
+        actual frame, giving a clear error instead of an opaque
+        broadcast failure inside the jitted step."""
+        h, w = (np.asanyarray(frame).shape[:2]
+                if not isinstance(frame, dict)
+                else np.asanyarray(frame["y"]).shape)
+        need = self.model.num_oscillators(h, w)
+        got = int(np.shape(carry.phases)[-1])
+        if got != need:
+            return (f"restored OrthoModes carry holds {got} oscillators "
+                    f"but {h}x{w} frames at mip level "
+                    f"{self.model.cfg.mip_level} need {need} — "
+                    "checkpoint from a different input resolution?")
         return None
 
 

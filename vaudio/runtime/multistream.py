@@ -48,7 +48,7 @@ import jax.numpy as jnp
 
 from vaudio.config import AuralizerConfig, LiveParams
 from vaudio.runtime.ringbuffer import make_ring_buffer
-from vaudio.runtime.step import StepCarry, init_carry
+from vaudio.runtime.step import StepCarry
 from vaudio.runtime.stream import StreamMetrics
 
 
@@ -178,6 +178,9 @@ class MultiStreamAuralizer:
         self._carry = (self._shard_put(
             engine.init_carry_batch(self.n_streams))
             if engine.carry_static else None)
+        # False while a frame-sized carry needs first-tick validation
+        # (set False by load_state restores).
+        self._carry_checked = engine.carry_static
         # Same donation race as the single-stream runtime: the batched
         # step donates the carry, so cross-thread readers must
         # materialize under this lock (see runtime.stream).
@@ -463,6 +466,7 @@ class MultiStreamAuralizer:
         carry = self.engine.load_carry_batch(path, self.n_streams)
         with self._carry_lock:
             self._carry = self._shard_put(carry)
+            self._carry_checked = self.engine.carry_static
 
     def stream_metrics(self, slot: int) -> Dict[str, object]:
         """Per-slot sink metrics (aggregate dispatch metrics live on
@@ -636,17 +640,27 @@ class MultiStreamAuralizer:
 
         def dispatch(stacked, t0, masks):
             nonlocal pending
-            if self._carry is None:
-                # Frame-sized carry (engine.carry_static False): built
-                # from the first tick's frame shape.  The pod's static
-                # shape contract means it never re-initializes.
+            if self._carry is None or not self._carry_checked:
                 f0 = stacked
                 for _ in range(2 if T > 1 else 1):   # peel stream/chunk
                     f0 = ({k: v[0] for k, v in f0.items()}
                           if isinstance(f0, dict) else f0[0])
+                # Frame-sized carry (engine.carry_static False): built
+                # from the first tick's frame shape.  Re-checked under
+                # the lock — a concurrent restore (POST /state.npz)
+                # must not be overwritten by a fresh init; a restored
+                # carry is instead validated against the actual frame.
                 with self._carry_lock:
-                    self._carry = self._shard_put(
-                        self.engine.init_carry_batch(self.n_streams, f0))
+                    if self._carry is None:
+                        self._carry = self._shard_put(
+                            self.engine.init_carry_batch(self.n_streams,
+                                                         f0))
+                        self._carry_checked = True
+                if not self._carry_checked:
+                    err = self.engine.carry_mismatch(self._carry, f0)
+                    if err is not None:
+                        raise ValueError(err)
+                    self._carry_checked = True
             params = self._stack_params()
             batch = self._shard_put(stacked)
             with self._carry_lock:

@@ -234,8 +234,15 @@ class PodServer:
                         # Pod checkpoint download (all slots' carries,
                         # consistent snapshot — runtime/checkpoint.py).
                         from vaudio.runtime.server import npz_bytes
+                        try:
+                            body = npz_bytes(server.pod.save_state)
+                        except ValueError as e:
+                            # Frame-sized carry, no tick yet: a JSON
+                            # 409 beats a dropped connection.
+                            self._json({"error": str(e)}, 409)
+                            return
                         self._send(200, "application/octet-stream",
-                                   npz_bytes(server.pod.save_state),
+                                   body,
                                    extra=(("Content-Disposition",
                                            'attachment; '
                                            'filename="state.npz"'),))

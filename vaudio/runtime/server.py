@@ -420,7 +420,13 @@ class LiveServer:
                         # same .npz `--save-state` writes (consistent
                         # snapshot under the carry lock) — ops can
                         # checkpoint a running stream over HTTP.
-                        body = npz_bytes(server.aur.save_state)
+                        try:
+                            body = npz_bytes(server.aur.save_state)
+                        except ValueError as e:
+                            # Frame-sized carry, no frame yet: a JSON
+                            # 409 beats a dropped connection.
+                            self._json({"error": str(e)}, 409)
+                            return
                         self._send(200, "application/octet-stream",
                                    body,
                                    extra=(("Content-Disposition",

@@ -30,7 +30,7 @@ import jax
 
 from vaudio.config import AuralizerConfig, LiveParams
 from vaudio.runtime.ringbuffer import make_ring_buffer
-from vaudio.runtime.step import StepCarry, init_carry, make_step
+from vaudio.runtime.step import StepCarry
 
 
 class StreamMetrics:
@@ -151,6 +151,9 @@ class StreamingAuralizer:
         # defer construction to the first dispatch.
         self._carry = (engine.init_carry() if engine.carry_static
                        else None)
+        # False while a frame-sized carry needs first-frame validation
+        # (set False by set_carry restores and resolution changes).
+        self._carry_checked = engine.carry_static
         # Guards the carry against the donation race: the step functions
         # donate the carry (donate_argnums=(0,)), so a dispatch DELETES
         # the buffers of the carry it consumed.  Any cross-thread reader
@@ -290,9 +293,12 @@ class StreamingAuralizer:
                                        for x in self._carry])
 
     def set_carry(self, carry: StepCarry) -> None:
-        """Replace the DSP carry (checkpoint resume)."""
+        """Replace the DSP carry (checkpoint resume).  Frame-sized
+        carries are re-validated against the next frame dispatched
+        (engine.carry_mismatch)."""
         with self._carry_lock:
             self._carry = carry
+            self._carry_checked = self.engine.carry_static
 
     def toggle(self, source: Optional[Iterable[np.ndarray]] = None) -> None:
         if self._running:
@@ -416,9 +422,23 @@ class StreamingAuralizer:
                 # Frame-sized carry (engine.carry_static False): built
                 # from the first frame, rebuilt after a resolution
                 # change (the per-oscillator state has no meaning
-                # across a pixel-count change).
+                # across a pixel-count change).  Re-checked under the
+                # lock: a concurrent restore (POST /state.npz ->
+                # set_carry) must not be overwritten by a fresh init.
                 with self._carry_lock:
-                    self._carry = self.engine.init_carry(frames_np[0])
+                    if self._carry is None:
+                        self._carry = self.engine.init_carry(
+                            frames_np[0])
+                        self._carry_checked = True
+            if not self._carry_checked:
+                # An externally restored frame-sized carry: validate
+                # against the first actual frame (clear error instead
+                # of an opaque broadcast failure inside jit).
+                err = self.engine.carry_mismatch(self._carry,
+                                                 frames_np[0])
+                if err is not None:
+                    raise ValueError(err)
+                self._carry_checked = True
             if self.debug:
                 # Copy: a zero-copy source view's memory is recycled two
                 # iterations later, but last_frame outlives that window
@@ -535,6 +555,7 @@ class StreamingAuralizer:
                         pending = None
                     with self._carry_lock:
                         self._carry = None
+                        self._carry_checked = False
             last_shape = shape
             if self.chunk_frames == 1:
                 dispatch([frame_np], time.monotonic())

@@ -236,6 +236,136 @@ class TestPodLifecycle:
         pod.stop()
 
 
+class TestPodResize:
+    """Elastic capacity: MultiStreamAuralizer.resize grows/shrinks the
+    slot count of a LIVE pod at a dispatch boundary; surviving slots'
+    DSP carries ride along byte-continuously."""
+
+    def _wait_fill(self, pod, slot, n, timeout=120.0):
+        t0 = time.monotonic()
+        while pod.stream_metrics(slot)["buffer_fill"] < n:
+            pod.raise_if_failed()
+            assert time.monotonic() - t0 < timeout
+            time.sleep(0.005)
+
+    def test_grow_live_preserves_serving_slot(self):
+        """Resize 1→2 mid-stream: slot 0's PCM across the resize equals
+        one uninterrupted offline run (the carry rides the batch-shape
+        change untouched); the grown slot serves a fresh client."""
+        cfg = AuralizerConfig()
+        clip_a, clip_b = (np.asarray(c) for c in clips(2, 6))
+        pod = MultiStreamAuralizer(cfg, n_streams=1,
+                                   exit_when_exhausted=False)
+        pod.start([iter(clip_a[:3])])
+        self._wait_fill(pod, 0, 3)
+        assert pod.is_running
+
+        pod.resize(2)                      # blocks until applied
+        assert pod.n_streams == 2
+        assert len(pod.rings) == 2 and len(pod.params) == 2
+        m = pod.stream_metrics(1)
+        assert m["active"] is False and m["buffer_fill"] == 0
+
+        # Continue slot 0 (same camera, carry continues) and arm the
+        # new slot with a fresh client.
+        pod.replace_source(0, iter(clip_a[3:]))
+        pod.replace_source(1, iter(clip_b))
+        self._wait_fill(pod, 0, 6)
+        self._wait_fill(pod, 1, 6)
+        ref_a, _, _ = run_offline(clip_a, cfg)
+        ref_b, _, _ = run_offline(clip_b, cfg)
+        np.testing.assert_allclose(pod.pull(0, 6 * HOP),
+                                   np.asarray(ref_a), atol=2e-4)
+        np.testing.assert_allclose(pod.pull(1, 6 * HOP),
+                                   np.asarray(ref_b), atol=2e-4)
+        pod.stop()
+
+    def test_shrink_live_drops_highest_slots(self):
+        cfg = AuralizerConfig()
+        clip_a, clip_b, clip_c = (np.asarray(c) for c in clips(3, 3))
+        pod = MultiStreamAuralizer(cfg, n_streams=3,
+                                   exit_when_exhausted=False)
+        pod.start([iter(clip_a), iter(clip_b), iter(clip_c)])
+        for s in range(3):
+            self._wait_fill(pod, s, 3)
+        pcm0_before = pod.pull(0, HOP)     # partial drain pre-shrink
+        pod.resize(1)
+        assert pod.n_streams == 1
+        assert len(pod.rings) == 1 and len(pod.params) == 1
+        assert len(pod.slot_errors) == 1
+        # Slot 0 survives: the rest of its buffered PCM is still there.
+        ref_a, _, _ = run_offline(clip_a, cfg)
+        got = np.concatenate([pcm0_before, pod.pull(0, 2 * HOP)])
+        np.testing.assert_allclose(got, np.asarray(ref_a), atol=2e-4)
+        # And it keeps serving after the shrink.
+        pod.replace_source(0, iter(clip_a.copy()))
+        self._wait_fill(pod, 0, 3)
+        pod.stop()
+
+    def test_resize_while_stopped_applies_immediately(self):
+        cfg = AuralizerConfig()
+        pod = MultiStreamAuralizer(cfg, n_streams=2)
+        pod.resize(3)
+        assert pod.n_streams == 3 and len(pod.rings) == 3
+        srcs = clips(3, 4)
+        pod.start([iter(np.asarray(c)) for c in srcs])
+        wait_done(pod)
+        for s, clip in enumerate(srcs):
+            ref, _, _ = run_offline(np.asarray(clip), cfg)
+            np.testing.assert_allclose(pod.pull(s, 4 * HOP),
+                                       np.asarray(ref), atol=2e-4)
+        pod.stop()
+
+    def test_grow_chunked_pod(self):
+        """Resize of a chunk-batched pod lands at a chunk boundary and
+        the grown slot rides the chunk pipeline."""
+        cfg = AuralizerConfig()
+        clip_a, clip_b = (np.asarray(c) for c in clips(2, 4))
+        pod = MultiStreamAuralizer(cfg, n_streams=1, chunk_frames=2,
+                                   exit_when_exhausted=False)
+        pod.start([iter(clip_a)])
+        self._wait_fill(pod, 0, 4)
+        pod.resize(2)
+        assert pod.n_streams == 2
+        pod.replace_source(1, iter(clip_b))
+        self._wait_fill(pod, 1, 4)
+        ref_b, _, _ = run_offline_batched(clip_b, cfg, chunk=2)
+        np.testing.assert_allclose(pod.pull(1, 4 * HOP),
+                                   np.asarray(ref_b), atol=2e-4)
+        pod.stop()
+
+    def test_grow_inherits_pan_angles_presence(self):
+        """Growth must not break the cross-slot pan_angles-presence
+        invariant (_stack_params): new slots copy slot 0's params."""
+        cfg = AuralizerConfig()
+        params = [LiveParams(stereo_width=0.5) for _ in range(2)]
+        for p in params:
+            p.pan_angles = np.zeros(cfg.num_cells, np.float32)
+        pod = MultiStreamAuralizer(
+            AuralizerConfig(channels=2), n_streams=2, params=params,
+            exit_when_exhausted=False)
+        clip = np.asarray(clips(1, 2)[0])
+        pod.start([iter(clip), iter(clip.copy())])
+        self._wait_fill(pod, 0, 2)
+        pod.resize(3)
+        assert pod.params[2] is not pod.params[0]
+        assert pod.params[2].pan_angles is not None
+        pod.replace_source(2, iter(clip.copy()))
+        self._wait_fill(pod, 2, 2)         # dispatch survives stacking
+        pod.stop()
+
+    def test_resize_validation(self):
+        from vaudio.parallel import make_stream_mesh
+        pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=2)
+        with pytest.raises(ValueError, match=">= 1"):
+            pod.resize(0)
+        mesh_pod = MultiStreamAuralizer(
+            AuralizerConfig(), n_streams=8, params=LiveParams(),
+            mesh=make_stream_mesh(8, 1))
+        with pytest.raises(ValueError, match="multiple"):
+            mesh_pod.resize(4 + 8)         # 12 % 8 != 0
+
+
 class TestPodCLI:
     def test_pod_cli_writes_per_slot_wavs(self, tmp_path):
         """`vaudio pod --input a.npy --input b.npy` writes slotN.wav per

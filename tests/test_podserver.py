@@ -382,6 +382,59 @@ class TestPodOpsEndpoints:
         assert e.value.code == 400
 
 
+class TestElasticResize:
+    def test_resize_over_http(self):
+        """POST /resize grows a LIVE pod; the panel, metrics, per-slot
+        params and audio endpoints all see the new slots; a shrink
+        drops them again."""
+        cfg = AuralizerConfig()
+        pod = MultiStreamAuralizer(cfg, n_streams=1,
+                                   exit_when_exhausted=False)
+        server = pod.serve(port=0)
+        try:
+            clip = np.asarray(hsb_frames(0.6, 1.0, 1.0, width=64,
+                                         height=64, num_frames=3))
+            pod.start([iter(clip)])
+            deadline = time.monotonic() + 120
+            while pod.stream_metrics(0)["buffer_fill"] < 3:
+                pod.raise_if_failed()
+                assert time.monotonic() < deadline
+                time.sleep(0.01)
+
+            status, resp = _post(server.url + "resize", {"n_streams": 3})
+            assert status == 200 and resp["n_streams"] == 3
+            assert pod.n_streams == 3
+
+            _, _, page = _get(server.url)
+            assert "serving pod (3 slots)" in page.decode()
+            _, _, body = _get(server.url + "metrics")
+            m = json.loads(body)
+            assert m["n_streams"] == 3 and len(m["slots"]) == 3
+
+            # The grown slot has a working control surface...
+            status, resp = _post(server.url + "slots/2/params",
+                                 {"attack": 0.5})
+            assert status == 200 and resp["applied"] == 1
+            assert pod.params[2].attack == 0.5
+            assert pod.params[0].attack == 1.0
+            # ...and an audio lock (drain_exclusive grows the list).
+            assert server.audio_busy(2) is False
+
+            # Malformed body -> 400.
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _post(server.url + "resize", {"n": 3})
+            assert exc.value.code == 400
+
+            status, resp = _post(server.url + "resize", {"n_streams": 2})
+            assert status == 200 and resp["n_streams"] == 2
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _get(server.url + "slots/2/params")
+            assert exc.value.code == 404
+        finally:
+            server.stop()
+            pod.stop()
+
+
 class TestPodServeCLI:
     def test_cli_serve_flag(self, tmp_path):
         """`vaudio pod --serve` starts the panel (URL on stderr) and

@@ -545,7 +545,13 @@ def cmd_pod(args) -> int:
             pod.raise_if_failed()
             running = pod.is_running
             drained_any = False
-            for i in range(n):
+            # The panel can elastically resize a running pod (POST
+            # /resize): track the live slot count — grown slots get
+            # their own collectors/WAVs, shrunk slots stop draining
+            # (their collected audio is still written below).
+            while len(collected) < pod.n_streams:
+                collected.append([])
+            for i in range(pod.n_streams):
                 ring = pod.rings[i]
 
                 def _pull_ready(ring=ring, i=i):
@@ -569,20 +575,22 @@ def cmd_pod(args) -> int:
                 break
             if not drained_any:
                 _time.sleep(0.002)
-    for i, path in enumerate(args.input):
-        pcm = (np.concatenate(collected[i]) if collected[i]
+    for i, chunks in enumerate(collected):
+        path = args.input[i] if i < len(args.input) else "(resized in)"
+        pcm = (np.concatenate(chunks) if chunks
                else np.zeros(0, np.float32))
         if cfg.channels > 1:
             pcm = pcm.reshape(-1, cfg.channels)
         out_path = os.path.join(args.output, f"slot{i}.wav")
         write_wav(out_path, pcm, cfg.sample_rate, channels=cfg.channels)
-        m = pod.stream_metrics(i)
+        dropped = (pod.stream_metrics(i)["dropped_frames"]
+                   if i < pod.n_streams else "n/a")
         print(f"pod slot {i}: {path} -> {out_path} "
               f"({len(pcm) / cfg.sample_rate:.2f}s, "
-              f"dropped={m['dropped_frames']})", file=sys.stderr)
+              f"dropped={dropped})", file=sys.stderr)
     agg = pod.metrics
-    print(f"pod: {agg.frames_processed} frames over {n} streams in "
-          f"{agg.dispatches} dispatches", file=sys.stderr)
+    print(f"pod: {agg.frames_processed} frames over {pod.n_streams} "
+          f"streams in {agg.dispatches} dispatches", file=sys.stderr)
     if args.save_state:
         # BEFORE pod.stop(): stop clears the OLA tails (the reference's
         # stop semantics, SoundEngine.swift:459-474).

@@ -32,7 +32,10 @@ dispatch.  This module packages that shape as a long-lived "pod":
 Static shapes are a contract here: all streams in a pod share one
 resolution and dtype (serving pods are per-resolution; XLA compiles one
 program).  A mid-stream resolution change is a hard error — route such
-streams to a pod of the right shape instead.
+streams to a pod of the right shape instead.  Capacity, by contrast, is
+elastic: :meth:`MultiStreamAuralizer.resize` grows/shrinks the slot
+count live at a dispatch boundary (one retrace at the new batch shape;
+surviving slots' DSP state rides along untouched).
 """
 
 from __future__ import annotations
@@ -85,12 +88,27 @@ def _stack(frames: Sequence):
     return np.stack(frames)
 
 
+def _fresh_rows(carry, n_add: int):
+    """Cold-start carry rows for ``n_add`` new slots, shaped like
+    ``carry``'s per-slot rows.  Engine-agnostic: zero every field except
+    the AGC envelope (``running_max``), which cold-starts at 1.0 for
+    both shipped families (runtime.step.init_carry,
+    models.orthomodes.init_carry — a zero envelope would blow up the
+    first normalize)."""
+    return type(carry)(*[
+        (jnp.ones((n_add,) + x.shape[1:], x.dtype)
+         if f == "running_max"
+         else jnp.zeros((n_add,) + x.shape[1:], x.dtype))
+        for f, x in zip(type(carry)._fields, carry)])
+
+
 class MultiStreamAuralizer:
     """Serve N concurrent video->audio streams from one batched dispatch.
 
     Args:
       cfg: static configuration shared by every stream in the pod.
-      n_streams: number of serving slots (fixed — the batch shape).
+      n_streams: number of serving slots (the batch shape; elastically
+        resizable live — see :meth:`resize`).
       params: live parameters.  ``None`` = an independent
         :class:`LiveParams` per slot (reach them via ``self.params[i]``);
         a single ``LiveParams`` = shared by every slot (mutations affect
@@ -205,6 +223,11 @@ class MultiStreamAuralizer:
             [None] * self.n_streams
         self._source_lock = threading.Lock()
         self._pending_sources: List = []   # (slot, iterator, reset_carry)
+        self._prefer_native = prefer_native
+        #: Pending elastic resize: (new n_streams, applied Event).
+        #: Written by :meth:`resize` under ``_source_lock``; taken by the
+        #: producer at a dispatch boundary.
+        self._resize_req = None
         #: Per-slot :class:`vaudio.io.PushSource` handles for slots armed
         #: with :meth:`arm_push` (network/push ingest); None elsewhere.
         self.push_sources: List = [None] * self.n_streams
@@ -338,8 +361,9 @@ class MultiStreamAuralizer:
         for ring in self.rings:
             ring.reset()
         with self._carry_lock:
-            self._carry = self._carry._replace(
-                ola_tail=jnp.zeros_like(self._carry.ola_tail))
+            if self._carry is not None:   # frame-sized carry, no tick yet
+                self._carry = self._carry._replace(
+                    ola_tail=jnp.zeros_like(self._carry.ola_tail))
 
     def replace_source(self, slot: int, source: Iterable,
                        reset_carry: bool = False) -> None:
@@ -356,6 +380,145 @@ class MultiStreamAuralizer:
         with self._source_lock:
             self._pending_sources.append((slot, iter(source),
                                           bool(reset_carry)))
+
+    def resize(self, n_streams: int, timeout: float = 30.0) -> None:
+        """Elastically resize the pod to ``n_streams`` serving slots,
+        live — scale a pod up for incoming clients or down to release
+        capacity without dropping the streams it is already serving.
+
+        Growth appends dark slots (cold DSP state, empty rings, an
+        independent copy of slot 0's :class:`LiveParams` per new slot —
+        or the pod's one shared object in mesh/shared-params mode) that
+        are armed later with :meth:`replace_source` / :meth:`arm_push`.  Shrink drops the
+        HIGHEST slots: their sources, rings, params and DSP state are
+        discarded (pull anything you still need first).  Slots
+        ``0..min-1`` are untouched — their carries ride along and their
+        PCM continues seamlessly (per-slot math is independent under the
+        vmapped step; the step retraces once for the new batch shape).
+
+        Running pods apply the resize at the producer's next dispatch
+        boundary (for ``chunk_frames>1``, the next chunk boundary) and
+        this call blocks until it lands; stopped pods resize
+        immediately.  Mesh pods: ``n_streams`` must stay a multiple of
+        the mesh's stream axis.  The pod's static frame shape/dtype
+        contract is unchanged — resize changes capacity, not resolution.
+
+        Note on shared-vs-per-slot params on growth: a pod whose slots
+        all share ONE ``LiveParams`` object (mesh mode, or a single
+        object passed at construction to a multi-slot pod) grows with
+        that same shared object; otherwise new slots get independent
+        copies of slot 0's params (preserving the cross-slot
+        pan_angles-presence invariant).  A 1-slot pod is treated as
+        per-slot.
+        """
+        n_new = int(n_streams)
+        if n_new < 1:
+            raise ValueError("n_streams must be >= 1")
+        if self._mesh is not None and n_new % self._mesh.shape["stream"]:
+            raise ValueError(
+                f"n_streams {n_new} not a multiple of the mesh stream "
+                f"axis {self._mesh.shape['stream']}")
+        if not self._running:
+            with self._source_lock:
+                self._resize_req = None
+            self._apply_resize(n_new)
+            return
+        ev = threading.Event()
+        with self._source_lock:
+            self._resize_req = (n_new, ev)
+        deadline = time.monotonic() + timeout
+        producer_alive = True
+        while not ev.wait(0.05):
+            if time.monotonic() >= deadline:
+                break
+            t = self._thread
+            if not (t is not None and t.is_alive()):
+                producer_alive = False
+                break                  # producer exited without seeing it
+        if ev.is_set():
+            return
+        # Did not land: either the producer is wedged mid-chunk
+        # (timeout), or it exited (exhausted/stopped/failed) without
+        # seeing the request — apply inline in the latter case.
+        with self._source_lock:
+            pending = (self._resize_req is not None
+                       and self._resize_req[1] is ev)
+            if pending:
+                self._resize_req = None
+        if not pending:
+            return                     # landed just after the timeout
+        self.raise_if_failed()
+        if producer_alive:
+            raise TimeoutError(
+                f"pod producer did not reach a dispatch boundary within "
+                f"{timeout}s; resize to {n_new} not applied")
+        self._apply_resize(n_new)      # producer already gone
+
+    def _apply_resize(self, n_new: int) -> None:
+        """Apply an elastic resize.  Called from the producer thread at
+        a dispatch boundary (in-flight results flushed, chunk buffers
+        empty), or from :meth:`resize` while the pod is stopped.
+
+        Lock-free readers (PodServer handlers, the CLI drain) index the
+        per-slot lists by ``range(pod.n_streams)``, so ordering is the
+        safety contract here: on growth the lists grow BEFORE
+        ``n_streams`` rises; on shrink ``n_streams`` drops BEFORE the
+        lists are trimmed — the lists are never shorter than
+        ``n_streams``."""
+        old = self.n_streams
+        if n_new == old:
+            return
+        with self._carry_lock:
+            if self._carry is not None:
+                c = self._carry
+                if n_new < old:
+                    c = jax.tree.map(lambda x: x[:n_new], c)
+                else:
+                    pad = _fresh_rows(c, n_new - old)
+                    c = jax.tree.map(
+                        lambda a, b: jnp.concatenate([a, b]), c, pad)
+                self._carry = self._shard_put(c)
+        shared = (self._mesh is not None
+                  or (old > 1 and len(set(map(id, self.params))) == 1))
+        if n_new > old:
+            import dataclasses
+            add = n_new - old
+            # Per-slot mode: new slots get an independent COPY of slot
+            # 0's params — not a bare LiveParams() — so the cross-slot
+            # pan_angles-presence invariant (_stack_params) survives the
+            # growth when existing slots carry pan_angles.
+            self.params.extend([self.params[0]] * add if shared
+                               else [dataclasses.replace(self.params[0])
+                                     for _ in range(add)])
+            self.rings.extend(
+                make_ring_buffer(self.cfg.ring_buffer_frames,
+                                 self.cfg.hop_size * self.cfg.channels,
+                                 self.cfg.warmup_frames,
+                                 prefer_native=self._prefer_native)
+                for _ in range(add))
+            self._sources.extend([None] * add)
+            self._active.extend([False] * add)
+            self.slot_errors.extend([None] * add)
+            self.push_sources.extend([None] * add)
+            self.last_pcm.extend([None] * add)
+            self.last_preview.extend([None] * add)
+            self._preview_t.extend([0.0] * add)
+            self.n_streams = n_new
+        else:
+            self.n_streams = n_new
+            del self.params[n_new:]
+            del self.rings[n_new:]
+            del self._sources[n_new:]
+            del self._active[n_new:]
+            del self.slot_errors[n_new:]
+            del self.push_sources[n_new:]
+            del self.last_pcm[n_new:]
+            del self.last_preview[n_new:]
+            del self._preview_t[n_new:]
+            with self._source_lock:
+                self._pending_sources = [
+                    (s, it, r) for s, it, r in self._pending_sources
+                    if s < n_new]
 
     def arm_push(self, slot: int, *, maxsize: int = 8,
                  when_empty: str = "hold", reset_carry: bool = False,
@@ -670,6 +833,22 @@ class MultiStreamAuralizer:
             pending = (out, t0, masks)
 
         while not self._stop_event.is_set():
+            # Elastic resize lands only at a dispatch boundary: the
+            # in-flight result is flushed at the OLD shape first, and a
+            # partial chunk defers the resize to its chunk boundary
+            # (chunk buffers are per-slot lists in lockstep).
+            req = None
+            if self._resize_req is not None and not chunk_bufs[0]:
+                with self._source_lock:
+                    req, self._resize_req = self._resize_req, None
+            if req is not None:
+                if pending is not None:
+                    self._flush(pending)
+                    pending = None
+                self._apply_resize(req[0])
+                chunk_bufs = [[] for _ in range(self.n_streams)]
+                chunk_mask = [[] for _ in range(self.n_streams)]
+                req[1].set()
             self._apply_pending_sources()
             if not any(self._active):
                 if self._exit_when_exhausted:

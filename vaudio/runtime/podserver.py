@@ -17,6 +17,11 @@ SoundEngine.swift:156-228) replicated *per serving slot*:
   (per-slot series labeled ``{slot="i"}``) for scraping;
 * ``GET /state.npz`` / ``POST /state.npz`` — download / restore the
   pod checkpoint (every slot's DSP carry; shape-validated) over HTTP;
+* ``POST /resize``               — elastic capacity: JSON
+  ``{"n_streams": N}`` grows/shrinks the pod's slot count live
+  (:meth:`MultiStreamAuralizer.resize`; new slots arrive dark and are
+  armed via ``POST /slots/<i>/push``; the panel page reloads itself
+  when the slot count changes);
 * ``GET /slots/<i>/params``      — slot ``i``'s live parameters;
 * ``POST /slots/<i>/params``     — JSON updates for slot ``i`` (same
   validation as the single-stream panel; values are traced per dispatch
@@ -145,6 +150,7 @@ function tick() {{
       document.getElementById(`${{v}}_${{s}}`).src =
         `/slots/${{s}}/debug/${{v}}.png?t=${{t}}`;
   fetch("/metrics").then(r => r.json()).then(m => {{
+    if (m.n_streams !== N) {{ location.reload(); return; }}
     const slots = m.slots; delete m.slots;
     document.getElementById("agg").textContent =
       JSON.stringify(m, null, 1);
@@ -171,6 +177,7 @@ class PodServer:
         self.refresh_ms = int(refresh_ms)
         self._audio_locks = [threading.Lock()
                              for _ in range(pod.n_streams)]
+        self._locks_lock = threading.Lock()  # grows _audio_locks (resize)
         self._stopped = threading.Event()
         server = self
 
@@ -297,6 +304,30 @@ class PodServer:
 
             def _post(self):
                 path = self.path.split("?", 1)[0]
+                if path == "/resize":
+                    # Elastic capacity: resize the pod's slot count
+                    # live (MultiStreamAuralizer.resize — applied at
+                    # the producer's next dispatch boundary; new slots
+                    # arrive dark, armed via POST /slots/<i>/push).
+                    msg = self._read_json()
+                    if msg is None:
+                        return
+                    try:
+                        n = int(msg["n_streams"])
+                    except (KeyError, TypeError, ValueError):
+                        self._json({"error": "body must carry an "
+                                    "integer 'n_streams'"}, 400)
+                        return
+                    try:
+                        server.pod.resize(n)
+                    except (TypeError, ValueError) as e:
+                        self._json({"error": f"bad value: {e}"}, 400)
+                        return
+                    except TimeoutError as e:
+                        self._json({"error": str(e)}, 503)
+                        return
+                    self._json({"n_streams": server.pod.n_streams})
+                    return
                 if path == "/params":
                     # Pod-level broadcast: apply one update to EVERY
                     # slot, atomically w.r.t. the producer's param
@@ -500,13 +531,22 @@ class PodServer:
 
     # -- audio --------------------------------------------------------------
 
+    def _audio_lock(self, slot: int) -> threading.Lock:
+        """Per-slot audio lock, growing the list on demand — an elastic
+        :meth:`MultiStreamAuralizer.resize` can add slots after this
+        server was built."""
+        with self._locks_lock:
+            while len(self._audio_locks) <= slot:
+                self._audio_locks.append(threading.Lock())
+            return self._audio_locks[slot]
+
     def audio_busy(self, slot: int) -> bool:
         """True while a ``/slots/<slot>/audio.wav`` listener holds the
         slot's ring.  Other ring consumers (the CLI WAV drain) should
         skip the slot while busy — concurrent pulls split samples.
         NOTE: a probe is only a snapshot; to actually pull without
         racing a connecting listener use :meth:`drain_exclusive`."""
-        lock = self._audio_locks[slot]
+        lock = self._audio_lock(slot)
         if lock.acquire(blocking=False):
             lock.release()
             return False
@@ -518,7 +558,7 @@ class PodServer:
         external ring consumer cannot interleave pulls with a listener
         that connects mid-drain.  Non-blocking: returns ``fn()``'s
         result, or ``None`` when a listener currently holds the slot."""
-        lock = self._audio_locks[slot]
+        lock = self._audio_lock(slot)
         if not lock.acquire(blocking=False):
             return None
         try:
@@ -530,7 +570,8 @@ class PodServer:
         """Chunked live WAV for one slot: pull 512-sample quanta at the
         hardware cadence (underruns emit silence per the real-time
         contract, SoundEngine.swift:184-189) until the client leaves."""
-        if not self._audio_locks[slot].acquire(blocking=False):
+        lock = self._audio_lock(slot)
+        if not lock.acquire(blocking=False):
             handler._json({"error": f"slot {slot} audio stream busy "
                            "(one listener per slot)"}, 409)
             return
@@ -545,6 +586,8 @@ class PodServer:
                     if now < next_t:
                         time.sleep(next_t - now)
                     next_t = max(next_t + period, time.monotonic())
+                    if slot >= self.pod.n_streams:
+                        return   # slot removed by an elastic shrink
                     yield self.pod.pull(slot, quantum * cfg.channels)
 
             from vaudio.runtime.server import write_wav_stream
@@ -553,7 +596,7 @@ class PodServer:
         except (BrokenPipeError, ConnectionResetError):
             pass
         finally:
-            self._audio_locks[slot].release()
+            lock.release()
 
     # -- lifecycle ---------------------------------------------------------
 

@@ -154,6 +154,25 @@ def cmd_bench(args) -> int:
     return subprocess.call([sys.executable, "bench.py"])
 
 
+def cmd_doctor(args) -> int:
+    """Active environment health checks (vaudio.utils.doctor): backend
+    reachability (watchdogged — a dead accelerator relay reports FAIL
+    instead of hanging the way a bare `vaudio info` would), compile
+    cache, native runtime lib, decode backends, audio sinks, and an
+    end-to-end sonify smoke.  Exits 1 on any FAIL; warnings (missing
+    optional capabilities) exit 0."""
+    from vaudio.utils.doctor import format_report, run_doctor
+    checks = run_doctor(platform=args.platform, timeout=args.timeout,
+                        skip_backend=args.skip_backend,
+                        skip_smoke=args.skip_smoke,
+                        smoke_timeout=args.smoke_timeout)
+    if args.json:
+        print(json.dumps(checks, indent=2))
+    else:
+        print(format_report(checks))
+    return 1 if any(c["status"] == "fail" for c in checks) else 0
+
+
 def cmd_stream(args) -> int:
     """Raw frames in -> PCM stdout streaming (production pipe mode).
 
@@ -774,6 +793,24 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("bench", help="run the benchmark")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("doctor",
+                       help="active environment health checks "
+                            "(backend/cache/native/decode/player/smoke)")
+    p.add_argument("--platform", default=None,
+                   help="probe/smoke this jax platform instead of the "
+                        "default backend (e.g. cpu)")
+    p.add_argument("--timeout", type=float, default=90.0,
+                   help="backend-probe watchdog seconds (default 90)")
+    p.add_argument("--smoke-timeout", type=float, default=300.0,
+                   help="end-to-end smoke watchdog seconds (default 300)")
+    p.add_argument("--skip-backend", action="store_true",
+                   help="skip the accelerator-backend probe")
+    p.add_argument("--skip-smoke", action="store_true",
+                   help="skip the end-to-end sonify smoke")
+    p.add_argument("--json", action="store_true",
+                   help="emit the checks as JSON instead of text")
+    p.set_defaults(fn=cmd_doctor)
 
     p = sub.add_parser("stream",
                        help="frames (stdin/FIFO/device node/video file) "

@@ -22,6 +22,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# In containers whose sitecustomize pre-registers an accelerator plugin,
+# a bare JAX_PLATFORMS env var can be consumed too late — apply it (or
+# VAUDIO_PLATFORM) via jax.config BEFORE any backend use, like the CLI.
+_plat = os.environ.get("VAUDIO_PLATFORM") or os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+    jax.config.update("jax_platforms", _plat)
+
 
 def main(hold=False):
     from vaudio.config import AuralizerConfig
@@ -72,6 +80,17 @@ def main(hold=False):
     pod.replace_source(0, source(0.6, frames=60), reset_carry=True)
     print("[churn] slot 0 re-armed with a new client (carry reset)")
 
+    # --- elastic capacity: grow the live pod over HTTP -----------------
+    req = urllib.request.Request(
+        server.url + "resize",
+        data=json.dumps({"n_streams": n + 1}).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        print(f"[resize] pod grown to "
+              f"{json.loads(r.read())['n_streams']} slots mid-run "
+              "(surviving slots' carries ride along)")
+    pod.replace_source(n, source(0.4, frames=60))
+    print(f"[resize] new slot {n} armed with a fresh client")
+
     # --- ops: Prometheus scrape + HTTP checkpoint ----------------------
     with urllib.request.urlopen(server.url + "metrics.prom",
                                 timeout=10) as r:
@@ -82,7 +101,7 @@ def main(hold=False):
                                 timeout=10) as r:
         state = r.read()
     print(f"[ckpt] downloaded pod checkpoint: {len(state)} bytes "
-          f"({n} slots x 5 arrays)")
+          f"({pod.n_streams} slots x 5 arrays)")
 
     wait_frames(n * 40)
     m = pod.metrics_dict()

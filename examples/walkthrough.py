@@ -11,6 +11,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# In containers whose sitecustomize pre-registers an accelerator plugin,
+# a bare JAX_PLATFORMS env var can be consumed too late — apply it (or
+# VAUDIO_PLATFORM) via jax.config BEFORE any backend use, like the CLI.
+_plat = os.environ.get("VAUDIO_PLATFORM") or os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+    jax.config.update("jax_platforms", _plat)
+
 
 def main(outdir="/tmp/vaudio_walkthrough"):
     os.makedirs(outdir, exist_ok=True)

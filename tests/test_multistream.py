@@ -366,6 +366,79 @@ class TestPodResize:
             mesh_pod.resize(4 + 8)         # 12 % 8 != 0
 
 
+class TestSlotLeasing:
+    """acquire_slot / release_slot — fleet allocation on top of the
+    elastic resize: clients lease slots instead of tracking indices."""
+
+    def _wait(self, cond, pod, timeout=120.0):
+        t0 = time.monotonic()
+        while not cond():
+            pod.raise_if_failed()
+            assert time.monotonic() - t0 < timeout
+            time.sleep(0.005)
+
+    def test_acquire_reuses_then_grows_then_caps(self):
+        cfg = AuralizerConfig()
+        clip = np.asarray(clips(1, 2)[0])
+        pod = MultiStreamAuralizer(cfg, n_streams=2, max_streams=3,
+                                   exit_when_exhausted=False)
+        pod.start([iter(clip), iter(clip.copy())])
+        # Both finite sources exhaust -> both slots free.
+        self._wait(lambda: not any(pod._active), pod)
+        assert pod.free_slots() == [0, 1]
+
+        s0, ps0 = pod.acquire_slot()
+        assert s0 == 0 and pod.push_sources[0] is ps0
+        s1, ps1 = pod.acquire_slot()
+        assert s1 == 1
+        # No free slot left: grows to max_streams.
+        s2, ps2 = pod.acquire_slot()
+        assert s2 == 2 and pod.n_streams == 3
+        # At capacity, everything leased.
+        with pytest.raises(RuntimeError, match="at capacity"):
+            pod.acquire_slot()
+
+        # Leased slots actually serve: push frames, PCM arrives.
+        for fr in clip:
+            ps2.push(fr)
+        self._wait(lambda: pod.stream_metrics(2)["buffer_fill"] >= 2,
+                   pod)
+        ref, _, _ = run_offline(clip, cfg)
+        np.testing.assert_allclose(pod.pull(2, 2 * HOP),
+                                   np.asarray(ref), atol=2e-4)
+        pod.stop()
+
+    def test_release_shrinks_trailing_and_reuses_holes(self):
+        cfg = AuralizerConfig()
+        clip = np.asarray(clips(1, 2)[0])
+        pod = MultiStreamAuralizer(cfg, n_streams=1, max_streams=4,
+                                   exit_when_exhausted=False)
+        pod.start([iter(clip)])
+        self._wait(lambda: not any(pod._active), pod)
+        slots = [pod.acquire_slot()[0] for _ in range(3)]
+        assert slots == [0, 1, 2] and pod.n_streams == 3
+
+        # Trailing release with shrink returns the capacity.
+        pod.release_slot(2, shrink=True)
+        assert pod.n_streams == 2
+        # Inner release leaves a hole that the next acquire reuses.
+        pod.release_slot(0)
+        self._wait(lambda: 0 in pod.free_slots(), pod)
+        assert pod.n_streams == 2
+        s, _ = pod.acquire_slot()
+        assert s == 0 and pod.n_streams == 2
+        pod.stop()
+
+    def test_max_streams_also_caps_resize(self):
+        pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=2,
+                                   max_streams=3)
+        with pytest.raises(ValueError, match="max_streams"):
+            pod.resize(4)
+        with pytest.raises(ValueError, match="max_streams"):
+            MultiStreamAuralizer(AuralizerConfig(), n_streams=4,
+                                 max_streams=2)
+
+
 class TestPodCLI:
     def test_pod_cli_writes_per_slot_wavs(self, tmp_path):
         """`vaudio pod --input a.npy --input b.npy` writes slotN.wav per

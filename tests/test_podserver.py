@@ -435,6 +435,60 @@ class TestElasticResize:
             pod.stop()
 
 
+class TestSlotLeasingHTTP:
+    def test_acquire_push_release_over_http(self):
+        """POST /slots/acquire leases (growing the pod), the leased
+        slot accepts frames, and /slots/<i>/release with shrink returns
+        the capacity.  Also drives the push_frames client's
+        slot='acquire' mode."""
+        cfg = AuralizerConfig()
+        pod = MultiStreamAuralizer(cfg, n_streams=1, max_streams=2,
+                                   exit_when_exhausted=False)
+        server = pod.serve(port=0)
+        try:
+            clip = np.asarray(hsb_frames(0.1, 1.0, 1.0, width=64,
+                                         height=64, num_frames=2))
+            pod.start([iter(clip)])      # slot 0 exhausts -> free
+            deadline = time.monotonic() + 120
+            while any(pod._active):
+                pod.raise_if_failed()
+                assert time.monotonic() < deadline
+                time.sleep(0.01)
+
+            # First lease reuses the free slot 0.
+            status, resp = _post(server.url + "slots/acquire", {})
+            assert status == 200 and resp["slot"] == 0
+            assert resp["armed"] is True and pod.n_streams == 1
+
+            # Client-side acquire mode: leases slot 1 (pod grows) and
+            # streams the clip through it, leaving the lease open.
+            from vaudio.io.push import push_frames
+            sent = push_frames(server.url, "acquire", iter(clip),
+                               when_empty="dark", close=False)
+            assert sent == 2 and pod.n_streams == 2
+            deadline = time.monotonic() + 120
+            while pod.stream_metrics(1)["buffer_fill"] < 2:
+                pod.raise_if_failed()
+                assert time.monotonic() < deadline
+                time.sleep(0.01)
+
+            # A third lease is refused: both slots leased (open push
+            # streams) and the pod is at max_streams.
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _post(server.url + "slots/acquire", {})
+            assert exc.value.code == 409
+
+            # Release slot 1 with shrink: the push stream closes and
+            # the trailing capacity is returned.
+            status, resp = _post(server.url + "slots/1/release",
+                                 {"shrink": True})
+            assert status == 200 and resp["n_streams"] == 1
+            assert pod.n_streams == 1
+        finally:
+            server.stop()
+            pod.stop()
+
+
 class TestPodServeCLI:
     def test_cli_serve_flag(self, tmp_path):
         """`vaudio pod --serve` starts the panel (URL on stderr) and

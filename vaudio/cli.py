@@ -523,7 +523,8 @@ def cmd_pod(args) -> int:
         realtime=args.realtime,
         chunk_frames=args.chunk_frames,
         metrics_log=args.metrics_log,
-        engine=engine)
+        engine=engine,
+        max_streams=args.max_streams)
     cfg = pod.cfg               # engine may coerce (mono orthomodes)
     server = None
     if args.serve:
@@ -639,7 +640,16 @@ def cmd_push(args) -> int:
     frames = _open_frame_iter(args.input, width=w, height=h,
                               pix_fmt=args.pix_fmt, fps=args.fps,
                               max_frames=args.max_frames)
-    slot = None if args.stream else args.slot
+    if args.stream:
+        slot = None
+    elif args.slot == "acquire":
+        slot = "acquire"
+    else:
+        try:
+            slot = int(args.slot)
+        except ValueError:
+            raise SystemExit(f"push: --slot must be an integer or "
+                             f"'acquire', got {args.slot!r}")
     if slot is None and (args.when_empty != "hold" or args.maxsize != 8
                          or args.reset):
         # Single-stream panels configure their PushSource at launch
@@ -928,6 +938,9 @@ def main(argv=None) -> int:
     p.add_argument("--serve", default=None, metavar="[HOST:]PORT",
                    help="start the pod's live HTTP observability/control "
                         "panel (per-slot views, sliders, audio)")
+    p.add_argument("--max-streams", type=int, default=None,
+                   help="growth cap for elastic capacity (POST /resize "
+                        "and /slots/acquire leases); default unbounded")
     p.add_argument("--load-state", default=None, metavar="NPZ",
                    help="resume every slot's DSP carry from a pod "
                         "checkpoint before the first tick")
@@ -948,8 +961,11 @@ def main(argv=None) -> int:
                             "push')")
     p.add_argument("--url", required=True,
                    help="pod panel base URL, e.g. http://host:8000")
-    p.add_argument("--slot", type=int, default=0,
-                   help="target serving slot index (pod panels)")
+    p.add_argument("--slot", default="0",
+                   help="target serving slot index (pod panels), or "
+                        "'acquire' to lease a slot from the pod "
+                        "(POST /slots/acquire — reuses a free slot or "
+                        "grows the pod up to its --max-streams)")
     p.add_argument("--stream", action="store_true",
                    help="target a single-stream panel ('vaudio stream "
                         "--input push --serve') instead of a pod slot")

@@ -160,6 +160,11 @@ def push_frames(base_url: str, slot: Optional[int], frames,
     stream --input push --serve``: root ``POST /frames`` / ``/push``
     endpoints, pre-armed at launch so ``arm`` is ignored).
 
+    ``slot="acquire"`` asks the pod to LEASE a slot first
+    (``POST /slots/acquire`` — reuses a free slot or elastically grows
+    the pod up to its ``max_streams``); the lease ends with the final
+    close.  The fleet-client mode: no slot bookkeeping on the caller.
+
     This is what ``python -m vaudio push`` runs; the server sides are
     :class:`vaudio.runtime.podserver.PodServer` and
     :class:`vaudio.runtime.server.LiveServer`."""
@@ -185,6 +190,17 @@ def push_frames(base_url: str, slot: Optional[int], frames,
             raise RuntimeError(
                 f"pod rejected POST {path} ({e.code}): {detail}") from None
 
+    if slot == "acquire":
+        resp = post("/slots/acquire",
+                    json.dumps({"when_empty": when_empty,
+                                "maxsize": maxsize,
+                                "reset": reset}).encode(),
+                    "application/json")
+        slot = int(resp["slot"])
+        print(f"push: leased slot {slot} "
+              f"(pod now {resp.get('n_streams')} slots)",
+              file=__import__("sys").stderr)
+        arm = False                    # acquire already armed it
     prefix = "" if slot is None else f"/slots/{slot}"
     if arm and slot is not None:
         post(f"{prefix}/push",

@@ -146,9 +146,13 @@ class MultiStreamAuralizer:
                  mesh=None,
                  exit_when_exhausted: bool = True,
                  metrics_log: Optional[str] = None,
-                 engine=None):
+                 engine=None,
+                 max_streams: Optional[int] = None):
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
+        if max_streams is not None and max_streams < n_streams:
+            raise ValueError(
+                f"max_streams {max_streams} < n_streams {n_streams}")
         if engine is None:
             from vaudio.runtime.engine import AuralizerEngine
             engine = AuralizerEngine(cfg)
@@ -228,6 +232,11 @@ class MultiStreamAuralizer:
         #: Written by :meth:`resize` under ``_source_lock``; taken by the
         #: producer at a dispatch boundary.
         self._resize_req = None
+        #: Growth cap for :meth:`acquire_slot` (None = unbounded).
+        self.max_streams = max_streams
+        #: Serializes acquire/release so two concurrent acquires never
+        #: lease the same slot.
+        self._lease_lock = threading.Lock()
         #: Per-slot :class:`vaudio.io.PushSource` handles for slots armed
         #: with :meth:`arm_push` (network/push ingest); None elsewhere.
         self.push_sources: List = [None] * self.n_streams
@@ -414,6 +423,10 @@ class MultiStreamAuralizer:
         n_new = int(n_streams)
         if n_new < 1:
             raise ValueError("n_streams must be >= 1")
+        if self.max_streams is not None and n_new > self.max_streams:
+            raise ValueError(
+                f"n_streams {n_new} exceeds max_streams "
+                f"{self.max_streams}")
         if self._mesh is not None and n_new % self._mesh.shape["stream"]:
             raise ValueError(
                 f"n_streams {n_new} not a multiple of the mesh stream "
@@ -551,6 +564,82 @@ class MultiStreamAuralizer:
         self.replace_source(slot, ps.frames(), reset_carry=reset_carry)
         self.push_sources[slot] = ps
         return ps
+
+    # -- slot leasing (client-facing allocation) -----------------------------
+
+    def free_slots(self) -> List[int]:
+        """Slots available to :meth:`acquire_slot`: dark (source
+        exhausted, failed, or never armed), no live push arm, and no
+        pending re-arm in flight."""
+        with self._source_lock:
+            pending = {s for s, _, _ in self._pending_sources}
+        out = []
+        for i in range(self.n_streams):
+            if i in pending or self._active[i]:
+                continue
+            ps = self.push_sources[i]
+            if ps is not None and not ps.closed:
+                continue               # armed push slot idling for frames
+            out.append(i)
+        return out
+
+    def acquire_slot(self, *, maxsize: int = 8, when_empty: str = "hold",
+                     reset_carry: bool = True):
+        """Lease a serving slot for a new push client — the fleet
+        allocation front door (PodServer ``POST /slots/acquire``):
+        clients ask the pod for a slot instead of tracking indices
+        themselves.  Reuses the lowest free slot, or elastically grows
+        the pod (:meth:`resize`) up to ``max_streams``; the slot is
+        push-armed (:meth:`arm_push`) with a cold DSP carry by default.
+        Returns ``(slot, PushSource)``.
+
+        Raises ``RuntimeError`` when every slot is leased and the pod is
+        at ``max_streams``.  Mesh pods grow by a whole stream-axis
+        multiple (the resize contract)."""
+        with self._lease_lock:
+            free = self.free_slots()
+            if not free:
+                want = self.n_streams + 1
+                if self._mesh is not None:
+                    axis = self._mesh.shape["stream"]
+                    want = (self.n_streams // axis + 1) * axis
+                if self.max_streams is not None and want > self.max_streams:
+                    raise RuntimeError(
+                        f"pod at capacity: {self.n_streams} slots all "
+                        f"leased, max_streams={self.max_streams}")
+                self.resize(want)
+                free = self.free_slots()
+            slot = free[0]
+            ps = self.arm_push(slot, maxsize=maxsize,
+                               when_empty=when_empty,
+                               reset_carry=reset_carry)
+            return slot, ps
+
+    def release_slot(self, slot: int, shrink: bool = False) -> None:
+        """End a slot's lease: close its push stream (queued frames
+        drain, then the slot goes dark) or, for pull sources, send the
+        slot dark at the next tick.  With ``shrink``, also resize away
+        the trailing run of free slots (never below 1; inner holes are
+        left for :meth:`acquire_slot` to reuse — slots are positional).
+        """
+        if not 0 <= slot < self.n_streams:
+            raise IndexError(f"slot {slot} out of range")
+        with self._lease_lock:
+            ps = self.push_sources[slot]
+            if ps is not None and not ps.closed:
+                ps.close()
+            elif self._active[slot]:
+                self.replace_source(slot, iter(()))   # dark next tick
+            if shrink:
+                freed = set(self.free_slots()) | {slot}
+                keep = self.n_streams
+                while keep > 1 and (keep - 1) in freed:
+                    keep -= 1
+                if self._mesh is not None:
+                    axis = self._mesh.shape["stream"]
+                    keep = max(axis, -(-keep // axis) * axis)
+                if keep < self.n_streams:
+                    self.resize(keep)
 
     def check_frame(self, frame) -> Optional[str]:
         """Validate a candidate frame against the pod contract without

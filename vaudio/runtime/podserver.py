@@ -22,6 +22,13 @@ SoundEngine.swift:156-228) replicated *per serving slot*:
   (:meth:`MultiStreamAuralizer.resize`; new slots arrive dark and are
   armed via ``POST /slots/<i>/push``; the panel page reloads itself
   when the slot count changes);
+* ``POST /slots/acquire``        — fleet allocation: lease a free slot
+  (or grow the pod up to ``max_streams``) push-armed with a cold DSP
+  carry; answers ``{"slot": i, "n_streams": n, ...push state}`` or 409
+  at capacity.  Optional body ``{"maxsize", "when_empty", "reset"}``;
+* ``POST /slots/<i>/release``    — end a lease: the slot's push stream
+  closes/goes dark; optional body ``{"shrink": true}`` also resizes
+  away the trailing run of free slots;
 * ``GET /slots/<i>/params``      — slot ``i``'s live parameters;
 * ``POST /slots/<i>/params``     — JSON updates for slot ``i`` (same
   validation as the single-stream panel; values are traced per dispatch
@@ -378,14 +385,46 @@ class PodServer:
                         return
                     self._json({"restored": True})
                     return
+                if path == "/slots/acquire":
+                    # Fleet allocation: lease a free slot (or grow the
+                    # pod up to max_streams) and arm it for push ingest
+                    # — clients need not track slot indices themselves.
+                    msg = self._read_json()
+                    if msg is None:
+                        return
+                    try:
+                        slot, ps = server.pod.acquire_slot(
+                            maxsize=int(msg.get("maxsize", 8)),
+                            when_empty=msg.get("when_empty", "hold"),
+                            reset_carry=bool(msg.get("reset", True)))
+                    except RuntimeError as e:     # at capacity
+                        self._json({"error": str(e)}, 409)
+                        return
+                    except (TypeError, ValueError) as e:
+                        self._json({"error": f"bad value: {e}"}, 400)
+                        return
+                    self._json({"slot": slot,
+                                "n_streams": server.pod.n_streams,
+                                **ps.state()})
+                    return
                 parts = path.strip("/").split("/")
                 if (len(parts) != 3 or parts[0] != "slots"
-                        or parts[2] not in ("params", "push", "frames")):
+                        or parts[2] not in ("params", "push", "frames",
+                                            "release")):
                     self._json({"error": "not found"}, 404)
                     return
                 slot = self._slot(parts[1])
                 if slot is None:
                     self._json({"error": f"no slot {parts[1]!r}"}, 404)
+                    return
+                if parts[2] == "release":
+                    msg = self._read_json()
+                    if msg is None:
+                        return
+                    server.pod.release_slot(
+                        slot, shrink=bool(msg.get("shrink", False)))
+                    self._json({"released": slot,
+                                "n_streams": server.pod.n_streams})
                     return
                 if parts[2] == "push":
                     self._post_push(slot)

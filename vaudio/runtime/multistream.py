@@ -237,6 +237,10 @@ class MultiStreamAuralizer:
         #: Serializes acquire/release so two concurrent acquires never
         #: lease the same slot.
         self._lease_lock = threading.Lock()
+        #: Serializes resize() callers: without it a second caller's
+        #: request would overwrite the first's under _source_lock and
+        #: the first would return as if applied.
+        self._resize_serial = threading.Lock()
         #: Per-slot :class:`vaudio.io.PushSource` handles for slots armed
         #: with :meth:`arm_push` (network/push ingest); None elsewhere.
         self.push_sources: List = [None] * self.n_streams
@@ -431,6 +435,10 @@ class MultiStreamAuralizer:
             raise ValueError(
                 f"n_streams {n_new} not a multiple of the mesh stream "
                 f"axis {self._mesh.shape['stream']}")
+        with self._resize_serial:
+            self._resize_locked(n_new, timeout)
+
+    def _resize_locked(self, n_new: int, timeout: float) -> None:
         if not self._running:
             with self._source_lock:
                 self._resize_req = None

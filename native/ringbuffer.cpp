@@ -130,6 +130,20 @@ void va_rb_reset(void* p) {
   std::fill(rb->data.begin(), rb->data.end(), 0.0f);
 }
 
+// Full reset for slot re-leasing (MultiStreamAuralizer.acquire_slot):
+// also re-arms the warm-up gate and zeroes the drop/underrun counters,
+// so a new client starts with a fresh real-time contract instead of
+// inheriting the previous lessee's state.
+void va_rb_reset_stats(void* p) {
+  auto* rb = static_cast<RingBuffer*>(p);
+  std::lock_guard<std::mutex> lock(rb->mu);
+  rb->warmed_up = false;
+  rb->dropped_frames = 0;
+  rb->underrun_samples = 0;
+  rb->total_written = 0;
+  rb->total_read = 0;
+}
+
 int64_t va_rb_dropped(void* p) {
   auto* rb = static_cast<RingBuffer*>(p);
   std::lock_guard<std::mutex> lock(rb->mu);

@@ -49,6 +49,18 @@ class TestChecks:
         assert str(tmp_path / "cache") in c["detail"]
         assert (tmp_path / "cache").is_dir()
 
+    def test_compile_cache_precedence_matches_runtime(self, tmp_path,
+                                                      monkeypatch):
+        """Review regression: the doctor must validate the directory
+        the runtime actually uses — cli._enable_compile_cache prefers
+        an externally-set JAX_COMPILATION_CACHE_DIR over
+        VAUDIO_JAX_CACHE."""
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR",
+                           str(tmp_path / "jax_dir"))
+        monkeypatch.setenv("VAUDIO_JAX_CACHE", str(tmp_path / "vaudio"))
+        c = check_compile_cache()
+        assert str(tmp_path / "jax_dir") in c["detail"]
+
     def test_compile_cache_unwritable_fails(self, tmp_path, monkeypatch):
         ro = tmp_path / "ro"
         ro.mkdir()

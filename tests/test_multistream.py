@@ -429,6 +429,59 @@ class TestSlotLeasing:
         assert s == 0 and pod.n_streams == 2
         pod.stop()
 
+    def test_resize_lands_on_a_held_partial_chunk(self):
+        """Review regression: a chunked pod idling on a PARTIAL chunk
+        (push client paused mid-chunk) must still land a resize — the
+        partial chunk is padded out and dispatched at the boundary
+        instead of wedging every resize into TimeoutError."""
+        cfg = AuralizerConfig()
+        clip = np.asarray(clips(1, 4)[0])
+        pod = MultiStreamAuralizer(cfg, n_streams=1, chunk_frames=3,
+                                   exit_when_exhausted=False)
+        pod.start([iter(())])
+        ps = pod.arm_push(0, when_empty="dark")
+        for fr in clip:      # 4 frames: one full chunk + a held partial
+            ps.push(fr)
+        # The full chunk dispatches on its own; frame 3 sits in the
+        # partial chunk forever (the push slot idles dark).
+        self._wait(lambda: pod.stream_metrics(0)["buffer_fill"] >= 3,
+                   pod)
+        pod.resize(2, timeout=60)      # must not TimeoutError
+        assert pod.n_streams == 2
+        # The padded dispatch delivered the partial chunk's REAL hop
+        # (masked padding never reaches the ring).
+        self._wait(lambda: pod.stream_metrics(0)["buffer_fill"] == 4,
+                   pod)
+        ref, _, _ = run_offline_batched(clip, cfg, chunk=3)
+        np.testing.assert_allclose(pod.pull(0, 4 * HOP),
+                                   np.asarray(ref), atol=2e-4)
+        pod.stop()
+
+    def test_release_gets_fresh_ring_contract(self):
+        """Review regression: a re-leased slot must not serve the
+        previous client's buffered PCM or inherit its warm-up/counter
+        state (acquire_slot resets the ring fully)."""
+        cfg = AuralizerConfig()
+        clip = np.asarray(clips(1, 4)[0])
+        pod = MultiStreamAuralizer(cfg, n_streams=1,
+                                   exit_when_exhausted=False)
+        pod.start([iter(())])
+        slot, ps = pod.acquire_slot(when_empty="dark")
+        for fr in clip:
+            ps.push(fr)
+        self._wait(lambda: pod.stream_metrics(0)["buffer_fill"] >= 4,
+                   pod)
+        pod.release_slot(slot)         # 4 hops left un-pulled
+        self._wait(lambda: 0 in pod.free_slots(), pod)
+
+        slot2, _ = pod.acquire_slot(when_empty="dark")
+        assert slot2 == slot
+        m = pod.stream_metrics(slot2)
+        assert m["buffer_fill"] == 0   # previous client's PCM cleared
+        assert m["warmed_up"] is False
+        assert m["dropped_frames"] == 0
+        pod.stop()
+
     def test_max_streams_also_caps_resize(self):
         pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=2,
                                    max_streams=3)

@@ -572,7 +572,10 @@ def cmd_pod(args) -> int:
             while len(collected) < pod.n_streams:
                 collected.append([])
             for i in range(pod.n_streams):
-                ring = pod.rings[i]
+                try:
+                    ring = pod.rings[i]
+                except IndexError:
+                    break            # elastic shrink landed mid-sweep
 
                 def _pull_ready(ring=ring, i=i):
                     fill = ring.available

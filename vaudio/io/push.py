@@ -191,10 +191,15 @@ def push_frames(base_url: str, slot: Optional[int], frames,
                 f"pod rejected POST {path} ({e.code}): {detail}") from None
 
     if slot == "acquire":
-        resp = post("/slots/acquire",
-                    json.dumps({"when_empty": when_empty,
-                                "maxsize": maxsize,
-                                "reset": reset}).encode(),
+        # No "reset" key unless explicitly requested: the pod's lease
+        # default is a COLD DSP carry (acquire_slot reset_carry=True) —
+        # push_frames' own reset default (False, meaningful for a fixed
+        # --slot re-arm) must not override it; a leased slot's index is
+        # pod-chosen, so warm "same camera back" reuse cannot apply.
+        body = {"when_empty": when_empty, "maxsize": maxsize}
+        if reset:
+            body["reset"] = True
+        resp = post("/slots/acquire", json.dumps(body).encode(),
                     "application/json")
         slot = int(resp["slot"])
         print(f"push: leased slot {slot} "

@@ -618,6 +618,14 @@ class MultiStreamAuralizer:
                 self.resize(want)
                 free = self.free_slots()
             slot = free[0]
+            # Fresh real-time sink contract for the new lessee: clear
+            # the previous client's buffered PCM, re-arm the warm-up
+            # gate, zero the drop/underrun counters.  Safe while the
+            # pod runs: a free slot is dark, so nothing writes its ring
+            # until the new lease's frames dispatch.
+            ring = self.rings[slot]
+            (ring.reset_full if hasattr(ring, "reset_full")
+             else ring.reset)()
             ps = self.arm_push(slot, maxsize=maxsize,
                                when_empty=when_empty,
                                reset_carry=reset_carry)
@@ -629,6 +637,11 @@ class MultiStreamAuralizer:
         slot dark at the next tick.  With ``shrink``, also resize away
         the trailing run of free slots (never below 1; inner holes are
         left for :meth:`acquire_slot` to reuse — slots are positional).
+
+        NOTE: ``shrink`` counts the released slot as free immediately —
+        its still-queued push frames and any un-pulled ring PCM are
+        DISCARDED with the slot.  Drain the tail first (or release
+        without shrink, then shrink later) if you need it.
         """
         if not 0 <= slot < self.n_streams:
             raise IndexError(f"slot {slot} out of range")
@@ -682,17 +695,9 @@ class MultiStreamAuralizer:
                 with self._carry_lock:
                     if self._carry is None:
                         continue     # frame-sized carry: nothing to reset
-                    # Engine-agnostic fresh slot state: zero every carry
-                    # row EXCEPT the AGC envelope, which init_carry sets
-                    # to 1.0 (a zero envelope would blow up the first
-                    # normalize) — true for both families' carries.
-                    fresh = type(self._carry)(*[
-                        (jnp.ones_like(x[slot]) if f == "running_max"
-                         else jnp.zeros_like(x[slot]))
-                        for f, x in zip(type(self._carry)._fields,
-                                        self._carry)])
+                    fresh = _fresh_rows(self._carry, 1)
                     self._carry = jax.tree.map(
-                        lambda full, f1, s=slot: full.at[s].set(f1),
+                        lambda full, f1, s=slot: full.at[s].set(f1[0]),
                         self._carry, fresh)
 
     # -- consumers -----------------------------------------------------------
@@ -767,9 +772,21 @@ class MultiStreamAuralizer:
             "aggregate_fps": m.achieved_fps,
             "frames_processed": m.frames_processed,
             "dispatches": m.dispatches,
-            "slots": [self.stream_metrics(i)
-                      for i in range(self.n_streams)],
+            "slots": self._slot_metrics_snapshot(),
         }
+
+    def _slot_metrics_snapshot(self) -> List[Dict[str, object]]:
+        """Per-slot metrics tolerant of a concurrent elastic shrink:
+        the per-slot lists can get shorter between the count read and
+        the indexed reads (HTTP threads vs the producer's
+        _apply_resize)."""
+        out = []
+        for i in range(self.n_streams):
+            try:
+                out.append(self.stream_metrics(i))
+            except IndexError:
+                break                   # shrunk under us: report fewer
+        return out
 
     def serve(self, port: int = 0, host: str = "127.0.0.1",
               refresh_ms: int = 500):
@@ -930,15 +947,26 @@ class MultiStreamAuralizer:
             pending = (out, t0, masks)
 
         while not self._stop_event.is_set():
-            # Elastic resize lands only at a dispatch boundary: the
-            # in-flight result is flushed at the OLD shape first, and a
-            # partial chunk defers the resize to its chunk boundary
-            # (chunk buffers are per-slot lists in lockstep).
+            # Elastic resize lands at a dispatch boundary: a held
+            # partial chunk is padded out and dispatched NOW (masks
+            # keep the padding out of the rings) — a pod idling on a
+            # partial chunk (e.g. push clients pausing mid-chunk) would
+            # otherwise never reach a chunk boundary and wedge every
+            # resize into TimeoutError — then the in-flight result is
+            # flushed at the OLD shape before the shape changes.
             req = None
-            if self._resize_req is not None and not chunk_bufs[0]:
+            if self._resize_req is not None:
                 with self._source_lock:
                     req, self._resize_req = self._resize_req, None
             if req is not None:
+                if chunk_bufs[0]:
+                    pad = T - len(chunk_bufs[0])
+                    for i in range(self.n_streams):
+                        chunk_bufs[i].extend([self._zeros] * pad)
+                        chunk_mask[i].extend([False] * pad)
+                    dispatch(_stack([_stack(b) for b in chunk_bufs]),
+                             chunk_t0 or time.monotonic(),
+                             [list(m) for m in chunk_mask])
                 if pending is not None:
                     self._flush(pending)
                     pending = None

@@ -397,6 +397,9 @@ class PodServer:
                             maxsize=int(msg.get("maxsize", 8)),
                             when_empty=msg.get("when_empty", "hold"),
                             reset_carry=bool(msg.get("reset", True)))
+                    except TimeoutError as e:     # resize didn't land
+                        self._json({"error": str(e)}, 503)
+                        return
                     except RuntimeError as e:     # at capacity
                         self._json({"error": str(e)}, 409)
                         return
@@ -421,8 +424,15 @@ class PodServer:
                     msg = self._read_json()
                     if msg is None:
                         return
-                    server.pod.release_slot(
-                        slot, shrink=bool(msg.get("shrink", False)))
+                    try:
+                        server.pod.release_slot(
+                            slot, shrink=bool(msg.get("shrink", False)))
+                    except TimeoutError as e:   # shrink didn't land
+                        self._json({"error": str(e)}, 503)
+                        return
+                    except IndexError as e:     # shrunk under us
+                        self._json({"error": str(e)}, 404)
+                        return
                     self._json({"released": slot,
                                 "n_streams": server.pod.n_streams})
                     return
@@ -625,9 +635,12 @@ class PodServer:
                     if now < next_t:
                         time.sleep(next_t - now)
                     next_t = max(next_t + period, time.monotonic())
-                    if slot >= self.pod.n_streams:
-                        return   # slot removed by an elastic shrink
-                    yield self.pod.pull(slot, quantum * cfg.channels)
+                    try:
+                        if slot >= self.pod.n_streams:
+                            return   # slot removed by an elastic shrink
+                        yield self.pod.pull(slot, quantum * cfg.channels)
+                    except IndexError:
+                        return       # shrink landed between check and pull
 
             from vaudio.runtime.server import write_wav_stream
             write_wav_stream(handler, cfg.sample_rate, cfg.channels,

@@ -36,12 +36,19 @@ def _load_native() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        stale = (os.path.exists(_LIB_PATH)
+                 and any(os.path.getmtime(os.path.join(_NATIVE_DIR, f))
+                         > os.path.getmtime(_LIB_PATH)
+                         for f in ("ringbuffer.cpp", "framereader.cpp")
+                         if os.path.exists(os.path.join(_NATIVE_DIR, f))))
+        if not os.path.exists(_LIB_PATH) or stale:
             try:
-                subprocess.run(["make", "-C", _NATIVE_DIR],
+                subprocess.run(["make", "-B", "-C", _NATIVE_DIR]
+                               if stale else ["make", "-C", _NATIVE_DIR],
                                capture_output=True, check=True, timeout=120)
             except Exception:
-                return None
+                if not os.path.exists(_LIB_PATH):
+                    return None   # stale-but-present lib still loads
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
@@ -59,6 +66,8 @@ def _load_native() -> Optional[ctypes.CDLL]:
         lib.va_rb_available.restype = ctypes.c_int
         lib.va_rb_available.argtypes = [ctypes.c_void_p]
         lib.va_rb_reset.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "va_rb_reset_stats"):   # older cached .so
+            lib.va_rb_reset_stats.argtypes = [ctypes.c_void_p]
         lib.va_rb_dropped.restype = ctypes.c_int64
         lib.va_rb_dropped.argtypes = [ctypes.c_void_p]
         lib.va_rb_underruns.restype = ctypes.c_int64
@@ -133,6 +142,15 @@ class NativeRingBuffer:
     def reset(self) -> None:
         self._lib.va_rb_reset(self._h)
 
+    def reset_full(self) -> None:
+        """Reset for a slot re-lease: buffers AND the warm-up gate /
+        drop / underrun counters — a new client starts with a fresh
+        real-time contract (contrast :meth:`reset`, the reference's
+        stop semantics, which keeps the stats)."""
+        self._lib.va_rb_reset(self._h)
+        if hasattr(self._lib, "va_rb_reset_stats"):  # older cached .so
+            self._lib.va_rb_reset_stats(self._h)
+
 
 class PyRingBuffer:
     """Pure-Python fallback with identical semantics (lock-guarded, like the
@@ -200,6 +218,15 @@ class PyRingBuffer:
             self._write_index = 0
             self._frame_cursor = 0
             self._data[:] = 0.0
+
+    def reset_full(self) -> None:
+        """Reset for a slot re-lease: buffers AND the warm-up gate /
+        drop / underrun counters (see NativeRingBuffer.reset_full)."""
+        self.reset()
+        with self._lock:
+            self.warmed_up = False
+            self.dropped_frames = 0
+            self.underrun_samples = 0
 
 
 def make_ring_buffer(num_frames: int, frame_size: int, warmup: int,

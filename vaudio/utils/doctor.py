@@ -102,8 +102,12 @@ def check_compile_cache() -> Check:
     """The persistent compile cache directory must be writable: a cold
     1080p compile through the relay is minutes, a warm one seconds
     (docs/SERVING.md operational rules)."""
-    path = (os.environ.get("VAUDIO_JAX_CACHE")
-            or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    # Same precedence as cli._enable_compile_cache: an externally-set
+    # JAX_COMPILATION_CACHE_DIR wins, then VAUDIO_JAX_CACHE, then the
+    # default — the doctor must validate the directory the runtime
+    # actually uses.
+    path = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or os.environ.get("VAUDIO_JAX_CACHE")
             or os.path.expanduser("~/.cache/vaudio_jax"))
     try:
         os.makedirs(path, exist_ok=True)

@@ -492,6 +492,82 @@ class TestSlotLeasing:
                                  max_streams=2)
 
 
+class TestElasticStress:
+    def test_concurrent_acquires_get_distinct_slots(self):
+        """Two racing acquires must never lease the same slot (the
+        lease lock), and growth stays within max_streams."""
+        import concurrent.futures as cf
+        cfg = AuralizerConfig()
+        pod = MultiStreamAuralizer(cfg, n_streams=1, max_streams=8,
+                                   exit_when_exhausted=False)
+        pod.start([iter(())])
+        try:
+            with cf.ThreadPoolExecutor(6) as ex:
+                got = list(ex.map(
+                    lambda _: pod.acquire_slot(when_empty="dark")[0],
+                    range(6)))
+            assert sorted(got) == sorted(set(got)), got
+            assert pod.n_streams <= 8
+        finally:
+            pod.stop()
+
+    def test_random_ops_stress(self):
+        """Seeded random acquire/release/resize/push churn against a
+        LIVE pod: the producer must survive every interleaving and the
+        per-slot lists must track n_streams (the resize ordering
+        contract)."""
+        import random
+        rng = random.Random(1234)
+        cfg = AuralizerConfig()
+        frame = np.asarray(clips(1, 1)[0])[0]
+        pod = MultiStreamAuralizer(cfg, n_streams=2, max_streams=5,
+                                   exit_when_exhausted=False)
+        pod.start([iter(()), iter(())])
+        leases = {}
+        try:
+            for step in range(40):
+                op = rng.choice(["acquire", "release", "resize",
+                                 "push", "metrics"])
+                if op == "acquire":
+                    try:
+                        slot, ps = pod.acquire_slot(when_empty="dark")
+                        leases[slot] = ps
+                    except RuntimeError:
+                        pass                      # at capacity: fine
+                elif op == "release" and leases:
+                    slot = rng.choice(list(leases))
+                    del leases[slot]
+                    if slot < pod.n_streams:
+                        pod.release_slot(slot,
+                                         shrink=rng.random() < 0.5)
+                    leases = {s: p for s, p in leases.items()
+                              if s < pod.n_streams}
+                elif op == "resize":
+                    n = rng.randint(1, 5)
+                    try:
+                        pod.resize(n, timeout=60)
+                    except ValueError:
+                        pass
+                    leases = {s: p for s, p in leases.items()
+                              if s < pod.n_streams}
+                elif op == "push" and leases:
+                    slot = rng.choice(list(leases))
+                    ps = leases[slot]
+                    if not ps.closed:
+                        ps.push(frame)
+                else:
+                    m = pod.metrics_dict()
+                    assert len(m["slots"]) <= pod.n_streams + 1
+                pod.raise_if_failed()
+                # Ordering contract: lists never shorter than n_streams.
+                n = pod.n_streams
+                assert len(pod.rings) >= n and len(pod.params) >= n
+                assert len(pod.push_sources) >= n
+            assert pod.is_running
+        finally:
+            pod.stop()
+
+
 class TestPodCLI:
     def test_pod_cli_writes_per_slot_wavs(self, tmp_path):
         """`vaudio pod --input a.npy --input b.npy` writes slotN.wav per

@@ -114,6 +114,74 @@ class TestChecks:
         assert "[FAIL] c" in text
 
 
+class TestPanelCheck:
+    def test_pod_panel_ok_warn_fail(self):
+        """check_panel against a real pod panel: ok while serving,
+        warn with a failed slot, fail once stopped."""
+        import numpy as np
+
+        from vaudio.config import AuralizerConfig
+        from vaudio.runtime import MultiStreamAuralizer
+        from vaudio.utils.doctor import check_panel
+
+        cfg = AuralizerConfig()
+        pod = MultiStreamAuralizer(cfg, n_streams=2,
+                                   exit_when_exhausted=False)
+        server = pod.serve(port=0)
+        try:
+            frame = np.zeros((64, 64, 3), np.uint8)
+
+            def bad():
+                yield frame
+                raise OSError("camera unplugged")
+            pod.start([iter([frame.copy()] * 2), bad()])
+            import time as _t
+            t0 = _t.monotonic()
+            while pod.slot_errors[1] is None:
+                pod.raise_if_failed()
+                assert _t.monotonic() - t0 < 120
+                _t.sleep(0.01)
+            c = check_panel(server.url)
+            assert c["status"] == "warn", c       # slot 1 failed
+            assert "1 failed [1]" in c["detail"]
+            pod.slot_errors[1] = None             # pretend healthy
+            c = check_panel(server.url)
+            assert c["status"] == "ok", c
+            pod.stop()
+            c = check_panel(server.url)
+            assert c["status"] == "fail" and "STOPPED" in c["detail"]
+        finally:
+            server.stop()
+            pod.stop()
+
+    def test_unreachable_panel_fails(self):
+        from vaudio.utils.doctor import check_panel
+        c = check_panel("http://127.0.0.1:1", timeout=3)
+        assert c["status"] == "fail"
+        assert "unreachable" in c["detail"]
+
+    def test_stream_panel_shape(self):
+        """check_panel recognizes the single-stream panel's metrics
+        shape (no 'slots' key)."""
+        import numpy as np
+
+        from vaudio.api import Auralizer
+        from vaudio.io import ArraySource
+        from vaudio.utils.doctor import check_panel
+
+        clip = np.zeros((3, 64, 64, 3), np.float32)
+        aur = Auralizer(source=ArraySource(clip))
+        aur.start()
+        server = aur.serve(port=0)
+        try:
+            c = check_panel(server.url)
+            assert c["status"] == "ok"
+            assert "stream:" in c["detail"]
+        finally:
+            server.stop()
+            aur.stop()
+
+
 class TestDoctorCLI:
     def test_cli_json_and_exit_code(self):
         env = dict(os.environ)

@@ -165,7 +165,8 @@ def cmd_doctor(args) -> int:
     checks = run_doctor(platform=args.platform, timeout=args.timeout,
                         skip_backend=args.skip_backend,
                         skip_smoke=args.skip_smoke,
-                        smoke_timeout=args.smoke_timeout)
+                        smoke_timeout=args.smoke_timeout,
+                        url=args.url)
     if args.json:
         print(json.dumps(checks, indent=2))
     else:
@@ -823,6 +824,10 @@ def main(argv=None) -> int:
                    help="skip the end-to-end sonify smoke")
     p.add_argument("--json", action="store_true",
                    help="emit the checks as JSON instead of text")
+    p.add_argument("--url", default=None, metavar="URL",
+                   help="also health-check a RUNNING deployment's HTTP "
+                        "panel (stream or pod --serve): serving state, "
+                        "failed slots, latency")
     p.set_defaults(fn=cmd_doctor)
 
     p = sub.add_parser("stream",

@@ -215,11 +215,53 @@ def check_smoke(platform: Optional[str] = "cpu",
                    + (f" ({platform})" if platform else ""))
 
 
+def check_panel(url: str, timeout: float = 10.0) -> Check:
+    """Health of a RUNNING deployment over its HTTP panel (stream
+    panel, `vaudio stream --serve`, or pod panel, `vaudio pod
+    --serve`): GET /metrics and judge the serving state.  A pod with
+    failed slots is a ``warn`` (failures are slot-isolated; re-arm
+    them); an unreachable panel or a stopped pod is a ``fail``."""
+    import urllib.request
+    base = url if "://" in url else f"http://{url}"
+    base = base.rstrip("/")
+    try:
+        with urllib.request.urlopen(base + "/metrics",
+                                    timeout=timeout) as r:
+            m = json.loads(r.read())
+    except (OSError, ValueError) as e:
+        return _result("panel", "fail",
+                       f"{base}/metrics unreachable or invalid: {e}")
+    if "slots" in m:                               # pod panel
+        slots = m.get("slots", [])
+        failed = [i for i, s in enumerate(slots) if s.get("failed")]
+        active = sum(1 for s in slots if s.get("active"))
+        p50 = m.get("dispatch_latency_p50_ms")
+        detail = (f"pod {'running' if m.get('running') else 'STOPPED'}"
+                  f": {m.get('n_streams')} slot(s), {active} active, "
+                  f"{len(failed)} failed"
+                  + (f" {failed}" if failed else "")
+                  + f", {m.get('frames_processed', 0)} frames"
+                  + (f", p50 dispatch {p50:.1f} ms"
+                     if isinstance(p50, (int, float)) else ""))
+        if not m.get("running"):
+            return _result("panel", "fail", detail)
+        return _result("panel", "warn" if failed else "ok", detail)
+    p50 = m.get("total_latency_p50_ms")
+    detail = (f"stream: {m.get('frames_processed', 0)} frames, "
+              f"buffer fill {m.get('buffer_fill')}, "
+              f"{m.get('dropped_frames', 0)} dropped"
+              + (f", p50 total latency {p50:.1f} ms"
+                 if isinstance(p50, (int, float)) else ""))
+    return _result("panel", "ok", detail)
+
+
 def run_doctor(platform: Optional[str] = None, timeout: float = 90.0,
                skip_backend: bool = False, skip_smoke: bool = False,
-               smoke_timeout: float = 300.0) -> List[Check]:
+               smoke_timeout: float = 300.0,
+               url: Optional[str] = None) -> List[Check]:
     """Run every check; see the module docstring for the verdict
-    model."""
+    model.  With ``url``, also probe a RUNNING deployment's HTTP panel
+    (:func:`check_panel`)."""
     checks = [check_versions()]
     if not skip_backend:
         checks.append(check_backend(platform, timeout))
@@ -227,6 +269,8 @@ def run_doctor(platform: Optional[str] = None, timeout: float = 90.0,
                    check_decode(), check_player()])
     if not skip_smoke:
         checks.append(check_smoke(platform or "cpu", smoke_timeout))
+    if url:
+        checks.append(check_panel(url))
     return checks
 
 

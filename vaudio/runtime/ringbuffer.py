@@ -22,8 +22,10 @@ from typing import Optional
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native")
+# The C++ runtime sources ship INSIDE the package (vaudio/native/) so
+# a wheel install carries them; the library is built on first use.
+_NATIVE_DIR = os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libvaudio_rt.so")
 
 _lib: Optional[ctypes.CDLL] = None

@@ -482,6 +482,41 @@ class TestSlotLeasing:
         assert m["dropped_frames"] == 0
         pod.stop()
 
+    def test_lease_timeout_reaps_dead_client(self):
+        """A push-armed slot silent past lease_timeout is auto-released
+        (dead-client reaping): the push stream closes, the slot drains
+        dark, becomes free for the next lease, and the reap is counted.
+        A slot still DELIVERING frames is never reaped."""
+        cfg = AuralizerConfig()
+        clip = np.asarray(clips(1, 2)[0])
+        pod = MultiStreamAuralizer(cfg, n_streams=1, max_streams=2,
+                                   exit_when_exhausted=False,
+                                   lease_timeout=1.0)
+        pod.start([iter(())])
+        slot, ps = pod.acquire_slot(when_empty="dark")
+        for fr in clip:                     # deliver, then go silent
+            ps.push(fr)
+        self._wait(lambda: pod.stream_metrics(0)["buffer_fill"] >= 2,
+                   pod)
+        # Client dies (no release): the reaper closes the lease.
+        self._wait(lambda: pod.leases_reaped == 1, pod, timeout=30)
+        self._wait(lambda: slot in pod.free_slots(), pod)
+        assert pod.metrics_dict()["leases_reaped"] == 1
+        # The slot is re-leasable after the reap.
+        slot2, ps2 = pod.acquire_slot(when_empty="dark")
+        assert slot2 == slot
+        # A live client is NOT reaped while it keeps delivering: feed
+        # frames for ~2x the timeout and assert the lease held.
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < 2.2:
+            ps2.push(clip[0])
+            pod.raise_if_failed()
+            time.sleep(0.05)
+        assert not ps2.closed and pod.leases_reaped == 1
+        m = pod.stream_metrics(slot2)
+        assert m["idle_s"] < 1.0            # surfaced for observers
+        pod.stop()
+
     def test_max_streams_also_caps_resize(self):
         pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=2,
                                    max_streams=3)

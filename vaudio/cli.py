@@ -525,7 +525,8 @@ def cmd_pod(args) -> int:
         chunk_frames=args.chunk_frames,
         metrics_log=args.metrics_log,
         engine=engine,
-        max_streams=args.max_streams)
+        max_streams=args.max_streams,
+        lease_timeout=args.lease_timeout)
     cfg = pod.cfg               # engine may coerce (mono orthomodes)
     server = None
     if args.serve:
@@ -949,6 +950,11 @@ def main(argv=None) -> int:
     p.add_argument("--max-streams", type=int, default=None,
                    help="growth cap for elastic capacity (POST /resize "
                         "and /slots/acquire leases); default unbounded")
+    p.add_argument("--lease-timeout", type=float, default=None,
+                   metavar="SECS",
+                   help="auto-release a push-armed slot silent for SECS "
+                        "(dead-client reaping; default: leases never "
+                        "expire)")
     p.add_argument("--load-state", default=None, metavar="NPZ",
                    help="resume every slot's DSP carry from a pod "
                         "checkpoint before the first tick")

@@ -34,6 +34,7 @@ ended source).
 from __future__ import annotations
 
 import threading
+import time
 from collections import deque
 from typing import Iterator, Optional
 
@@ -69,6 +70,12 @@ class PushSource:
         self.dropped = 0
         #: Total frames accepted by :meth:`push`.
         self.pushed = 0
+        #: Monotonic time of the last accepted :meth:`push` (arm time
+        #: before the first frame, so a fresh source starts "live").
+        #: Client-liveness signal: the pod's dead-client reaper
+        #: (``MultiStreamAuralizer.lease_timeout``) measures idleness
+        #: from here — frame ARRIVAL, never consumption.
+        self.last_push = time.monotonic()
 
     # -- producer side -------------------------------------------------------
 
@@ -84,6 +91,7 @@ class PushSource:
                 self.dropped += 1
             self._q.append(frame)
             self.pushed += 1
+            self.last_push = time.monotonic()
             self._cond.notify()
 
     def close(self) -> None:

@@ -134,6 +134,11 @@ class MultiStreamAuralizer:
       metrics_log: JSONL path receiving one record per dispatch
         (timestamp, real frames, latency, per-slot fill/drop state) —
         the pod counterpart of the single-stream metrics log.
+      max_streams: growth cap for elastic capacity (:meth:`resize`,
+        :meth:`acquire_slot`); None = unbounded.
+      lease_timeout: dead-client reaping — a PUSH-armed slot silent for
+        this many seconds is auto-released (see :attr:`lease_timeout`);
+        None = leases never expire.
     """
 
     def __init__(self, cfg: AuralizerConfig = AuralizerConfig(),
@@ -147,7 +152,8 @@ class MultiStreamAuralizer:
                  exit_when_exhausted: bool = True,
                  metrics_log: Optional[str] = None,
                  engine=None,
-                 max_streams: Optional[int] = None):
+                 max_streams: Optional[int] = None,
+                 lease_timeout: Optional[float] = None):
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
         if max_streams is not None and max_streams < n_streams:
@@ -234,6 +240,20 @@ class MultiStreamAuralizer:
         self._resize_req = None
         #: Growth cap for :meth:`acquire_slot` (None = unbounded).
         self.max_streams = max_streams
+        #: Dead-client reaping: a PUSH-armed slot whose client has not
+        #: PUSHED a frame for this many seconds — and whose queue is
+        #: drained — is auto-released (its push stream closed, the slot
+        #: drains dark and becomes free for the next lease).  None =
+        #: leases never expire.  Idleness is measured at frame ARRIVAL
+        #: (:attr:`vaudio.io.PushSource.last_push`), never consumption:
+        #: a compile/dispatch stall must not make a live client look
+        #: dead while its frames sit queued.  Pull-source slots are
+        #: never reaped — they consume as fast as their source yields,
+        #: so idleness is not a liveness signal there.
+        self.lease_timeout = lease_timeout
+        #: Count of auto-released (reaped) leases, for the metrics
+        #: surface.
+        self.leases_reaped = 0
         #: Serializes acquire/release so two concurrent acquires never
         #: lease the same slot.
         self._lease_lock = threading.Lock()
@@ -753,6 +773,8 @@ class MultiStreamAuralizer:
             out["push"] = state
             out["push_fill"] = state["fill"]        # prom gauges
             out["push_dropped"] = state["dropped"]
+            out["idle_s"] = round(
+                time.monotonic() - ps.last_push, 3)
         return out
 
     def metrics_dict(self) -> Dict[str, object]:
@@ -772,6 +794,7 @@ class MultiStreamAuralizer:
             "aggregate_fps": m.achieved_fps,
             "frames_processed": m.frames_processed,
             "dispatches": m.dispatches,
+            "leases_reaped": self.leases_reaped,
             "slots": self._slot_metrics_snapshot(),
         }
 
@@ -975,6 +998,29 @@ class MultiStreamAuralizer:
                 chunk_mask = [[] for _ in range(self.n_streams)]
                 req[1].set()
             self._apply_pending_sources()
+            if self.lease_timeout is not None:
+                # Dead-client reaping (see lease_timeout): a push-armed
+                # slot silent past the timeout is auto-released — a
+                # crashed client must not hold its lease forever.
+                # Idleness is time since the client's last PUSH (frame
+                # arrival), and a non-empty queue always counts as
+                # live: measuring consumption instead would reap a
+                # healthy client whose frames sat queued behind a long
+                # compile/dispatch stall (observed end-to-end).
+                now = time.monotonic()
+                for i in range(self.n_streams):
+                    ps = self.push_sources[i]
+                    if (ps is not None and not ps.closed
+                            and self._active[i] and ps.fill == 0
+                            and now - ps.last_push
+                            > self.lease_timeout):
+                        import sys
+                        ps.close()
+                        self.leases_reaped += 1
+                        print(f"vaudio pod: slot {i} lease expired "
+                              f"({self.lease_timeout:g}s without a "
+                              "frame); push stream closed, slot "
+                              "released", file=sys.stderr)
             if not any(self._active):
                 if self._exit_when_exhausted:
                     break

@@ -1,0 +1,246 @@
+"""Programmatic serving clients (vaudio/client.py).
+
+The client half of the HTTP serving surfaces: StreamClient against a
+single-stream LiveServer, PodClient/PodSlot against a PodServer —
+remote control/observability as typed calls, the network equivalent of
+the reference app driving its engine through published properties and
+the pull-model speaker (ControlPanelView.swift:11-43 ->
+SoundEngine.swift:66-75; SoundEngine.swift:156-228).
+"""
+
+import os
+import subprocess
+import sys
+import time
+import wave
+
+import numpy as np
+import pytest
+
+from vaudio.api import Auralizer
+from vaudio.client import (AudioStream, PodClient, StreamClient,
+                           VaudioHTTPError)
+from vaudio.config import AuralizerConfig
+from vaudio.io import hsb_frames
+from vaudio.runtime import MultiStreamAuralizer
+
+
+@pytest.fixture(scope="module")
+def served_stream():
+    """A finished single-stream run with its LiveServer still up."""
+    cfg = AuralizerConfig(mip_level=2)
+    aur = Auralizer(config=cfg, debug=True)
+    server = aur.serve(port=0)
+    frames = hsb_frames(0.33, 1.0, 1.0, 96, 96, 12)
+    aur.run_until_exhausted(list(frames), timeout=300)
+    yield aur, server, StreamClient(server.url)
+    server.stop()
+    aur.stop()
+
+
+@pytest.fixture(scope="module")
+def served_pod():
+    """A 2-slot pod that processed two short clips, PodServer still up."""
+    cfg = AuralizerConfig(mip_level=1)
+    pod = MultiStreamAuralizer(cfg, n_streams=2,
+                               exit_when_exhausted=True)
+    server = pod.serve(port=0)
+    n = 10
+    reds = hsb_frames(0.0, 1.0, 1.0, width=64, height=64, num_frames=n)
+    blues = hsb_frames(0.66, 1.0, 1.0, width=64, height=64,
+                       num_frames=n)
+    pod.start([iter(reds), iter(blues)])
+    deadline = time.monotonic() + 120
+    while pod.is_running and time.monotonic() < deadline:
+        pod.raise_if_failed()
+        time.sleep(0.01)
+    assert not pod.is_running
+    yield pod, server, PodClient(server.url)
+    server.stop()
+    pod.stop()
+
+
+class TestStreamClient:
+    def test_params_roundtrip(self, served_stream):
+        aur, _server, client = served_stream
+        p = client.params()
+        assert p["attack"] == aur.params.attack
+        resp = client.set_params(attack=0.25, stereo_width=0.5)
+        assert resp["applied"] == 2
+        assert aur.params.attack == 0.25
+        assert client.params()["stereo_width"] == 0.5
+
+    def test_metrics_and_prom(self, served_stream):
+        _aur, _server, client = served_stream
+        assert client.metrics()["frames_processed"] == 12
+        prom = client.metrics_prom()
+        assert "vaudio_frames_processed 12" in prom
+
+    def test_view_png(self, served_stream):
+        _aur, _server, client = served_stream
+        for name in ("hue_matrix", "spectrum", "waveform", "input"):
+            assert client.view(name).startswith(b"\x89PNG"), name
+
+    def test_record_audio(self, served_stream):
+        aur, _server, client = served_stream
+        rate = aur.config.sample_rate
+        pcm = client.record(0.15)
+        want = int(round(0.15 * rate))
+        assert pcm.dtype == np.float32 and len(pcm) == want
+        # The ring buffered a real synthesis run: not silence.
+        assert np.abs(pcm).max() > 1e-3
+
+    def test_audio_stream_header(self, served_stream):
+        aur, _server, client = served_stream
+        # The previous test's listener lock frees on the server's next
+        # paced write after the disconnect — retry briefly.
+        deadline = time.monotonic() + 30
+        while True:
+            try:
+                stream = client.audio(chunk_samples=256)
+                break
+            except VaudioHTTPError as e:
+                assert e.status == 409 and time.monotonic() < deadline
+                time.sleep(0.05)
+        with stream:
+            assert isinstance(stream, AudioStream)
+            assert stream.sample_rate == int(aur.config.sample_rate)
+            assert stream.channels == aur.config.channels
+            chunk = next(iter(stream))
+            assert chunk.shape == (256, aur.config.channels)
+
+    def test_error_mapping(self, served_stream):
+        _aur, _server, client = served_stream
+        with pytest.raises(VaudioHTTPError) as exc:
+            client.set_params(attack="junk")
+        assert exc.value.status == 400
+        assert "junk" in exc.value.message
+        # A non-push stream refuses pushed frames with a clear 409.
+        with pytest.raises(VaudioHTTPError) as exc:
+            client.push(np.zeros((8, 8, 3), np.float32))
+        assert exc.value.status == 409
+
+    def test_state_roundtrip(self, served_stream):
+        _aur, _server, client = served_stream
+        blob = client.save_state()
+        assert blob[:2] == b"PK"                 # a .npz (zip) payload
+        assert client.load_state(blob) == {"restored": True}
+
+
+class TestPodClient:
+    def test_slots_and_metrics(self, served_pod):
+        pod, _server, client = served_pod
+        assert client.n_streams == 2
+        slots = client.slots()
+        assert [s.index for s in slots] == [0, 1]
+        m = slots[0].metrics()
+        assert m["buffer_fill"] == pod.stream_metrics(0)["buffer_fill"]
+        assert "vaudio_slot_buffer_fill" in client.metrics_prom()
+
+    def test_slot_params(self, served_pod):
+        pod, _server, client = served_pod
+        slot = client.slot(1)
+        resp = slot.set_params(stereo_width=0.25)
+        assert resp["applied"] == 1 and resp["shared"] is False
+        assert pod.params[1].stereo_width == 0.25
+        assert pod.params[0].stereo_width != 0.25
+        assert slot.params()["stereo_width"] == 0.25
+
+    def test_broadcast_params(self, served_pod):
+        pod, _server, client = served_pod
+        n = pod.cfg.num_cells
+        resp = client.broadcast_params(pan_angles=[0.3] * n)
+        assert resp["slots_updated"] == 2
+        assert all(p.pan_angles is not None for p in pod.params)
+        # One-slot pan_angles flip is the documented 409.
+        with pytest.raises(VaudioHTTPError) as exc:
+            client.slot(0).set_params(pan_angles=None)
+        assert exc.value.status == 409
+        client.broadcast_params(pan_angles=None)
+        assert all(p.pan_angles is None for p in pod.params)
+
+    def test_slot_views_and_record(self, served_pod):
+        pod, _server, client = served_pod
+        for name in ("hue_matrix", "spectrum", "waveform", "input"):
+            assert client.slot(0).view(name).startswith(b"\x89PNG")
+        pcm = client.slot(1).record(0.1)
+        assert len(pcm) == int(round(0.1 * pod.cfg.sample_rate))
+        assert np.abs(pcm).max() > 1e-3
+
+    def test_bad_slot_404(self, served_pod):
+        _pod, _server, client = served_pod
+        with pytest.raises(VaudioHTTPError) as exc:
+            client.slot(7).params()
+        assert exc.value.status == 404
+
+    def test_state_roundtrip(self, served_pod):
+        _pod, _server, client = served_pod
+        blob = client.save_state()
+        assert client.load_state(blob) == {"restored": True}
+
+
+class TestPodLeasing:
+    def test_lease_context_manager(self):
+        """with pod.lease() leases, pushes, and releases on exit —
+        including the elastic grow/shrink round trip."""
+        pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=1,
+                                   max_streams=2,
+                                   exit_when_exhausted=False)
+        server = pod.serve(port=0)
+        client = PodClient(server.url)
+        clip = np.asarray(hsb_frames(0.1, 1.0, 1.0, width=64, height=64,
+                                     num_frames=2))
+        try:
+            pod.start([iter(clip[:1])])      # slot 0 exhausts -> free
+            deadline = time.monotonic() + 120
+            while any(pod._active):
+                pod.raise_if_failed()
+                assert time.monotonic() < deadline
+                time.sleep(0.01)
+            with client.lease(when_empty="dark") as slot:
+                assert slot.index == 0       # reused the free slot
+                assert slot.push_state()["armed"] is True
+                for fr in clip:
+                    slot.push(fr)
+                deadline = time.monotonic() + 120
+                while pod.stream_metrics(0)["buffer_fill"] < 2:
+                    pod.raise_if_failed()
+                    assert time.monotonic() < deadline
+                    time.sleep(0.01)
+            # Exit released the lease: the push stream closed; the
+            # slot is free once the producer drains it dark.
+            deadline = time.monotonic() + 120
+            while 0 not in pod.free_slots():
+                pod.raise_if_failed()
+                assert time.monotonic() < deadline
+                time.sleep(0.01)
+            # At-capacity acquires surface the pod's 409.
+            with client.lease(when_empty="dark") as a:
+                with client.lease(when_empty="dark") as b:
+                    assert {a.index, b.index} == {0, 1}
+                    with pytest.raises(VaudioHTTPError) as exc:
+                        client.acquire()
+                    assert exc.value.status == 409
+        finally:
+            server.stop()
+            pod.stop()
+
+
+class TestPullCLI:
+    def test_pull_records_wav(self, served_pod, tmp_path):
+        """`vaudio pull` (a real subprocess) records a slot's live
+        audio door to a local WAV with the pod's rate/channels."""
+        pod, server, _client = served_pod
+        out = tmp_path / "slot0.wav"
+        env = dict(os.environ)
+        env["VAUDIO_PLATFORM"] = "cpu"
+        r = subprocess.run(
+            [sys.executable, "-m", "vaudio", "pull",
+             "--url", server.url, "--slot", "0",
+             "--seconds", "0.1", "-o", str(out)],
+            capture_output=True, text=True, timeout=300, env=env)
+        assert r.returncode == 0, r.stderr
+        with wave.open(str(out)) as w:
+            assert w.getframerate() == int(pod.cfg.sample_rate)
+            assert w.getnchannels() == pod.cfg.channels
+            assert w.getnframes() == int(round(0.1 * pod.cfg.sample_rate))

@@ -675,6 +675,65 @@ def cmd_push(args) -> int:
     return 0
 
 
+def cmd_pull(args) -> int:
+    """Pull live audio from a remote deployment's speaker door — the
+    client half of the pull-model audio contract (the reference's
+    AVAudioSourceNode pull, SoundEngine.swift:156-228, across the
+    network): a pod slot's ``GET /slots/<i>/audio.wav`` or a
+    single-stream panel's ``GET /audio.wav``, recorded to a local WAV
+    and/or played through a local speaker.  Pure host-side (numpy +
+    urllib): runs anywhere, never touches jax.
+
+        python -m vaudio pull --url http://pod-host:8000 --slot 0 \\
+            --seconds 10 -o slot0.wav
+    """
+    from vaudio.client import PodClient, StreamClient
+    if not args.output and not args.play:
+        raise SystemExit("pull: nothing to do — give -o WAV and/or "
+                         "--play")
+    if args.stream:
+        stream = StreamClient(args.url).audio()
+    else:
+        stream = PodClient(args.url).slot(args.slot).audio()
+    player = None
+    if args.play:
+        from vaudio.io import SubprocessPlayer
+        player = SubprocessPlayer(stream.sample_rate, stream.channels)
+    want = (None if args.seconds is None
+            else int(round(args.seconds * stream.sample_rate)))
+    parts, got = [], 0
+    try:
+        with stream:
+            for chunk in stream:
+                if player is not None:
+                    player.write(chunk)
+                if args.output:
+                    parts.append(chunk)
+                got += len(chunk)
+                if want is not None and got >= want:
+                    break
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if player is not None:
+            player.close()
+    if args.output:
+        import numpy as np
+
+        from vaudio.io import write_wav
+        pcm = (np.concatenate(parts) if parts
+               else np.zeros((0, stream.channels), np.float32))
+        if want is not None:
+            pcm = pcm[:want]
+        write_wav(args.output, pcm, sample_rate=stream.sample_rate,
+                  channels=stream.channels)
+        print(f"pull: wrote {len(pcm)} samples "
+              f"({len(pcm) / stream.sample_rate:.2f}s at "
+              f"{stream.sample_rate} Hz, {stream.channels}ch) to "
+              f"{args.output}", file=sys.stderr)
+    return 0
+
+
 def cmd_debug(args) -> int:
     """Render the debug surface (the ConvolutionDebugView / SpectrumView /
     TimeDomainFrameView equivalents) for a frame or short clip to PNGs:
@@ -1011,6 +1070,28 @@ def main(argv=None) -> int:
                    help="leave the push stream open when the input ends "
                         "(another push can continue the same slot)")
     p.set_defaults(fn=cmd_push)
+
+    p = sub.add_parser("pull",
+                       help="record/play live audio from a remote "
+                            "deployment (client for the audio.wav "
+                            "doors of 'pod --serve' / 'stream "
+                            "--serve')")
+    p.add_argument("--url", required=True,
+                   help="panel base URL, e.g. http://host:8000")
+    p.add_argument("--slot", type=int, default=0,
+                   help="pod serving slot to pull from (default 0)")
+    p.add_argument("--stream", action="store_true",
+                   help="target a single-stream panel ('vaudio stream "
+                        "--serve') instead of a pod slot")
+    p.add_argument("--seconds", type=float, default=None,
+                   help="stop after this much audio (default: until "
+                        "the server ends the stream or Ctrl-C)")
+    p.add_argument("-o", "--output", default=None, metavar="WAV",
+                   help="record to this WAV file")
+    p.add_argument("--play", action="store_true",
+                   help="play through a local speaker (aplay/pw-play/"
+                        "paplay/ffplay or $VAUDIO_PLAYER)")
+    p.set_defaults(fn=cmd_pull)
 
     p = sub.add_parser("debug",
                        help="render the debug surface (heatmaps, hue "

@@ -1,0 +1,413 @@
+"""Programmatic clients for the vaudio serving surfaces.
+
+The serving front doors (`vaudio stream --serve`,
+:class:`vaudio.runtime.server.LiveServer`; `vaudio pod --serve`,
+:class:`vaudio.runtime.podserver.PodServer`) speak plain HTTP/JSON so
+any tool can drive them, but until now the only shipped client was the
+frame-push CLI (``vaudio push`` / :func:`vaudio.io.push.push_frames`).
+This module is the full client half: typed wrappers over every panel
+endpoint, so remote control/observability needs no hand-rolled urllib.
+It is the network equivalent of the reference app driving its engine
+through published properties and pull callbacks
+(Views/ControlPanelView.swift:11-43 -> SoundEngine.swift:66-75 sliders;
+SoundEngine.swift:156-228 the pull-model speaker) — from another
+process or machine.
+
+Pure host-side: numpy + urllib only, never imports jax — a client can
+run on a laptop against a pod on a TPU host.
+
+    from vaudio.client import PodClient
+
+    pod = PodClient("http://tpu-host:8000")
+    with pod.lease(when_empty="dark") as slot:   # fleet allocation
+        for frame in frames:
+            slot.push(frame)
+        slot.set_params(stereo_width=0.5)        # live, no recompile
+        pcm = slot.record(2.0)                   # pull-model audio
+
+    print(pod.metrics()["aggregate_fps"])
+
+:class:`StreamClient` is the same surface for a single-stream panel
+(``vaudio stream --serve``).  Error contract: any non-2xx panel answer
+raises :class:`VaudioHTTPError` carrying the HTTP status and the
+server's JSON ``error`` message.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import urllib.error
+import urllib.request
+from typing import Iterator, Optional
+
+import numpy as np
+
+from vaudio.io.push import encode_frame
+
+__all__ = ["VaudioHTTPError", "AudioStream", "StreamClient",
+           "PodClient", "PodSlot"]
+
+
+class VaudioHTTPError(RuntimeError):
+    """A vaudio panel answered non-2xx.  ``status`` is the HTTP code,
+    ``message`` the server's JSON ``error`` body (or raw text)."""
+
+    def __init__(self, status: int, message: str, url: str):
+        super().__init__(f"{url} answered {status}: {message}")
+        self.status = int(status)
+        self.message = message
+        self.url = url
+
+
+class _PanelClient:
+    """Plumbing shared by the stream and pod clients: request/JSON
+    helpers plus the endpoints both panels serve (metrics, Prometheus
+    scrape, checkpoint up/download)."""
+
+    def __init__(self, url: str, timeout: float = 30.0):
+        self.url = url.rstrip("/")
+        self.timeout = float(timeout)
+
+    # -- plumbing ------------------------------------------------------------
+
+    def _open(self, path: str, data: Optional[bytes] = None,
+              ctype: Optional[str] = None, method: Optional[str] = None):
+        """Open ``path`` and return the live response object (caller
+        closes); non-2xx raises :class:`VaudioHTTPError`."""
+        url = self.url + path
+        req = urllib.request.Request(
+            url, data=data,
+            method=method or ("POST" if data is not None else "GET"),
+            headers={"Content-Type": ctype} if ctype else {})
+        try:
+            return urllib.request.urlopen(req, timeout=self.timeout)
+        except urllib.error.HTTPError as e:
+            body = e.read().decode(errors="replace")
+            try:
+                body = json.loads(body).get("error", body)
+            except (ValueError, AttributeError):
+                pass
+            raise VaudioHTTPError(e.code, body, url) from None
+
+    def _bytes(self, path: str, data: Optional[bytes] = None,
+               ctype: Optional[str] = None) -> bytes:
+        with self._open(path, data, ctype) as r:
+            return r.read()
+
+    def _json(self, path: str, obj: Optional[dict] = None) -> dict:
+        data = None if obj is None else json.dumps(obj).encode()
+        ctype = None if obj is None else "application/json"
+        return json.loads(self._bytes(path, data, ctype))
+
+    # -- endpoints both panels serve ------------------------------------------
+
+    def metrics(self) -> dict:
+        """The live metrics surface (``GET /metrics``)."""
+        return self._json("/metrics")
+
+    def metrics_prom(self) -> str:
+        """Prometheus text exposition (``GET /metrics.prom``)."""
+        return self._bytes("/metrics.prom").decode()
+
+    def save_state(self, path: Optional[str] = None) -> bytes:
+        """Download the live DSP-carry checkpoint (``GET /state.npz``;
+        the over-HTTP ``--save-state``).  Returns the ``.npz`` bytes;
+        ``path`` additionally writes them to disk."""
+        body = self._bytes("/state.npz")
+        if path is not None:
+            with open(path, "wb") as f:
+                f.write(body)
+        return body
+
+    def load_state(self, src) -> dict:
+        """Restore a checkpoint into the running deployment (``POST
+        /state.npz``; shape-validated server-side).  ``src`` is ``.npz``
+        bytes or a path."""
+        if isinstance(src, (bytes, bytearray)):
+            body = bytes(src)
+        else:
+            with open(src, "rb") as f:
+                body = f.read()
+        return self._post_raw("/state.npz", body,
+                              "application/octet-stream")
+
+    def _post_raw(self, path: str, data: bytes, ctype: str) -> dict:
+        """POST a non-JSON body, decode the JSON answer."""
+        return json.loads(self._bytes(path, data, ctype))
+
+    # -- live audio (the pull-model speaker, over HTTP) ------------------------
+
+    def _audio(self, path: str, chunk_samples: int = 2048) -> "AudioStream":
+        """Open a live ``audio.wav`` endpoint and parse its header (the
+        panels emit an unbounded WAV: RIFF sizes 0xFFFFFFFF =
+        read-until-EOF).  Returns an :class:`AudioStream` exposing the
+        stream's ``sample_rate``/``channels`` and float32 PCM chunks."""
+        resp = self._open(path)
+        header = resp.read(44)
+        if header[:4] != b"RIFF" or header[8:12] != b"WAVE":
+            resp.close()
+            raise VaudioHTTPError(200, "not a WAV stream",
+                                  self.url + path)
+        channels, rate = struct.unpack("<HI", header[22:28])
+        return AudioStream(resp, int(rate), int(channels),
+                           chunk_samples)
+
+    def _record(self, path: str, seconds: float) -> np.ndarray:
+        """Pull ``seconds`` of live audio (wall-clock paced server-side
+        at the hardware cadence; underruns arrive as silence, the
+        real-time contract of SoundEngine.swift:184-189).  Returns
+        float32 ``[n]`` (mono) or ``[n, channels]``."""
+        with self._audio(path) as stream:
+            return stream.record(seconds)
+
+
+class AudioStream:
+    """A live panel audio stream (``GET .../audio.wav``), header already
+    parsed: ``sample_rate``/``channels`` plus an iterator of float32
+    PCM chunks ``[chunk_samples, channels]``.  Close (or use as a
+    context manager) to release the slot's one-listener lock."""
+
+    def __init__(self, resp, sample_rate: int, channels: int,
+                 chunk_samples: int = 2048):
+        self._resp = resp
+        self.sample_rate = sample_rate
+        self.channels = channels
+        self.chunk_samples = int(chunk_samples)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    def close(self) -> None:
+        """Drop the connection.  NOTE: the server notices the
+        disconnect (and frees the slot's one-listener lock) on its
+        NEXT paced write, so an immediate reopen can briefly answer
+        409 — retry after ~the audio quantum."""
+        self._resp.close()
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        bytes_per = self.channels * 2
+        want = self.chunk_samples * bytes_per
+        while True:
+            buf = b""
+            while len(buf) < want:
+                got = self._resp.read(want - len(buf))
+                if not got:
+                    break
+                buf += got
+            if not buf:
+                return
+            n = len(buf) - len(buf) % bytes_per
+            pcm = (np.frombuffer(buf[:n], "<i2")
+                   .astype(np.float32) / 32767.0)
+            yield pcm.reshape(-1, self.channels)
+            if n < want:
+                return
+
+    def record(self, seconds: float) -> np.ndarray:
+        """Collect ``seconds`` of PCM (wall-clock: the server paces at
+        the hardware cadence).  Shape ``[n]`` mono / ``[n, ch]``."""
+        want = int(round(seconds * self.sample_rate))
+        parts, got = [], 0
+        for chunk in self:
+            parts.append(chunk)
+            got += len(chunk)
+            if got >= want:
+                break
+        pcm = (np.concatenate(parts)[:want] if parts
+               else np.zeros((0, self.channels), np.float32))
+        return pcm[:, 0] if self.channels == 1 else pcm
+
+
+class StreamClient(_PanelClient):
+    """Client for a single-stream live panel (``vaudio stream --serve``,
+    :class:`vaudio.runtime.server.LiveServer`).  See the module
+    docstring for the error contract."""
+
+    def params(self) -> dict:
+        """The stream's live parameters (``GET /params``)."""
+        return self._json("/params")
+
+    def set_params(self, **updates) -> dict:
+        """Mutate live parameters mid-run (``POST /params`` — traced
+        values, never a recompile; the ControlPanelView slider surface).
+        Returns the server's answer (``applied``/``warnings``/new
+        params)."""
+        return self._json("/params", updates)
+
+    def push(self, frame) -> dict:
+        """Push one frame into a ``--input push`` stream (``POST
+        /frames``): an RGB array or a planar-YUV dict."""
+        body, ctype = encode_frame(frame)
+        return self._post_raw("/frames", body, ctype)
+
+    def push_state(self) -> dict:
+        """The inbound push queue's state (``GET /push``)."""
+        return self._json("/push")
+
+    def close_push(self) -> dict:
+        """End the inbound push stream (``POST /push {"close": true}``):
+        queued frames drain, then the stream exhausts."""
+        return self._json("/push", {"close": True})
+
+    def view(self, name: str = "hue_matrix") -> bytes:
+        """One live debug view as PNG bytes (``GET /debug/<name>.png``;
+        names: ``hue_matrix``, ``spectrum``, ``waveform``, ``input``,
+        ``mode_h``/``mode_s``/``mode_i`` ...)."""
+        return self._bytes(f"/debug/{name}.png")
+
+    def audio(self, chunk_samples: int = 2048) -> AudioStream:
+        """Open the live WAV stream (``GET /audio.wav``) —
+        an :class:`AudioStream` of float32 PCM chunks (one listener at
+        a time; close it to release)."""
+        return self._audio("/audio.wav", chunk_samples)
+
+    def record(self, seconds: float) -> np.ndarray:
+        """Pull ``seconds`` of live audio from the stream's speaker
+        door.  Shape ``[n]`` mono / ``[n, 2]`` stereo."""
+        return self._record("/audio.wav", seconds)
+
+
+class PodSlot:
+    """A handle on one serving-pod slot: the per-slot endpoints of
+    :class:`~vaudio.runtime.podserver.PodServer`, bound to an index.
+    Obtained from :meth:`PodClient.slot`, :meth:`PodClient.acquire`, or
+    :meth:`PodClient.lease` (the context-managed lease)."""
+
+    def __init__(self, client: "PodClient", index: int):
+        self.client = client
+        self.index = int(index)
+        self._prefix = f"/slots/{self.index}"
+
+    def __repr__(self):
+        return f"PodSlot({self.index} @ {self.client.url})"
+
+    def params(self) -> dict:
+        return self.client._json(f"{self._prefix}/params")
+
+    def set_params(self, **updates) -> dict:
+        """Live per-slot parameters (``POST /slots/<i>/params``).  Note
+        setting/clearing ``pan_angles`` on ONE slot answers 409 — use
+        :meth:`PodClient.broadcast_params` (the jit signature is shared
+        across slots)."""
+        return self.client._json(f"{self._prefix}/params", updates)
+
+    def arm_push(self, maxsize: int = 8, when_empty: str = "hold",
+                 reset: bool = False) -> dict:
+        """Arm the slot for network ingest (``POST /slots/<i>/push``)."""
+        return self.client._json(
+            f"{self._prefix}/push",
+            {"maxsize": maxsize, "when_empty": when_empty,
+             "reset": reset})
+
+    def push(self, frame) -> dict:
+        """Push one frame (``POST /slots/<i>/frames``); the slot must be
+        push-armed (a lease from :meth:`PodClient.acquire` already is)."""
+        body, ctype = encode_frame(frame)
+        return self.client._post_raw(f"{self._prefix}/frames",
+                                     body, ctype)
+
+    def push_state(self) -> dict:
+        return self.client._json(f"{self._prefix}/push")
+
+    def close_push(self) -> dict:
+        return self.client._json(f"{self._prefix}/push", {"close": True})
+
+    def release(self, shrink: bool = False) -> dict:
+        """End this slot's lease (``POST /slots/<i>/release``);
+        ``shrink=True`` also resizes away trailing free capacity."""
+        return self.client._json(f"{self._prefix}/release",
+                                 {"shrink": shrink})
+
+    def metrics(self) -> dict:
+        """This slot's row of the pod metrics."""
+        return self.client.metrics()["slots"][self.index]
+
+    def view(self, name: str = "hue_matrix") -> bytes:
+        """A live per-slot view as PNG bytes (``hue_matrix``,
+        ``spectrum``, ``waveform``, ``input``)."""
+        return self.client._bytes(f"{self._prefix}/debug/{name}.png")
+
+    def audio(self, chunk_samples: int = 2048) -> AudioStream:
+        """Open the slot's live WAV stream — an :class:`AudioStream` of
+        float32 PCM chunks (one listener per slot; 409 while another
+        holds it)."""
+        return self.client._audio(f"{self._prefix}/audio.wav",
+                                  chunk_samples)
+
+    def record(self, seconds: float) -> np.ndarray:
+        """Pull ``seconds`` of this slot's live audio."""
+        return self.client._record(f"{self._prefix}/audio.wav", seconds)
+
+
+class PodClient(_PanelClient):
+    """Client for a serving-pod panel (``vaudio pod --serve``,
+    :class:`~vaudio.runtime.podserver.PodServer`): fleet allocation
+    (acquire/release leases), elastic resize, pod-wide parameter
+    broadcast, and per-slot handles.  See the module docstring."""
+
+    @property
+    def n_streams(self) -> int:
+        """The pod's LIVE slot count (elastic — see :meth:`resize`)."""
+        return int(self.metrics()["n_streams"])
+
+    def slot(self, index: int) -> PodSlot:
+        """A handle on slot ``index`` (no lease implied)."""
+        return PodSlot(self, index)
+
+    def slots(self) -> list:
+        """Handles on every current slot."""
+        return [PodSlot(self, i) for i in range(self.n_streams)]
+
+    def resize(self, n_streams: int) -> int:
+        """Elastic capacity (``POST /resize``): grow/shrink the live
+        pod's slot count; returns the applied count."""
+        return int(self._json("/resize",
+                              {"n_streams": int(n_streams)})["n_streams"])
+
+    def acquire(self, maxsize: int = 8, when_empty: str = "hold",
+                reset: bool = True) -> PodSlot:
+        """Lease a free slot (``POST /slots/acquire``): reuses a free
+        slot or grows the pod up to its ``max_streams``; the slot comes
+        back push-armed with a cold DSP carry.  Raises
+        :class:`VaudioHTTPError` (409) at capacity.  Prefer
+        :meth:`lease` for scope-bound release."""
+        resp = self._json("/slots/acquire",
+                          {"maxsize": maxsize, "when_empty": when_empty,
+                           "reset": reset})
+        return PodSlot(self, resp["slot"])
+
+    def lease(self, maxsize: int = 8, when_empty: str = "hold",
+              reset: bool = True, shrink: bool = False):
+        """Context-managed :meth:`acquire`: releases the slot on exit
+        (even on error), with optional trailing ``shrink``.
+
+            with pod.lease(when_empty="dark") as slot:
+                for f in frames: slot.push(f)
+        """
+        client = self
+
+        class _Lease:
+            def __enter__(self):
+                self.slot = client.acquire(maxsize=maxsize,
+                                           when_empty=when_empty,
+                                           reset=reset)
+                return self.slot
+
+            def __exit__(self, *exc):
+                try:
+                    self.slot.release(shrink=shrink)
+                except VaudioHTTPError:
+                    pass        # pod shrank/stopped under us: lease gone
+                return False
+
+        return _Lease()
+
+    def broadcast_params(self, **updates) -> dict:
+        """Apply one parameter update to EVERY slot atomically (``POST
+        /params``) — the only way to set/clear ``pan_angles`` pod-wide."""
+        return self._json("/params", updates)

@@ -38,7 +38,25 @@ import time
 from collections import deque
 from typing import Iterator, Optional
 
-__all__ = ["PushSource", "push_frames"]
+__all__ = ["PushSource", "encode_frame", "push_frames"]
+
+
+def encode_frame(frame) -> tuple:
+    """Serialize one frame for the HTTP ingest door (``POST .../frames``,
+    decoded server-side by
+    :func:`vaudio.runtime.server.decode_frame_body`): RGB arrays go as
+    self-describing ``.npy`` bodies, planar-YUV dicts (members y/u/v) as
+    ``.npz``.  Returns ``(body_bytes, content_type)``."""
+    import io
+
+    import numpy as np
+    buf = io.BytesIO()
+    if isinstance(frame, dict):
+        np.savez(buf, **{k: np.ascontiguousarray(v)
+                         for k, v in frame.items()})
+    else:
+        np.save(buf, np.ascontiguousarray(frame))
+    return buf.getvalue(), "application/octet-stream"
 
 
 class PushSource:
@@ -176,13 +194,10 @@ def push_frames(base_url: str, slot: Optional[int], frames,
     This is what ``python -m vaudio push`` runs; the server sides are
     :class:`vaudio.runtime.podserver.PodServer` and
     :class:`vaudio.runtime.server.LiveServer`."""
-    import io
     import json
     import time
     import urllib.error
     import urllib.request
-
-    import numpy as np
 
     base = base_url.rstrip("/")
 
@@ -230,14 +245,8 @@ def push_frames(base_url: str, slot: Optional[int], frames,
                 if now < next_t:
                     time.sleep(next_t - now)
                 next_t = max(next_t + period, time.monotonic())
-            buf = io.BytesIO()
-            if isinstance(frame, dict):
-                np.savez(buf, **{k: np.ascontiguousarray(v)
-                                 for k, v in frame.items()})
-            else:
-                np.save(buf, np.ascontiguousarray(frame))
-            post(f"{prefix}/frames", buf.getvalue(),
-                 "application/octet-stream")
+            body, ctype = encode_frame(frame)
+            post(f"{prefix}/frames", body, ctype)
             sent += 1
         ok = True
     finally:

@@ -527,6 +527,90 @@ class TestSlotLeasing:
                                  max_streams=2)
 
 
+class TestIdleShrink:
+    """idle_shrink: automatic capacity return — trailing free slots
+    are shrunk away after the idle window (the third leg of the
+    elastic loop: grow on acquire, reap dead clients, return the
+    capacity)."""
+
+    def _wait(self, cond, pod, timeout=120.0):
+        t0 = time.monotonic()
+        while not cond():
+            pod.raise_if_failed()
+            assert time.monotonic() - t0 < timeout
+            time.sleep(0.005)
+
+    def test_trailing_free_capacity_returns(self):
+        """A released trailing lease is shrunk away after the window;
+        a leased slot (open push arm, even with no frames yet) is
+        NEVER shrunk; inner free holes are kept for reuse."""
+        cfg = AuralizerConfig()
+        pod = MultiStreamAuralizer(cfg, n_streams=1, max_streams=3,
+                                   exit_when_exhausted=False,
+                                   idle_shrink=1.0)
+        pod.start([iter(())])
+        s0, _ps0 = pod.acquire_slot(when_empty="dark")
+        s1, _ps1 = pod.acquire_slot(when_empty="dark")
+        s2, _ps2 = pod.acquire_slot(when_empty="dark")
+        assert (s0, s1, s2) == (0, 1, 2) and pod.n_streams == 3
+        # An inner release leaves a hole: nothing shrinks (slot 2 is
+        # still leased) — the hole is reused by the next acquire.
+        pod.release_slot(1)
+        self._wait(lambda: 1 in pod.free_slots(), pod)
+        time.sleep(2.2)
+        pod.raise_if_failed()
+        assert pod.n_streams == 3 and pod.auto_shrinks == 0
+        s1b, _ = pod.acquire_slot(when_empty="dark")
+        assert s1b == 1
+        # Release the TRAILING leases: the idle window passes, the pod
+        # shrinks to the last busy slot + 1 in ONE step.
+        pod.release_slot(1)
+        pod.release_slot(2)
+        self._wait(lambda: pod.n_streams == 1, pod)
+        assert pod.auto_shrinks == 1
+        assert pod.metrics_dict()["auto_shrinks"] == 1
+        # Slot 0's lease never lapsed (open push arm, zero frames).
+        assert not pod.push_sources[0].closed
+        pod.stop()
+
+    def test_reap_then_shrink_full_loop(self):
+        """lease_timeout + idle_shrink compose: a dead client's lease
+        is reaped, its slot drains dark, and the idle window then
+        returns the capacity — with zero operator calls."""
+        cfg = AuralizerConfig()
+        clip = np.asarray(clips(1, 2)[0])
+        pod = MultiStreamAuralizer(cfg, n_streams=1, max_streams=2,
+                                   exit_when_exhausted=False,
+                                   lease_timeout=1.0, idle_shrink=1.0)
+        pod.start([iter(clip)])        # slot 0: a finite pull source
+        self._wait(lambda: not any(pod._active), pod)
+        slot, ps = pod.acquire_slot(when_empty="dark")
+        assert slot == 0               # reuses the free slot: no growth
+        slot2, ps2 = pod.acquire_slot(when_empty="dark")
+        assert slot2 == 1 and pod.n_streams == 2
+        for fr in clip:                # client 1 delivers, then dies
+            ps2.push(fr)
+        keepalive = clip[0]
+        t0 = time.monotonic()
+
+        def alive_and(cond):
+            # Keep lease 0 alive (fresh pushes) while waiting.
+            ps.push(keepalive)
+            return cond()
+        self._wait(lambda: alive_and(lambda: pod.leases_reaped == 1),
+                   pod, timeout=60)
+        self._wait(lambda: alive_and(lambda: pod.n_streams == 1), pod,
+                   timeout=60)
+        assert pod.auto_shrinks == 1 and not ps.closed
+        assert time.monotonic() - t0 < 60
+        pod.stop()
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="idle_shrink"):
+            MultiStreamAuralizer(AuralizerConfig(), n_streams=1,
+                                 idle_shrink=0.0)
+
+
 class TestElasticStress:
     def test_concurrent_acquires_get_distinct_slots(self):
         """Two racing acquires must never lease the same slot (the

@@ -526,7 +526,8 @@ def cmd_pod(args) -> int:
         metrics_log=args.metrics_log,
         engine=engine,
         max_streams=args.max_streams,
-        lease_timeout=args.lease_timeout)
+        lease_timeout=args.lease_timeout,
+        idle_shrink=args.idle_shrink)
     cfg = pod.cfg               # engine may coerce (mono orthomodes)
     server = None
     if args.serve:
@@ -1014,6 +1015,11 @@ def main(argv=None) -> int:
                    help="auto-release a push-armed slot silent for SECS "
                         "(dead-client reaping; default: leases never "
                         "expire)")
+    p.add_argument("--idle-shrink", type=float, default=None,
+                   metavar="SECS",
+                   help="auto-shrink trailing slots free for SECS "
+                        "(automatic capacity return; default: capacity "
+                        "only changes on explicit resize/release)")
     p.add_argument("--load-state", default=None, metavar="NPZ",
                    help="resume every slot's DSP carry from a pod "
                         "checkpoint before the first tick")

@@ -139,6 +139,9 @@ class MultiStreamAuralizer:
       lease_timeout: dead-client reaping — a PUSH-armed slot silent for
         this many seconds is auto-released (see :attr:`lease_timeout`);
         None = leases never expire.
+      idle_shrink: automatic capacity return — trailing slots free for
+        this many seconds are shrunk away (see :attr:`idle_shrink`);
+        None = capacity only changes explicitly.
     """
 
     def __init__(self, cfg: AuralizerConfig = AuralizerConfig(),
@@ -153,7 +156,8 @@ class MultiStreamAuralizer:
                  metrics_log: Optional[str] = None,
                  engine=None,
                  max_streams: Optional[int] = None,
-                 lease_timeout: Optional[float] = None):
+                 lease_timeout: Optional[float] = None,
+                 idle_shrink: Optional[float] = None):
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
         if max_streams is not None and max_streams < n_streams:
@@ -254,6 +258,22 @@ class MultiStreamAuralizer:
         #: Count of auto-released (reaped) leases, for the metrics
         #: surface.
         self.leases_reaped = 0
+        if idle_shrink is not None and idle_shrink <= 0:
+            raise ValueError("idle_shrink must be > 0 seconds")
+        #: Automatic capacity return: when the pod's TRAILING slots have
+        #: all been free (:meth:`free_slots` — exhausted, failed, or
+        #: never armed, with no live push arm) for this many seconds,
+        #: the producer shrinks them away as if ``resize`` had been
+        #: called (never below 1 slot; mesh pods shrink in multiples of
+        #: the mesh's stream axis).  Inner free holes are NOT shrunk —
+        #: they are reused by the next :meth:`acquire_slot`.  With
+        #: ``lease_timeout`` this completes the elastic loop: grow on
+        #: acquire, reap dead clients, return the capacity.  None =
+        #: capacity only changes on explicit resize/release(shrink).
+        self.idle_shrink = idle_shrink
+        #: Count of automatic idle shrinks (metrics surface).
+        self.auto_shrinks = 0
+        self._free_since: Dict[int, float] = {}
         #: Serializes acquire/release so two concurrent acquires never
         #: lease the same slot.
         self._lease_lock = threading.Lock()
@@ -494,6 +514,52 @@ class MultiStreamAuralizer:
                 f"pod producer did not reach a dispatch boundary within "
                 f"{timeout}s; resize to {n_new} not applied")
         self._apply_resize(n_new)      # producer already gone
+
+    def _maybe_idle_shrink(self) -> None:
+        """Automatic capacity return (see :attr:`idle_shrink`): when the
+        TRAILING run of slots has been free past the idle window, queue
+        a shrink as a normal resize request — the producer consumes it
+        at the next dispatch boundary through the same path explicit
+        :meth:`resize` calls take (partial chunks padded out, in-flight
+        results flushed at the old shape).  Called from the producer
+        loop only.  Inner free holes are left for :meth:`acquire_slot`
+        to reuse; the floor is 1 slot (mesh pods: one stream-axis
+        multiple)."""
+        now = time.monotonic()
+        free = set(self.free_slots())
+        for i in list(self._free_since):
+            if i not in free:
+                del self._free_since[i]
+        for i in free:
+            self._free_since.setdefault(i, now)
+        n_new = self.n_streams
+        while (n_new > 1 and (n_new - 1) in free
+               and now - self._free_since[n_new - 1]
+               > self.idle_shrink):
+            n_new -= 1
+        if self._mesh is not None:
+            step = self._mesh.shape["stream"]
+            n_new = max(step, ((n_new + step - 1) // step) * step)
+        if n_new >= self.n_streams or self._resize_req is not None:
+            return
+        # Never override a concurrent explicit resize(): its caller
+        # holds _resize_serial while waiting, and a resize() that
+        # acquires the lock right after us may overwrite this request —
+        # user intent beats the auto-shrink (our Event has no waiter).
+        if not self._resize_serial.acquire(blocking=False):
+            return
+        try:
+            with self._source_lock:
+                if self._resize_req is None:
+                    self._resize_req = (n_new, threading.Event())
+                    self.auto_shrinks += 1
+                    import sys
+                    print(f"vaudio pod: trailing slots "
+                          f"{n_new}..{self.n_streams - 1} idle past "
+                          f"{self.idle_shrink:g}s; shrinking to "
+                          f"{n_new} slots", file=sys.stderr)
+        finally:
+            self._resize_serial.release()
 
     def _apply_resize(self, n_new: int) -> None:
         """Apply an elastic resize.  Called from the producer thread at
@@ -795,6 +861,7 @@ class MultiStreamAuralizer:
             "frames_processed": m.frames_processed,
             "dispatches": m.dispatches,
             "leases_reaped": self.leases_reaped,
+            "auto_shrinks": self.auto_shrinks,
             "slots": self._slot_metrics_snapshot(),
         }
 
@@ -1021,6 +1088,8 @@ class MultiStreamAuralizer:
                               f"({self.lease_timeout:g}s without a "
                               "frame); push stream closed, slot "
                               "released", file=sys.stderr)
+            if self.idle_shrink is not None:
+                self._maybe_idle_shrink()
             if not any(self._active):
                 if self._exit_when_exhausted:
                     break

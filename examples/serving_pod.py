@@ -12,11 +12,9 @@ This is the production shape docs/SERVING.md describes: a
 :class:`~vaudio.runtime.podserver.PodServer` ops surface.
 """
 
-import json
 import os
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -32,6 +30,7 @@ if _plat:
 
 
 def main(hold=False):
+    from vaudio.client import PodClient
     from vaudio.config import AuralizerConfig
     from vaudio.io import hsb_frames
     from vaudio.runtime import MultiStreamAuralizer
@@ -41,11 +40,16 @@ def main(hold=False):
     cfg = AuralizerConfig(mip_level=1)
     n = 4
     pod = MultiStreamAuralizer(cfg, n_streams=n, chunk_frames=2,
-                               exit_when_exhausted=False)
+                               exit_when_exhausted=False,
+                               max_streams=n + 2)
 
     # --- live panel + ops endpoints -----------------------------------
     server = pod.serve(port=0)
     print(f"[panel] {server.url}  (slots, sliders, per-slot audio)")
+    # Everything below drives the pod THROUGH that HTTP surface with
+    # the shipped programmatic client — what a remote operator or a
+    # fleet client would run (vaudio.client is numpy+urllib only).
+    client = PodClient(server.url)
 
     def source(hue, frames=90):
         return iter(hsb_frames(hue, 1.0, 1.0, width=64, height=64,
@@ -64,13 +68,8 @@ def main(hold=False):
     wait_frames(n * 20)
 
     # --- per-slot control, zero recompiles ----------------------------
-    req = urllib.request.Request(
-        server.url + "slots/2/params",
-        data=json.dumps({"attack": 0.2, "stereo_width": 0.5}).encode(),
-        method="POST")
-    with urllib.request.urlopen(req, timeout=10) as r:
-        print(f"[control] slot 2: {json.loads(r.read())['applied']} "
-              "params applied mid-run")
+    resp = client.slot(2).set_params(attack=0.2, stereo_width=0.5)
+    print(f"[control] slot 2: {resp['applied']} params applied mid-run")
 
     # --- pull audio like a per-client callback ------------------------
     pcm = pod.pull(1, 4096)
@@ -81,25 +80,28 @@ def main(hold=False):
     print("[churn] slot 0 re-armed with a new client (carry reset)")
 
     # --- elastic capacity: grow the live pod over HTTP -----------------
-    req = urllib.request.Request(
-        server.url + "resize",
-        data=json.dumps({"n_streams": n + 1}).encode(), method="POST")
-    with urllib.request.urlopen(req, timeout=60) as r:
-        print(f"[resize] pod grown to "
-              f"{json.loads(r.read())['n_streams']} slots mid-run "
-              "(surviving slots' carries ride along)")
+    grown = client.resize(n + 1)
+    print(f"[resize] pod grown to {grown} slots mid-run "
+          "(surviving slots' carries ride along)")
     pod.replace_source(n, source(0.4, frames=60))
     print(f"[resize] new slot {n} armed with a fresh client")
 
+    # --- fleet allocation: a remote client leases a slot ---------------
+    # acquire -> push -> release-on-exit, with zero slot bookkeeping
+    # (POST /slots/acquire under the hood; pods add --lease-timeout /
+    # --idle-shrink to reap dead clients and return idle capacity).
+    with client.lease(when_empty="dark") as leased:
+        for fr in hsb_frames(0.15, 1.0, 1.0, width=64, height=64,
+                             num_frames=8):
+            leased.push(fr)
+        print(f"[lease] leased slot {leased.index}, pushed 8 frames "
+              f"(pod now {client.n_streams} slots); releasing")
+
     # --- ops: Prometheus scrape + HTTP checkpoint ----------------------
-    with urllib.request.urlopen(server.url + "metrics.prom",
-                                timeout=10) as r:
-        prom = r.read().decode()
+    prom = client.metrics_prom()
     print("[prom]", next(line for line in prom.splitlines()
                          if line.startswith("vaudio_frames_processed")))
-    with urllib.request.urlopen(server.url + "state.npz",
-                                timeout=10) as r:
-        state = r.read()
+    state = client.save_state()
     print(f"[ckpt] downloaded pod checkpoint: {len(state)} bytes "
           f"({pod.n_streams} slots x 5 arrays)")
 

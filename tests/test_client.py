@@ -172,6 +172,13 @@ class TestPodClient:
         with pytest.raises(VaudioHTTPError) as exc:
             client.slot(7).params()
         assert exc.value.status == 404
+        # Stale handles answer the SAME contract on the client-side
+        # metrics path (no bare IndexError).
+        with pytest.raises(VaudioHTTPError) as exc:
+            client.slot(7).metrics()
+        assert exc.value.status == 404
+        with pytest.raises(VaudioHTTPError):
+            client.slot(-1).metrics()
 
     def test_state_roundtrip(self, served_pod):
         _pod, _server, client = served_pod

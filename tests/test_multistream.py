@@ -517,6 +517,30 @@ class TestSlotLeasing:
         assert m["idle_s"] < 1.0            # surfaced for observers
         pod.stop()
 
+    def test_operator_door_unfed_is_not_reaped(self):
+        """An operator-armed push door no client ever fed stays open
+        past the timeout (an advertised door must outlive its wait for
+        a first client); once fed and silent, it reaps like a lease."""
+        cfg = AuralizerConfig()
+        clip = np.asarray(clips(1, 2)[0])
+        pod = MultiStreamAuralizer(cfg, n_streams=1,
+                                   exit_when_exhausted=False,
+                                   lease_timeout=0.5)
+        pod.start([iter(())])
+        ps = pod.arm_push(0, when_empty="dark")    # door, not a lease
+        time.sleep(1.5)
+        pod.raise_if_failed()
+        assert not ps.closed and pod.leases_reaped == 0
+        ps.push(clip[0])          # a client connects, pushes once, dies
+        self._wait(lambda: pod.leases_reaped == 1, pod, timeout=30)
+        assert ps.closed
+        pod.stop()
+
+    def test_lease_timeout_validation(self):
+        with pytest.raises(ValueError, match="lease_timeout"):
+            MultiStreamAuralizer(AuralizerConfig(), n_streams=1,
+                                 lease_timeout=0.0)
+
     def test_max_streams_also_caps_resize(self):
         pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=2,
                                    max_streams=3)
@@ -609,6 +633,31 @@ class TestIdleShrink:
         with pytest.raises(ValueError, match="idle_shrink"):
             MultiStreamAuralizer(AuralizerConfig(), n_streams=1,
                                  idle_shrink=0.0)
+
+    def test_stale_auto_shrink_spares_fresh_lease(self):
+        """A queued auto-shrink is RE-VALIDATED at apply time: a lease
+        granted after the request was queued makes its slot non-free,
+        so the shrink is dropped — the fresh lease survives and
+        auto_shrinks stays 0 (the acquire-vs-auto-shrink race)."""
+        import threading as _threading
+        pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=1,
+                                   max_streams=2,
+                                   exit_when_exhausted=False,
+                                   idle_shrink=30.0)
+        pod.start([iter(())])
+        _s0, _ps0 = pod.acquire_slot(when_empty="dark")
+        s1, ps1 = pod.acquire_slot(when_empty="dark")
+        assert s1 == 1 and pod.n_streams == 2
+        # Simulate the race: an auto-shrink request queued BEFORE the
+        # trailing lease landed, consumed by the producer after.
+        with pod._source_lock:
+            pod._resize_req = (1, _threading.Event(), "auto")
+        self._wait(lambda: pod._resize_req is None, pod)
+        time.sleep(0.3)               # let the (dropped) apply settle
+        pod.raise_if_failed()
+        assert pod.n_streams == 2 and pod.auto_shrinks == 0
+        assert not ps1.closed
+        pod.stop()
 
 
 class TestElasticStress:

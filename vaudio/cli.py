@@ -1013,8 +1013,10 @@ def main(argv=None) -> int:
     p.add_argument("--lease-timeout", type=float, default=None,
                    metavar="SECS",
                    help="auto-release a push-armed slot silent for SECS "
-                        "(dead-client reaping; default: leases never "
-                        "expire)")
+                        "(dead-client reaping; a never-fed --input push "
+                        "door stays open until its first client, while "
+                        "leases expire even unfed; default: leases "
+                        "never expire)")
     p.add_argument("--idle-shrink", type=float, default=None,
                    metavar="SECS",
                    help="auto-shrink trailing slots free for SECS "

@@ -324,8 +324,16 @@ class PodSlot:
                                  {"shrink": shrink})
 
     def metrics(self) -> dict:
-        """This slot's row of the pod metrics."""
-        return self.client.metrics()["slots"][self.index]
+        """This slot's row of the pod metrics.  Raises
+        :class:`VaudioHTTPError` (404) when the slot no longer exists
+        (an elastic shrink landed) — the same contract as every other
+        method on a stale handle."""
+        slots = self.client.metrics()["slots"]
+        if not 0 <= self.index < len(slots):
+            raise VaudioHTTPError(
+                404, f"no slot {self.index} (pod now has "
+                f"{len(slots)} slots)", self.client.url + self._prefix)
+        return slots[self.index]
 
     def view(self, name: str = "hue_matrix") -> bytes:
         """A live per-slot view as PNG bytes (``hue_matrix``,

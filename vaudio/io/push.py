@@ -94,6 +94,10 @@ class PushSource:
         #: (``MultiStreamAuralizer.lease_timeout``) measures idleness
         #: from here — frame ARRIVAL, never consumption.
         self.last_push = time.monotonic()
+        #: True when this source backs a LEASE (``acquire_slot``) rather
+        #: than an operator-armed ingest door; the reaper distinguishes
+        #: them (a never-fed door stays open, a never-fed lease expires).
+        self.leased = False
 
     # -- producer side -------------------------------------------------------
 

@@ -253,7 +253,14 @@ class MultiStreamAuralizer:
         #: a compile/dispatch stall must not make a live client look
         #: dead while its frames sit queued.  Pull-source slots are
         #: never reaped — they consume as fast as their source yields,
-        #: so idleness is not a liveness signal there.
+        #: so idleness is not a liveness signal there; an
+        #: operator-armed push door (``--input push``, :meth:`arm_push`)
+        #: is only reaped once a client has actually pushed a frame —
+        #: an advertised door no client connected to yet must stay
+        #: open.  Leased slots always count: a client that acquired
+        #: and died before its first frame must not hold the lease.
+        if lease_timeout is not None and lease_timeout <= 0:
+            raise ValueError("lease_timeout must be > 0 seconds")
         self.lease_timeout = lease_timeout
         #: Count of auto-released (reaped) leases, for the metrics
         #: surface.
@@ -551,13 +558,14 @@ class MultiStreamAuralizer:
         try:
             with self._source_lock:
                 if self._resize_req is None:
-                    self._resize_req = (n_new, threading.Event())
-                    self.auto_shrinks += 1
-                    import sys
-                    print(f"vaudio pod: trailing slots "
-                          f"{n_new}..{self.n_streams - 1} idle past "
-                          f"{self.idle_shrink:g}s; shrinking to "
-                          f"{n_new} slots", file=sys.stderr)
+                    # Tagged "auto": the producer RE-VALIDATES the
+                    # trailing-free run under _lease_lock at apply time
+                    # — an acquire_slot() landing between this queue
+                    # and the apply must not have its fresh lease
+                    # shrunk away (auto_shrinks counts at apply, where
+                    # the shrink actually happens).
+                    self._resize_req = (n_new, threading.Event(),
+                                        "auto")
         finally:
             self._resize_serial.release()
 
@@ -715,6 +723,7 @@ class MultiStreamAuralizer:
             ps = self.arm_push(slot, maxsize=maxsize,
                                when_empty=when_empty,
                                reset_carry=reset_carry)
+            ps.leased = True        # reaper: leases expire even unfed
             return slot, ps
 
     def release_slot(self, slot: int, shrink: bool = False) -> None:
@@ -1048,22 +1057,62 @@ class MultiStreamAuralizer:
             if self._resize_req is not None:
                 with self._source_lock:
                     req, self._resize_req = self._resize_req, None
+            lease_held = False
+            if req is not None and len(req) == 3:
+                # Auto-shrink (see _maybe_idle_shrink): re-validate the
+                # trailing-free run NOW, under the lease lock, and hold
+                # that lock through the apply — a lease granted since
+                # the request was queued makes its slot non-free and
+                # must survive.  Non-blocking: an acquire_slot() in
+                # flight may itself be waiting on this loop (its grow
+                # resize), so blocking here would deadlock; the shrink
+                # is simply re-queued by the next idle check.
+                if not self._lease_lock.acquire(blocking=False):
+                    req = None
+                else:
+                    lease_held = True
+                    free = set(self.free_slots())
+                    n_final = self.n_streams
+                    while n_final > req[0] and (n_final - 1) in free:
+                        n_final -= 1
+                    if self._mesh is not None:
+                        step = self._mesh.shape["stream"]
+                        n_final = max(step, ((n_final + step - 1)
+                                             // step) * step)
+                    if n_final >= self.n_streams:
+                        self._lease_lock.release()
+                        lease_held = False
+                        req = None
+                    else:
+                        req = (n_final, req[1], "auto")
             if req is not None:
-                if chunk_bufs[0]:
-                    pad = T - len(chunk_bufs[0])
-                    for i in range(self.n_streams):
-                        chunk_bufs[i].extend([self._zeros] * pad)
-                        chunk_mask[i].extend([False] * pad)
-                    dispatch(_stack([_stack(b) for b in chunk_bufs]),
-                             chunk_t0 or time.monotonic(),
-                             [list(m) for m in chunk_mask])
-                if pending is not None:
-                    self._flush(pending)
-                    pending = None
-                self._apply_resize(req[0])
-                chunk_bufs = [[] for _ in range(self.n_streams)]
-                chunk_mask = [[] for _ in range(self.n_streams)]
-                req[1].set()
+                try:
+                    if chunk_bufs[0]:
+                        pad = T - len(chunk_bufs[0])
+                        for i in range(self.n_streams):
+                            chunk_bufs[i].extend([self._zeros] * pad)
+                            chunk_mask[i].extend([False] * pad)
+                        dispatch(_stack([_stack(b) for b in chunk_bufs]),
+                                 chunk_t0 or time.monotonic(),
+                                 [list(m) for m in chunk_mask])
+                    if pending is not None:
+                        self._flush(pending)
+                        pending = None
+                    old_n = self.n_streams
+                    self._apply_resize(req[0])
+                    chunk_bufs = [[] for _ in range(self.n_streams)]
+                    chunk_mask = [[] for _ in range(self.n_streams)]
+                    if len(req) == 3:
+                        self.auto_shrinks += 1
+                        import sys
+                        print(f"vaudio pod: trailing slots "
+                              f"{req[0]}..{old_n - 1} idle past "
+                              f"{self.idle_shrink:g}s; shrunk to "
+                              f"{req[0]} slots", file=sys.stderr)
+                    req[1].set()
+                finally:
+                    if lease_held:
+                        self._lease_lock.release()
             self._apply_pending_sources()
             if self.lease_timeout is not None:
                 # Dead-client reaping (see lease_timeout): a push-armed
@@ -1079,6 +1128,7 @@ class MultiStreamAuralizer:
                     ps = self.push_sources[i]
                     if (ps is not None and not ps.closed
                             and self._active[i] and ps.fill == 0
+                            and (ps.leased or ps.pushed > 0)
                             and now - ps.last_push
                             > self.lease_timeout):
                         import sys

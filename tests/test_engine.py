@@ -260,16 +260,45 @@ class TestOrthoModesPod:
         with pytest.raises(ValueError, match="pod size"):
             wrong_size.load_state(p)
 
-    def test_mesh_pod_rejects_non_flagship(self):
+    def test_mesh_pod_rejects_cell_axis(self):
+        """TP ('cell' axis > 1) is flagship synthesis structure; other
+        families mesh-shard over 'stream' only."""
+        import jax
+        from jax.sharding import Mesh
+        from vaudio.runtime import MultiStreamAuralizer
+        from vaudio.runtime.engine import make_engine
+        mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2),
+                    ("stream", "cell"))
+        eng = make_engine("orthomodes", AuralizerConfig())
+        with pytest.raises(ValueError, match="cell"):
+            MultiStreamAuralizer(eng.cfg, n_streams=2, engine=eng,
+                                 mesh=mesh, params=LiveParams())
+
+    @pytest.mark.parametrize("chunk", [1, 3])
+    def test_mesh_dp_pod_matches_offline(self, chunk):
+        """The second model family on the multi-chip path: the engine's
+        raw step DP-sharded over the mesh 'stream' axis
+        (parallel.make_engine_parallel_step) produces the same PCM as
+        the single-device offline run — incl. the chunked dispatch and
+        the frame-sized carry sharded at first tick."""
         import jax
         from jax.sharding import Mesh
         from vaudio.runtime import MultiStreamAuralizer
         from vaudio.runtime.engine import make_engine
         mesh = Mesh(np.array(jax.devices()[:2]), ("stream",))
         eng = make_engine("orthomodes", AuralizerConfig())
-        with pytest.raises(ValueError, match="flagship"):
-            MultiStreamAuralizer(eng.cfg, n_streams=2, engine=eng,
-                                 mesh=mesh, params=LiveParams())
+        pod = MultiStreamAuralizer(eng.cfg, n_streams=2, engine=eng,
+                                   mesh=mesh, params=LiveParams(),
+                                   chunk_frames=chunk)
+        a = _clip(color=(1, 0.2, 0.1))
+        b = _clip(color=(0.1, 0.3, 1))
+        self._run_pod(pod, [a, b])
+        for src, slot in ((a, 0), (b, 1)):
+            off = Auralizer(model="orthomodes").sonify(np.asarray(src))
+            got = pod.pull(slot, 6 * 2048)
+            assert len(got) > 0
+            np.testing.assert_allclose(got, off[: len(got)], atol=2e-4)
+        pod.stop()
 
     def test_pod_door_validation_is_engine_aware(self):
         from vaudio.runtime import MultiStreamAuralizer

@@ -29,6 +29,7 @@ from vaudio.parallel.multihost import (
 from vaudio.parallel.sharding import (
     init_carry_batch,
     make_batched_step,
+    make_engine_parallel_step,
     make_parallel_chunk_step,
     make_parallel_step,
     make_stream_mesh,
@@ -42,6 +43,7 @@ __all__ = [
     "init_distributed",
     "local_stream_slice",
     "make_batched_step",
+    "make_engine_parallel_step",
     "make_multihost_mesh",
     "make_parallel_chunk_step",
     "make_parallel_step",

@@ -199,6 +199,41 @@ def make_parallel_chunk_step(cfg: AuralizerConfig, mesh: Mesh,
     return sharded
 
 
+def make_engine_parallel_step(engine, mesh: Mesh, chunk: bool = False,
+                              jit: bool = True):
+    """DP-sharded mesh step for ANY streaming engine
+    (:mod:`vaudio.runtime.engine`): carries/frames/outputs sharded over
+    the 'stream' axis, params replicated — the model-agnostic
+    counterpart of :func:`make_parallel_chunk_step`, built from the
+    engine's raw per-frame (or per-chunk) step.  Embarrassingly
+    parallel over ICI with zero collectives.
+
+    No TP decomposition is assumed, so a 'cell' axis (if present) must
+    be size 1 — cell-sharded synthesis is flagship-specific
+    (:func:`make_parallel_step`).
+
+    Returns ``step(carry[S,...], frames[S,...], params) -> (carry,
+    out)`` with every out leaf carrying the leading stream axis; S must
+    be a multiple of ``mesh.shape['stream']``.
+    """
+    if mesh.shape.get("cell", 1) != 1:
+        raise ValueError(
+            "engine mesh pods are DP-only ('stream' axis); a 'cell' "
+            f"axis of {mesh.shape['cell']} is flagship-specific tensor "
+            "parallelism (make_parallel_step)")
+    one = engine.raw_chunk_step() if chunk else engine.raw_step()
+    vstep = jax.vmap(one, in_axes=(0, 0, None))
+    sharded = jax.shard_map(
+        vstep, mesh=mesh,
+        in_specs=(P("stream"), P("stream"), P()),
+        out_specs=(P("stream"), P("stream")),
+        check_vma=False,
+    )
+    if jit:
+        sharded = jax.jit(sharded, donate_argnums=(0,))
+    return sharded
+
+
 def run_offline_parallel(frames, cfg: AuralizerConfig, mesh: Mesh,
                          params=None, debug: bool = False,
                          pipeline: str = "auto"):

@@ -168,10 +168,12 @@ class MultiStreamAuralizer:
             engine = AuralizerEngine(cfg)
         elif getattr(engine, "cfg", cfg) is not cfg:
             cfg = engine.cfg        # engine may coerce (mono orthomodes)
-        if mesh is not None and engine.name != "auralizer":
+        if (mesh is not None and engine.name != "auralizer"
+                and mesh.shape.get("cell", 1) != 1):
             raise ValueError(
-                "mesh pods run the flagship family (the parallel steps "
-                "are flagship-specific); use the single-chip vmap mode")
+                "a 'cell' mesh axis > 1 is flagship-specific tensor "
+                "parallelism; other families mesh-shard over 'stream' "
+                "only (DP) — build the mesh with n_cell=1")
         self.engine = engine
         self.cfg = cfg
         self.n_streams = int(n_streams)
@@ -319,8 +321,16 @@ class MultiStreamAuralizer:
     def _build_step(self):
         cfg = self.cfg
         if self._mesh is not None:
-            from vaudio.parallel.sharding import make_parallel_chunk_step, \
-                make_parallel_step
+            from vaudio.parallel.sharding import (
+                make_engine_parallel_step, make_parallel_chunk_step,
+                make_parallel_step)
+            if self.engine.name != "auralizer":
+                # Model-agnostic DP: the engine's raw step sharded over
+                # 'stream' (no TP — cell-sharded synthesis is flagship
+                # structure other families lack).
+                return make_engine_parallel_step(
+                    self.engine, self._mesh,
+                    chunk=self.chunk_frames > 1)
             if self.chunk_frames > 1:
                 return make_parallel_chunk_step(cfg, self._mesh)
             return make_parallel_step(cfg, self._mesh)
@@ -350,7 +360,7 @@ class MultiStreamAuralizer:
         """Per-slot LiveParams -> one dict of (S, ...) arrays (vmap mode)
         or the single replicated dict (mesh mode)."""
         if self._mesh is not None:
-            return self.params[0].as_arrays()
+            return self.engine.params_arrays(self.params[0])
         with self.params_lock:
             dicts = [self.engine.params_arrays(p) for p in self.params]
         keys = set(dicts[0])

@@ -767,6 +767,37 @@ class TestPodCLI:
         assert b"pod: 10 frames over 2 streams" in res.stderr
 
 
+    @pytest.mark.parametrize("model", ["auralizer", "orthomodes"])
+    def test_pod_cli_mesh(self, tmp_path, model):
+        """`vaudio pod --mesh 2` serves over a 2-device mesh at the CLI
+        front door (both model families; CPU-forced subprocess with two
+        virtual devices)."""
+        import os
+        import subprocess
+        import sys
+        import wave
+
+        a, b = clips(2, 4)
+        pa, pb = str(tmp_path / "a.npy"), str(tmp_path / "b.npy")
+        np.save(pa, np.asarray(a))
+        np.save(pb, np.asarray(b))
+        outdir = str(tmp_path / "pod_out")
+        env = dict(os.environ, VAUDIO_PLATFORM="cpu",
+                   VAUDIO_NUM_CPU_DEVICES="2",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
+                   PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH",
+                                                             ""))
+        res = subprocess.run(
+            [sys.executable, "-m", "vaudio", "pod", "--size", "64x64",
+             "--input", pa, "--input", pb, "-o", outdir,
+             "--mesh", "2", "--model", model],
+            capture_output=True, timeout=600, env=env, cwd="/root/repo")
+        assert res.returncode == 0, res.stderr.decode()[-800:]
+        assert b"device mesh stream=2 cell=1" in res.stderr
+        for i in range(2):
+            with wave.open(os.path.join(outdir, f"slot{i}.wav")) as wv:
+                assert wv.getnframes() == 4 * HOP
+
     def test_pod_cli_encoded_video_inputs(self, tmp_path):
         """`vaudio pod --input a.mp4 --input b.mp4` — encoded clips are
         decoded in-process per slot (CPU-forced subprocess)."""

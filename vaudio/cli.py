@@ -516,11 +516,37 @@ def cmd_pod(args) -> int:
                                 max_frames=args.max_frames)
 
     n = len(args.input)
+    mesh = None
+    if args.mesh:
+        # Multi-chip serving at the front door: shard the pod's stream
+        # axis (and, for the flagship, the synthesis cells) over a
+        # device mesh — `--mesh 4` = DP over 4 chips, `--mesh 4x2` =
+        # DP x TP over 8.
+        import jax
+
+        from vaudio.parallel import make_stream_mesh
+        dp, _, tp = args.mesh.lower().partition("x")
+        try:
+            dp, tp = int(dp), int(tp or 1)
+        except ValueError:
+            raise SystemExit(f"pod: --mesh must be DP or DPxTP (e.g. "
+                             f"4 or 4x2), got {args.mesh!r}")
+        avail = len(jax.devices())
+        if dp * tp > avail:
+            raise SystemExit(f"pod: --mesh {args.mesh} needs {dp * tp} "
+                             f"devices, this host has {avail}")
+        mesh = make_stream_mesh(dp, tp)
+        print(f"pod: device mesh stream={dp} cell={tp} "
+              f"({dp * tp} of {avail} devices)", file=sys.stderr)
     # CLI flags seed an INDEPENDENT LiveParams per slot, so --serve can
-    # control each serving slot separately.
+    # control each serving slot separately.  Mesh pods replicate ONE
+    # shared LiveParams instead (the parallel steps replicate params;
+    # the panel reports "shared": true).
     pod = MultiStreamAuralizer(
         cfg, n_streams=n,
-        params=[dataclasses.replace(params) for _ in range(n)],
+        params=(params if mesh is not None else
+                [dataclasses.replace(params) for _ in range(n)]),
+        mesh=mesh,
         realtime=args.realtime,
         chunk_frames=args.chunk_frames,
         metrics_log=args.metrics_log,
@@ -1022,6 +1048,12 @@ def main(argv=None) -> int:
                    help="auto-shrink trailing slots free for SECS "
                         "(automatic capacity return; default: capacity "
                         "only changes on explicit resize/release)")
+    p.add_argument("--mesh", default=None, metavar="DP[xTP]",
+                   help="shard the pod over a device mesh: DP chips "
+                        "across the stream axis (n inputs must be a "
+                        "multiple), optionally xTP chips across the "
+                        "flagship's synthesis cells (e.g. 4 or 4x2); "
+                        "params are shared pod-wide in mesh mode")
     p.add_argument("--load-state", default=None, metavar="NPZ",
                    help="resume every slot's DSP carry from a pod "
                         "checkpoint before the first tick")

@@ -233,6 +233,134 @@ class TestPodLeasing:
             pod.stop()
 
 
+class TestRetries:
+    """Transient-failure resilience: retries on 503 and connection
+    errors; real rejections (4xx) never retry."""
+
+    def _flaky_server(self, fails_503=0, body=None):
+        import json as _json
+        from http.server import (BaseHTTPRequestHandler,
+                                 ThreadingHTTPServer)
+        payload = body or _json.dumps({"n_streams": 1,
+                                       "slots": []}).encode()
+        state = {"fails": fails_503, "hits": 0}
+
+        class H(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _answer(self):
+                state["hits"] += 1
+                if state["fails"] > 0:
+                    state["fails"] -= 1
+                    err = b'{"error": "resize in flight"}'
+                    self.send_response(503)
+                    self.send_header("Content-Length", str(len(err)))
+                    self.end_headers()
+                    self.wfile.write(err)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            do_GET = do_POST = _answer
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        import threading
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, f"http://127.0.0.1:{srv.server_address[1]}", state
+
+    def test_client_retries_503(self):
+        srv, url, state = self._flaky_server(fails_503=2)
+        try:
+            with pytest.raises(VaudioHTTPError) as exc:
+                PodClient(url).metrics()          # no retries: first 503
+            assert exc.value.status == 503
+            m = PodClient(url, retries=3, retry_wait=0.01).metrics()
+            assert m["n_streams"] == 1
+            # 1 (no-retry call, consumed one 503) + 1 (503) + 1 (ok).
+            assert state["hits"] == 3
+        finally:
+            srv.shutdown()
+
+    def test_client_does_not_retry_4xx(self):
+        pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=1)
+        server = pod.serve(port=0)
+        try:
+            client = PodClient(server.url, retries=5, retry_wait=0.01)
+            t0 = time.monotonic()
+            with pytest.raises(VaudioHTTPError) as exc:
+                client.slot(0).set_params(attack="junk")
+            assert exc.value.status == 400
+            assert time.monotonic() - t0 < 1.0    # no retry pauses
+        finally:
+            server.stop()
+            pod.stop()
+
+    def test_client_retries_connection_refused(self):
+        import socket
+        import threading
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()                                 # nothing listens now
+        url = f"http://127.0.0.1:{port}"
+        import urllib.error
+        with pytest.raises((urllib.error.URLError, ConnectionError,
+                            OSError)):
+            PodClient(url).metrics()             # no retries: fails now
+        # With retries, a server that comes up mid-retry-loop (a pod
+        # restarting behind the same address) is reached.
+        srv = [None]
+        from http.server import BaseHTTPRequestHandler, \
+            ThreadingHTTPServer
+
+        class H(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                body = b'{"n_streams": 1, "slots": []}'
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        started = threading.Event()
+
+        def serve_late():
+            time.sleep(0.4)
+            try:
+                sv = ThreadingHTTPServer(("127.0.0.1", port), H)
+            except OSError:
+                return                            # port got reused: skip
+            srv[0] = sv
+            started.set()
+            sv.serve_forever()
+
+        threading.Thread(target=serve_late, daemon=True).start()
+        try:
+            m = PodClient(url, retries=20, retry_wait=0.1).metrics()
+            assert m["n_streams"] == 1 and started.is_set()
+        finally:
+            if srv[0] is not None:
+                srv[0].shutdown()
+
+    def test_push_frames_retry_503(self):
+        import json as _json
+        ok = _json.dumps({"queued": True, "fill": 1}).encode()
+        srv, url, state = self._flaky_server(fails_503=1, body=ok)
+        try:
+            from vaudio.io.push import push_frames
+            frame = np.zeros((8, 8, 3), np.float32)
+            sent = push_frames(url, 0, [frame], arm=False, close=False,
+                               retries=2, retry_wait=0.01)
+            assert sent == 1 and state["hits"] == 2
+        finally:
+            srv.shutdown()
+
+
 class TestPullCLI:
     def test_pull_records_wav(self, served_pod, tmp_path):
         """`vaudio pull` (a real subprocess) records a slot's live

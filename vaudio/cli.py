@@ -696,7 +696,8 @@ def cmd_push(args) -> int:
                        fps=args.fps if args.realtime else None,
                        arm=not args.no_arm, when_empty=args.when_empty,
                        maxsize=args.maxsize, reset=args.reset,
-                       close=not args.no_close)
+                       close=not args.no_close, retries=args.retries,
+                       retry_wait=args.retry_wait)
     target = "stream" if slot is None else f"slot {slot}"
     print(f"push: {sent} frames -> {args.url} {target}", file=sys.stderr)
     return 0
@@ -719,9 +720,10 @@ def cmd_pull(args) -> int:
         raise SystemExit("pull: nothing to do — give -o WAV and/or "
                          "--play")
     if args.stream:
-        stream = StreamClient(args.url).audio()
+        stream = StreamClient(args.url, retries=args.retries).audio()
     else:
-        stream = PodClient(args.url).slot(args.slot).audio()
+        stream = PodClient(args.url,
+                           retries=args.retries).slot(args.slot).audio()
     player = None
     if args.play:
         from vaudio.io import SubprocessPlayer
@@ -1109,6 +1111,13 @@ def main(argv=None) -> int:
     p.add_argument("--no-close", action="store_true",
                    help="leave the push stream open when the input ends "
                         "(another push can continue the same slot)")
+    p.add_argument("--retries", type=int, default=0,
+                   help="re-send after transient failures (connection "
+                        "refused/reset, 503) up to N times per request "
+                        "— survive a pod restart behind the same "
+                        "address")
+    p.add_argument("--retry-wait", type=float, default=0.5,
+                   metavar="SECS", help="pause between retries")
     p.set_defaults(fn=cmd_push)
 
     p = sub.add_parser("pull",
@@ -1131,6 +1140,10 @@ def main(argv=None) -> int:
     p.add_argument("--play", action="store_true",
                    help="play through a local speaker (aplay/pw-play/"
                         "paplay/ffplay or $VAUDIO_PLAYER)")
+    p.add_argument("--retries", type=int, default=0,
+                   help="retry transient failures (connection refused/"
+                        "reset, 503) up to N times when opening the "
+                        "stream")
     p.set_defaults(fn=cmd_pull)
 
     p = sub.add_parser("debug",

@@ -63,32 +63,52 @@ class VaudioHTTPError(RuntimeError):
 class _PanelClient:
     """Plumbing shared by the stream and pod clients: request/JSON
     helpers plus the endpoints both panels serve (metrics, Prometheus
-    scrape, checkpoint up/download)."""
+    scrape, checkpoint up/download).
 
-    def __init__(self, url: str, timeout: float = 30.0):
+    ``retries``/``retry_wait`` make every request resilient to
+    TRANSIENT failures — connection refused/reset (a pod restarting
+    behind the same address) and 503 answers (a resize momentarily
+    wedging the producer).  Real rejections (4xx) never retry.  Off by
+    default; frame pushes are safe to retry (a duplicated frame is a
+    repeat of the newest-wins queue's normal behavior)."""
+
+    def __init__(self, url: str, timeout: float = 30.0,
+                 retries: int = 0, retry_wait: float = 0.5):
         self.url = url.rstrip("/")
         self.timeout = float(timeout)
+        self.retries = int(retries)
+        self.retry_wait = float(retry_wait)
 
     # -- plumbing ------------------------------------------------------------
 
     def _open(self, path: str, data: Optional[bytes] = None,
               ctype: Optional[str] = None, method: Optional[str] = None):
         """Open ``path`` and return the live response object (caller
-        closes); non-2xx raises :class:`VaudioHTTPError`."""
+        closes); non-2xx raises :class:`VaudioHTTPError`.  Transient
+        failures retry per the constructor's ``retries``."""
+        import time
         url = self.url + path
         req = urllib.request.Request(
             url, data=data,
             method=method or ("POST" if data is not None else "GET"),
             headers={"Content-Type": ctype} if ctype else {})
-        try:
-            return urllib.request.urlopen(req, timeout=self.timeout)
-        except urllib.error.HTTPError as e:
-            body = e.read().decode(errors="replace")
+        for attempt in range(self.retries + 1):
             try:
-                body = json.loads(body).get("error", body)
-            except (ValueError, AttributeError):
-                pass
-            raise VaudioHTTPError(e.code, body, url) from None
+                return urllib.request.urlopen(req, timeout=self.timeout)
+            except urllib.error.HTTPError as e:
+                body = e.read().decode(errors="replace")
+                try:
+                    body = json.loads(body).get("error", body)
+                except (ValueError, AttributeError):
+                    pass
+                err = VaudioHTTPError(e.code, body, url)
+                if e.code != 503 or attempt == self.retries:
+                    raise err from None
+            except (urllib.error.URLError, ConnectionError, OSError):
+                # Connection refused/reset/timeout: the transient class.
+                if attempt == self.retries:
+                    raise
+            time.sleep(self.retry_wait)
 
     def _bytes(self, path: str, data: Optional[bytes] = None,
                ctype: Optional[str] = None) -> bytes:

@@ -176,7 +176,8 @@ def push_frames(base_url: str, slot: Optional[int], frames,
                 fps: Optional[float] = None, arm: bool = True,
                 when_empty: str = "hold", maxsize: int = 8,
                 reset: bool = False, close: bool = True,
-                timeout: float = 30.0) -> int:
+                timeout: float = 30.0, retries: int = 0,
+                retry_wait: float = 0.5) -> int:
     """HTTP client for a serving pod's network-ingest door: arm
     ``slot`` on the pod at ``base_url`` (``POST /slots/<slot>/push``),
     stream ``frames`` to it one ``POST /slots/<slot>/frames`` at a time
@@ -184,7 +185,10 @@ def push_frames(base_url: str, slot: Optional[int], frames,
     ``.npz``), optionally paced at ``fps``, then close the push stream.
     Returns the number of frames sent.  Server-rejected frames (4xx)
     raise ``RuntimeError`` with the pod's error message — e.g. a frame
-    violating the pod's static shape contract.
+    violating the pod's static shape contract.  ``retries`` re-sends
+    after TRANSIENT failures (connection refused/reset, 503), waiting
+    ``retry_wait`` seconds between attempts — a pod restarting behind
+    the same address does not kill a long-running camera push.
 
     ``slot=None`` targets a SINGLE-STREAM panel instead (``vaudio
     stream --input push --serve``: root ``POST /frames`` / ``/push``
@@ -206,16 +210,30 @@ def push_frames(base_url: str, slot: Optional[int], frames,
     base = base_url.rstrip("/")
 
     def post(path: str, data: bytes, ctype: str) -> dict:
-        req = urllib.request.Request(
-            f"{base}{path}", data=data, method="POST",
-            headers={"Content-Type": ctype})
-        try:
-            with urllib.request.urlopen(req, timeout=timeout) as resp:
-                return json.loads(resp.read())
-        except urllib.error.HTTPError as e:
-            detail = e.read().decode(errors="replace")
-            raise RuntimeError(
-                f"pod rejected POST {path} ({e.code}): {detail}") from None
+        # `retries` covers TRANSIENT failures only: connection
+        # refused/reset (a pod restarting behind the same address) and
+        # 503 answers (a resize momentarily wedging the producer).
+        # Real rejections (other 4xx/5xx) raise immediately; a retried
+        # duplicate frame is just the newest-wins queue's normal
+        # behavior.
+        for attempt in range(retries + 1):
+            req = urllib.request.Request(
+                f"{base}{path}", data=data, method="POST",
+                headers={"Content-Type": ctype})
+            try:
+                with urllib.request.urlopen(req,
+                                            timeout=timeout) as resp:
+                    return json.loads(resp.read())
+            except urllib.error.HTTPError as e:
+                detail = e.read().decode(errors="replace")
+                if e.code != 503 or attempt == retries:
+                    raise RuntimeError(
+                        f"pod rejected POST {path} ({e.code}): "
+                        f"{detail}") from None
+            except (urllib.error.URLError, ConnectionError, OSError):
+                if attempt == retries:
+                    raise
+            time.sleep(retry_wait)
 
     if slot == "acquire":
         # No "reset" key unless explicitly requested: the pod's lease

@@ -361,6 +361,75 @@ class TestRetries:
             srv.shutdown()
 
 
+class TestAuthToken:
+    """Bearer-token panels: with serve(token=...), every endpoint
+    requires the token (header or ?token=); the browser page embeds the
+    token it was fetched with; clients send it as a header."""
+
+    def test_stream_panel_token(self):
+        import urllib.request
+        aur = Auralizer(config=AuralizerConfig(mip_level=2), debug=True)
+        server = aur.serve(port=0, token="s3cret")
+        try:
+            client_no = StreamClient(server.url)
+            with pytest.raises(VaudioHTTPError) as exc:
+                client_no.metrics()
+            assert exc.value.status == 401
+            client = StreamClient(server.url, token="s3cret")
+            assert "frames_processed" in client.metrics()
+            assert client.set_params(attack=0.3)["applied"] == 1
+            # Query-string form (the <img>/<audio> path) works too,
+            # and the page embeds it for its own fetches.
+            with urllib.request.urlopen(
+                    server.url + "?token=s3cret", timeout=30) as r:
+                page = r.read().decode()
+            assert "?token=s3cret" in page and "&token=s3cret" in page
+            with pytest.raises(VaudioHTTPError) as exc:
+                StreamClient(server.url, token="wrong").metrics()
+            assert exc.value.status == 401
+        finally:
+            server.stop()
+            aur.stop()
+
+    def test_pod_panel_token(self):
+        pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=1,
+                                   exit_when_exhausted=False)
+        server = pod.serve(port=0, token="podkey")
+        try:
+            pod.start([iter(())])
+            with pytest.raises(VaudioHTTPError) as exc:
+                PodClient(server.url).metrics()
+            assert exc.value.status == 401
+            client = PodClient(server.url, token="podkey")
+            assert client.n_streams == 1
+            # The push client half honors the token end-to-end:
+            # arm + frame POST + close on a protected pod.
+            from vaudio.io.push import push_frames
+            frame = np.asarray(hsb_frames(0.1, 1, 1, 64, 64, 1)[0])
+            sent = push_frames(server.url, 0, [frame],
+                               when_empty="dark", token="podkey")
+            assert sent == 1
+            with pytest.raises(RuntimeError, match="401"):
+                push_frames(server.url, 0, [frame], when_empty="dark")
+        finally:
+            server.stop()
+            pod.stop()
+
+    def test_doctor_panel_token(self):
+        from vaudio.utils.doctor import check_panel
+        pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=1,
+                                   exit_when_exhausted=False)
+        server = pod.serve(port=0, token="dockey")
+        try:
+            pod.start([iter(())])
+            assert check_panel(server.url)["status"] == "fail"
+            c = check_panel(server.url, token="dockey")
+            assert c["status"] == "ok", c
+        finally:
+            server.stop()
+            pod.stop()
+
+
 class TestPullCLI:
     def test_pull_records_wav(self, served_pod, tmp_path):
         """`vaudio pull` (a real subprocess) records a slot's live

@@ -251,7 +251,7 @@ class Auralizer:
         return self._stream.audio_stream(quantum, pace=pace)
 
     def serve(self, port: int = 0, host: str = "127.0.0.1",
-              refresh_ms: int = 500):
+              refresh_ms: int = 500, token: Optional[str] = None):
         """Start the live HTTP control panel + observability server — the
         browser equivalent of the reference's SwiftUI surface: sliders
         mutating live params mid-run (ControlPanelView.swift:11-43,
@@ -264,7 +264,7 @@ class Auralizer:
         ``port=0`` binds an ephemeral port.  Views need ``debug=True``."""
         from vaudio.runtime.server import LiveServer
         return LiveServer(self, host=host, port=port,
-                          refresh_ms=refresh_ms).start()
+                          refresh_ms=refresh_ms, token=token).start()
 
     # ------------------------------------------------------------------
     # Observability

@@ -166,7 +166,7 @@ def cmd_doctor(args) -> int:
                         skip_backend=args.skip_backend,
                         skip_smoke=args.skip_smoke,
                         smoke_timeout=args.smoke_timeout,
-                        url=args.url)
+                        url=args.url, token=args.token)
     if args.json:
         print(json.dumps(checks, indent=2))
     else:
@@ -265,7 +265,8 @@ def cmd_stream(args) -> int:
     server = None
     if args.serve:
         host, _, port = args.serve.rpartition(":")
-        server = aur.serve(port=int(port), host=host or "127.0.0.1")
+        server = aur.serve(port=int(port), host=host or "127.0.0.1",
+                           token=args.token)
         print(f"stream: live control panel at {server.url}",
               file=sys.stderr)
     if args.load_state:
@@ -558,7 +559,8 @@ def cmd_pod(args) -> int:
     server = None
     if args.serve:
         host, _, port = args.serve.rpartition(":")
-        server = pod.serve(port=int(port), host=host or "127.0.0.1")
+        server = pod.serve(port=int(port), host=host or "127.0.0.1",
+                           token=args.token)
         print(f"pod: live panel at {server.url}", file=sys.stderr)
     if push_slots:
         if server is None:
@@ -697,7 +699,7 @@ def cmd_push(args) -> int:
                        arm=not args.no_arm, when_empty=args.when_empty,
                        maxsize=args.maxsize, reset=args.reset,
                        close=not args.no_close, retries=args.retries,
-                       retry_wait=args.retry_wait)
+                       retry_wait=args.retry_wait, token=args.token)
     target = "stream" if slot is None else f"slot {slot}"
     print(f"push: {sent} frames -> {args.url} {target}", file=sys.stderr)
     return 0
@@ -720,10 +722,11 @@ def cmd_pull(args) -> int:
         raise SystemExit("pull: nothing to do — give -o WAV and/or "
                          "--play")
     if args.stream:
-        stream = StreamClient(args.url, retries=args.retries).audio()
+        stream = StreamClient(args.url, retries=args.retries,
+                              token=args.token).audio()
     else:
-        stream = PodClient(args.url,
-                           retries=args.retries).slot(args.slot).audio()
+        stream = PodClient(args.url, retries=args.retries,
+                           token=args.token).slot(args.slot).audio()
     player = None
     if args.play:
         from vaudio.io import SubprocessPlayer
@@ -917,6 +920,10 @@ def main(argv=None) -> int:
                    help="also health-check a RUNNING deployment's HTTP "
                         "panel (stream or pod --serve): serving state, "
                         "failed slots, latency")
+    p.add_argument("--token",
+                   default=__import__("os").environ.get("VAUDIO_TOKEN"),
+                   help="bearer token for a --url panel started with "
+                        "--token (also env VAUDIO_TOKEN)")
     p.set_defaults(fn=cmd_doctor)
 
     p = sub.add_parser("stream",
@@ -972,6 +979,11 @@ def main(argv=None) -> int:
                         "mutating LiveParams mid-stream, refreshing hue/"
                         "spectrum/waveform views, /audio.wav live "
                         "listen) on this port while streaming")
+    p.add_argument("--token",
+                   default=__import__("os").environ.get("VAUDIO_TOKEN"),
+                   help="bearer token for the HTTP panel (also env "
+                        "VAUDIO_TOKEN): when set, every endpoint "
+                        "requires 'Authorization: Bearer' or '?token='")
     p.add_argument("--load-state", default=None, metavar="NPZ",
                    help="resume the DSP carry (phases, previous "
                         "spectrum, OLA tail, AGC envelope, hues) from a "
@@ -1035,6 +1047,11 @@ def main(argv=None) -> int:
     p.add_argument("--serve", default=None, metavar="[HOST:]PORT",
                    help="start the pod's live HTTP observability/control "
                         "panel (per-slot views, sliders, audio)")
+    p.add_argument("--token",
+                   default=__import__("os").environ.get("VAUDIO_TOKEN"),
+                   help="bearer token for the HTTP panel (also env "
+                        "VAUDIO_TOKEN): when set, every endpoint "
+                        "requires 'Authorization: Bearer' or '?token='")
     p.add_argument("--max-streams", type=int, default=None,
                    help="growth cap for elastic capacity (POST /resize "
                         "and /slots/acquire leases); default unbounded")
@@ -1118,6 +1135,11 @@ def main(argv=None) -> int:
                         "address")
     p.add_argument("--retry-wait", type=float, default=0.5,
                    metavar="SECS", help="pause between retries")
+    p.add_argument("--token",
+                   default=__import__("os").environ.get("VAUDIO_TOKEN"),
+                   help="bearer token for the HTTP panel (also env "
+                        "VAUDIO_TOKEN): when set, every endpoint "
+                        "requires 'Authorization: Bearer' or '?token='")
     p.set_defaults(fn=cmd_push)
 
     p = sub.add_parser("pull",
@@ -1144,6 +1166,11 @@ def main(argv=None) -> int:
                    help="retry transient failures (connection refused/"
                         "reset, 503) up to N times when opening the "
                         "stream")
+    p.add_argument("--token",
+                   default=__import__("os").environ.get("VAUDIO_TOKEN"),
+                   help="bearer token for the HTTP panel (also env "
+                        "VAUDIO_TOKEN): when set, every endpoint "
+                        "requires 'Authorization: Bearer' or '?token='")
     p.set_defaults(fn=cmd_pull)
 
     p = sub.add_parser("debug",

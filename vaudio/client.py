@@ -73,11 +73,15 @@ class _PanelClient:
     repeat of the newest-wins queue's normal behavior)."""
 
     def __init__(self, url: str, timeout: float = 30.0,
-                 retries: int = 0, retry_wait: float = 0.5):
+                 retries: int = 0, retry_wait: float = 0.5,
+                 token: Optional[str] = None):
         self.url = url.rstrip("/")
         self.timeout = float(timeout)
         self.retries = int(retries)
         self.retry_wait = float(retry_wait)
+        #: Bearer token for panels started with ``serve(token=...)`` —
+        #: sent as ``Authorization: Bearer`` on every request.
+        self.token = token
 
     # -- plumbing ------------------------------------------------------------
 
@@ -88,10 +92,13 @@ class _PanelClient:
         failures retry per the constructor's ``retries``."""
         import time
         url = self.url + path
+        headers = {"Content-Type": ctype} if ctype else {}
+        if self.token is not None:
+            headers["Authorization"] = f"Bearer {self.token}"
         req = urllib.request.Request(
             url, data=data,
             method=method or ("POST" if data is not None else "GET"),
-            headers={"Content-Type": ctype} if ctype else {})
+            headers=headers)
         for attempt in range(self.retries + 1):
             try:
                 return urllib.request.urlopen(req, timeout=self.timeout)

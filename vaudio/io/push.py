@@ -177,7 +177,8 @@ def push_frames(base_url: str, slot: Optional[int], frames,
                 when_empty: str = "hold", maxsize: int = 8,
                 reset: bool = False, close: bool = True,
                 timeout: float = 30.0, retries: int = 0,
-                retry_wait: float = 0.5) -> int:
+                retry_wait: float = 0.5,
+                token: Optional[str] = None) -> int:
     """HTTP client for a serving pod's network-ingest door: arm
     ``slot`` on the pod at ``base_url`` (``POST /slots/<slot>/push``),
     stream ``frames`` to it one ``POST /slots/<slot>/frames`` at a time
@@ -216,10 +217,13 @@ def push_frames(base_url: str, slot: Optional[int], frames,
         # Real rejections (other 4xx/5xx) raise immediately; a retried
         # duplicate frame is just the newest-wins queue's normal
         # behavior.
+        headers = {"Content-Type": ctype}
+        if token is not None:     # serve(token=...) panels: bearer auth
+            headers["Authorization"] = f"Bearer {token}"
         for attempt in range(retries + 1):
             req = urllib.request.Request(
                 f"{base}{path}", data=data, method="POST",
-                headers={"Content-Type": ctype})
+                headers=dict(headers))
             try:
                 with urllib.request.urlopen(req,
                                             timeout=timeout) as resp:

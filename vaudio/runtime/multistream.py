@@ -898,7 +898,7 @@ class MultiStreamAuralizer:
         return out
 
     def serve(self, port: int = 0, host: str = "127.0.0.1",
-              refresh_ms: int = 500):
+              refresh_ms: int = 500, token: Optional[str] = None):
         """Start the pod's live HTTP observability + control panel — the
         serving-fleet equivalent of :meth:`vaudio.api.Auralizer.serve`:
         per-slot live views (dominant hues, spectrum, waveform, input
@@ -909,7 +909,7 @@ class MultiStreamAuralizer:
         :attr:`observe`."""
         from vaudio.runtime.podserver import PodServer
         return PodServer(self, host=host, port=port,
-                         refresh_ms=refresh_ms).start()
+                         refresh_ms=refresh_ms, token=token).start()
 
     # -- producer ------------------------------------------------------------
 

@@ -92,7 +92,7 @@ from typing import Optional
 import numpy as np
 
 from vaudio.runtime.control import CONTROLLABLE, apply_control_message
-from vaudio.runtime.server import _SLIDERS
+from vaudio.runtime.server import _SLIDERS, check_auth
 
 _PAGE = """<!doctype html><meta charset="utf-8">
 <title>vaudio pod</title>
@@ -127,12 +127,12 @@ for (let s = 0; s < N; s++) {{
     <div><img id="spectrum_${{s}}" width="320">
          <img id="waveform_${{s}}" width="320"></div>
    </div>
-   <audio controls preload="none" src="/slots/${{s}}/audio.wav"></audio>
+   <audio controls preload="none" src="/slots/${{s}}/audio.wav{qs}"></audio>
    <details><summary>parameters</summary>
      <div id="sliders_${{s}}"></div></details>
    <pre id="m_${{s}}">...</pre>`;
   root.appendChild(card);
-  fetch(`/slots/${{s}}/params`).then(r => r.json()).then(p => {{
+  fetch(`/slots/${{s}}/params{qs}`).then(r => r.json()).then(p => {{
     const box = document.getElementById(`sliders_${{s}}`);
     for (const [name, lo, hi, step] of SLIDERS) {{
       const l = document.createElement("label");
@@ -144,7 +144,7 @@ for (let s = 0; s < N; s++) {{
       const inp = l.querySelector("input"), out = l.querySelector("output");
       inp.oninput = () => {{
         out.textContent = Number(inp.value).toFixed(3);
-        fetch(`/slots/${{s}}/params`, {{method: "POST",
+        fetch(`/slots/${{s}}/params{qs}`, {{method: "POST",
           body: JSON.stringify({{[name]: Number(inp.value)}})}});
       }};
     }}
@@ -155,8 +155,8 @@ function tick() {{
   for (let s = 0; s < N; s++)
     for (const v of ["input", "hue_matrix", "spectrum", "waveform"])
       document.getElementById(`${{v}}_${{s}}`).src =
-        `/slots/${{s}}/debug/${{v}}.png?t=${{t}}`;
-  fetch("/metrics").then(r => r.json()).then(m => {{
+        `/slots/${{s}}/debug/${{v}}.png?t=${{t}}{qs_amp}`;
+  fetch("/metrics{qs}").then(r => r.json()).then(m => {{
     if (m.n_streams !== N) {{ location.reload(); return; }}
     const slots = m.slots; delete m.slots;
     document.getElementById("agg").textContent =
@@ -179,9 +179,13 @@ class PodServer:
     ``port=0`` binds an ephemeral port (read :attr:`port`)."""
 
     def __init__(self, pod, host: str = "127.0.0.1", port: int = 0,
-                 refresh_ms: int = 500):
+                 refresh_ms: int = 500, token: Optional[str] = None):
         self.pod = pod
         self.refresh_ms = int(refresh_ms)
+        #: Optional bearer token (runtime.server.check_auth): when set,
+        #: every endpoint requires it — production panels bound beyond
+        #: localhost should set one.
+        self.token = token
         self._audio_locks = [threading.Lock()
                              for _ in range(pod.n_streams)]
         self._locks_lock = threading.Lock()  # grows _audio_locks (resize)
@@ -230,6 +234,8 @@ class PodServer:
             def do_GET(self):
                 path = self.path.split("?", 1)[0]
                 try:
+                    if not check_auth(self, server.token):
+                        return
                     if path == "/":
                         self._send(200, "text/html; charset=utf-8",
                                    server._page().encode())
@@ -305,6 +311,8 @@ class PodServer:
                 # fire un-awaited POSTs; a closed tab must not dump
                 # socketserver tracebacks to the serving process stderr.
                 try:
+                    if not check_auth(self, server.token):
+                        return
                     self._post()
                 except (BrokenPipeError, ConnectionResetError):
                     pass
@@ -533,10 +541,15 @@ class PodServer:
     # -- content -----------------------------------------------------------
 
     def _page(self) -> str:
+        # The page embeds the token it was fetched with (same contract
+        # as the single-stream panel).
+        from urllib.parse import quote
+        qs = "" if self.token is None else f"?token={quote(self.token)}"
         return _PAGE.format(
             n_slots=self.pod.n_streams,
             sliders=json.dumps([list(s) for s in _SLIDERS]),
-            refresh_ms=self.refresh_ms)
+            refresh_ms=self.refresh_ms,
+            qs=qs, qs_amp=qs.replace("?", "&"))
 
     def _params_shared(self) -> bool:
         return len(set(map(id, self.pod.params))) == 1

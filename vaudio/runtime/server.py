@@ -101,7 +101,7 @@ _PAGE = """<!doctype html><meta charset="utf-8">
 <h1>vaudio — live stream control</h1>
 <div class="row">
  <div class="panel"><h2>parameters</h2><div id="sliders"></div>
-  <h2>audio</h2><audio controls preload="none" src="/audio.wav"></audio>
+  <h2>audio</h2><audio controls preload="none" src="/audio.wav{qs}"></audio>
  </div>
  <div class="panel"><h2>input</h2><img id="input" width="240">
   <h2>dominant hues</h2><img id="hue_matrix" width="190"></div>
@@ -113,7 +113,7 @@ _PAGE = """<!doctype html><meta charset="utf-8">
 const SLIDERS = {sliders};
 const box = document.getElementById("sliders");
 let current = {{}};
-fetch("/params").then(r => r.json()).then(p => {{
+fetch("/params{qs}").then(r => r.json()).then(p => {{
   current = p;
   for (const [name, lo, hi, step] of SLIDERS) {{
     const l = document.createElement("label");
@@ -125,7 +125,7 @@ fetch("/params").then(r => r.json()).then(p => {{
     const inp = l.querySelector("input"), out = l.querySelector("output");
     inp.oninput = () => {{
       out.textContent = Number(inp.value).toFixed(3);
-      fetch("/params", {{method: "POST",
+      fetch("/params{qs}", {{method: "POST",
         body: JSON.stringify({{[name]: Number(inp.value)}})}});
     }};
   }}
@@ -133,8 +133,8 @@ fetch("/params").then(r => r.json()).then(p => {{
 function tick() {{
   const t = Date.now();
   for (const id of ["input", "hue_matrix", "spectrum", "waveform"])
-    document.getElementById(id).src = `/debug/${{id}}.png?t=${{t}}`;
-  fetch("/metrics").then(r => r.json()).then(m => {{
+    document.getElementById(id).src = `/debug/${{id}}.png?t=${{t}}{qs_amp}`;
+  fetch("/metrics{qs}").then(r => r.json()).then(m => {{
     document.getElementById("metrics").textContent =
       JSON.stringify(m, null, 1);
   }});
@@ -142,6 +142,33 @@ function tick() {{
 tick(); setInterval(tick, {refresh_ms});
 </script>
 """
+
+
+def check_auth(handler, token: Optional[str]) -> bool:
+    """Bearer-token gate for a panel request (both panels share it).
+
+    With ``token=None`` (the default) every request passes — the
+    panels bind 127.0.0.1 unless told otherwise.  With a token set,
+    EVERY endpoint (including the page itself) requires it, via
+    ``Authorization: Bearer <token>`` or a ``?token=`` query parameter
+    (the browser panel's ``<img>``/``<audio>`` URLs cannot carry
+    headers; the page embeds the token it was fetched with).
+    Constant-time compare; failures answer 401 JSON and return False
+    (the caller returns immediately)."""
+    if token is None:
+        return True
+    import hmac
+    from urllib.parse import parse_qs, urlsplit
+    auth = handler.headers.get("Authorization", "")
+    got = auth[len("Bearer "):] if auth.startswith("Bearer ") else None
+    if got is None:
+        q = parse_qs(urlsplit(handler.path).query)
+        got = (q.get("token") or [None])[0]
+    if got is not None and hmac.compare_digest(got, token):
+        return True
+    handler._json({"error": "unauthorized: pass 'Authorization: "
+                   "Bearer <token>' or '?token='"}, 401)
+    return False
 
 
 def prometheus_text(metrics: dict, prefix: str = "vaudio") -> str:
@@ -370,9 +397,13 @@ class LiveServer:
     down.  ``port=0`` binds an ephemeral port (read :attr:`port`)."""
 
     def __init__(self, aur, host: str = "127.0.0.1", port: int = 0,
-                 refresh_ms: int = 500):
+                 refresh_ms: int = 500, token: Optional[str] = None):
         self.aur = aur
         self.refresh_ms = int(refresh_ms)
+        #: Optional bearer token (see :func:`check_auth`): when set,
+        #: every endpoint requires it — production panels bound beyond
+        #: localhost should set one.
+        self.token = token
         self._audio_lock = threading.Lock()   # one /audio.wav listener
         self._stopped = threading.Event()
         server = self
@@ -401,6 +432,8 @@ class LiveServer:
             def do_GET(self):
                 path = self.path.split("?", 1)[0]
                 try:
+                    if not check_auth(self, server.token):
+                        return
                     if path == "/":
                         self._send(200, "text/html; charset=utf-8",
                                    server._page().encode())
@@ -467,6 +500,8 @@ class LiveServer:
                 # un-awaited POSTs per slider event; a closed tab must
                 # not dump socketserver tracebacks to stderr.
                 try:
+                    if not check_auth(self, server.token):
+                        return
                     self._post()
                 except (BrokenPipeError, ConnectionResetError):
                     pass
@@ -556,9 +591,15 @@ class LiveServer:
     # -- content -----------------------------------------------------------
 
     def _page(self) -> str:
+        # The page embeds the token it was fetched with: its own
+        # fetch()/img/audio URLs carry ?token= (headers are not an
+        # option for <img>/<audio> elements).
+        from urllib.parse import quote
+        qs = "" if self.token is None else f"?token={quote(self.token)}"
         return _PAGE.format(
             sliders=json.dumps([list(s) for s in _SLIDERS]),
-            refresh_ms=self.refresh_ms)
+            refresh_ms=self.refresh_ms,
+            qs=qs, qs_amp=qs.replace("?", "&"))
 
     def _params_dict(self):
         p = self.aur.params

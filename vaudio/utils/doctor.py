@@ -215,7 +215,8 @@ def check_smoke(platform: Optional[str] = "cpu",
                    + (f" ({platform})" if platform else ""))
 
 
-def check_panel(url: str, timeout: float = 10.0) -> Check:
+def check_panel(url: str, timeout: float = 10.0,
+                token: Optional[str] = None) -> Check:
     """Health of a RUNNING deployment over its HTTP panel (stream
     panel, `vaudio stream --serve`, or pod panel, `vaudio pod
     --serve`): GET /metrics and judge the serving state.  A pod with
@@ -224,9 +225,11 @@ def check_panel(url: str, timeout: float = 10.0) -> Check:
     import urllib.request
     base = url if "://" in url else f"http://{url}"
     base = base.rstrip("/")
+    req = urllib.request.Request(
+        base + "/metrics",
+        headers=({"Authorization": f"Bearer {token}"} if token else {}))
     try:
-        with urllib.request.urlopen(base + "/metrics",
-                                    timeout=timeout) as r:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
             m = json.loads(r.read())
     except (OSError, ValueError) as e:
         return _result("panel", "fail",
@@ -258,7 +261,8 @@ def check_panel(url: str, timeout: float = 10.0) -> Check:
 def run_doctor(platform: Optional[str] = None, timeout: float = 90.0,
                skip_backend: bool = False, skip_smoke: bool = False,
                smoke_timeout: float = 300.0,
-               url: Optional[str] = None) -> List[Check]:
+               url: Optional[str] = None,
+               token: Optional[str] = None) -> List[Check]:
     """Run every check; see the module docstring for the verdict
     model.  With ``url``, also probe a RUNNING deployment's HTTP panel
     (:func:`check_panel`)."""
@@ -270,7 +274,7 @@ def run_doctor(platform: Optional[str] = None, timeout: float = 90.0,
     if not skip_smoke:
         checks.append(check_smoke(platform or "cpu", smoke_timeout))
     if url:
-        checks.append(check_panel(url))
+        checks.append(check_panel(url, token=token))
     return checks
 
 

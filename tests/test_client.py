@@ -347,6 +347,53 @@ class TestRetries:
             if srv[0] is not None:
                 srv[0].shutdown()
 
+    def test_acquire_does_not_retry_ambiguous_failures(self):
+        """A mid-flight reset on /slots/acquire is NOT retried (the
+        first send may have granted a lease — re-sending could grant
+        two), while the same failure on an idempotent GET retries."""
+        import socket
+        import threading
+        hits = []
+        lsock = socket.socket()
+        lsock.bind(("127.0.0.1", 0))
+        lsock.listen(8)
+        port = lsock.getsockname()[1]
+        stop = threading.Event()
+
+        def resetter():
+            # Accept, read a bit, close without answering: the client
+            # sees a reset/EOF AFTER the request was sent — the
+            # ambiguous class.
+            while not stop.is_set():
+                try:
+                    lsock.settimeout(0.2)
+                    conn, _ = lsock.accept()
+                except socket.timeout:
+                    continue
+                hits.append(1)
+                try:
+                    conn.recv(4096)
+                finally:
+                    conn.close()
+        t = threading.Thread(target=resetter, daemon=True)
+        t.start()
+        try:
+            client = PodClient(f"http://127.0.0.1:{port}", retries=3,
+                               retry_wait=0.01, timeout=5)
+            n0 = len(hits)
+            with pytest.raises(Exception):
+                client.acquire()
+            acquire_attempts = len(hits) - n0
+            assert acquire_attempts == 1, acquire_attempts
+            n0 = len(hits)
+            with pytest.raises(Exception):
+                client.metrics()                  # idempotent: retries
+            assert len(hits) - n0 == 4            # 1 + 3 retries
+        finally:
+            stop.set()
+            t.join(timeout=5)
+            lsock.close()
+
     def test_push_frames_retry_503(self):
         import json as _json
         ok = _json.dumps({"queued": True, "fill": 1}).encode()
@@ -411,6 +458,37 @@ class TestAuthToken:
             assert sent == 1
             with pytest.raises(RuntimeError, match="401"):
                 push_frames(server.url, 0, [frame], when_empty="dark")
+        finally:
+            server.stop()
+            pod.stop()
+
+    def test_non_ascii_token_answers_401(self):
+        """A non-ASCII credential must answer 401, never raise out of
+        the auth gate (str compare_digest raises TypeError on
+        non-ASCII; the gate compares bytes)."""
+        import urllib.error
+        import urllib.request
+        pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=1)
+        server = pod.serve(port=0, token="kéy")
+        try:
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(
+                    server.url + "metrics?token=%C3%A9", timeout=30)
+            assert exc.value.code == 401
+            # The right non-ASCII token authenticates.
+            assert PodClient(server.url,
+                             token="kéy").n_streams == 1
+        finally:
+            server.stop()
+            pod.stop()
+
+    def test_empty_token_disables_auth(self):
+        """token='' (a cleared-but-set VAUDIO_TOKEN) means DISABLED —
+        it must not brick the panel with an unsendable credential."""
+        pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=1)
+        server = pod.serve(port=0, token="")
+        try:
+            assert PodClient(server.url).n_streams == 1
         finally:
             server.stop()
             pod.stop()

@@ -782,8 +782,11 @@ class TestPodCLI:
         np.save(pa, np.asarray(a))
         np.save(pb, np.asarray(b))
         outdir = str(tmp_path / "pod_out")
+        # 4 devices with --mesh 2: the mesh must SUBSET the device
+        # list, not reshape all of them (regression: a reshape crash
+        # whenever the mesh used fewer devices than the host has).
         env = dict(os.environ, VAUDIO_PLATFORM="cpu",
-                   VAUDIO_NUM_CPU_DEVICES="2",
+                   VAUDIO_NUM_CPU_DEVICES="4",
                    JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
                    PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH",
                                                              ""))
@@ -793,10 +796,45 @@ class TestPodCLI:
              "--mesh", "2", "--model", model],
             capture_output=True, timeout=600, env=env, cwd="/root/repo")
         assert res.returncode == 0, res.stderr.decode()[-800:]
-        assert b"device mesh stream=2 cell=1" in res.stderr
+        assert b"device mesh stream=2 cell=1 (2 of 4 devices)" \
+            in res.stderr
         for i in range(2):
             with wave.open(os.path.join(outdir, f"slot{i}.wav")) as wv:
                 assert wv.getnframes() == 4 * HOP
+
+    def test_pod_cli_mesh_validation(self, tmp_path):
+        """Bad --mesh values exit with a clear message, not a
+        traceback: inputs not a multiple of DP, and zero axes."""
+        import os
+        import subprocess
+        import sys
+
+        clip = np.asarray(clips(1, 2)[0])
+        paths = []
+        for i in range(3):
+            p = str(tmp_path / f"c{i}.npy")
+            np.save(p, clip)
+            paths.append(p)
+        env = dict(os.environ, VAUDIO_PLATFORM="cpu",
+                   VAUDIO_NUM_CPU_DEVICES="4",
+                   PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH",
+                                                             ""))
+        res = subprocess.run(
+            [sys.executable, "-m", "vaudio", "pod", "--size", "64x64",
+             "-o", str(tmp_path / "o"), "--mesh", "2",
+             "--input", paths[0], "--input", paths[1],
+             "--input", paths[2]],
+            capture_output=True, timeout=300, env=env, cwd="/root/repo")
+        assert res.returncode != 0
+        assert b"not a multiple of the --mesh stream axis" in res.stderr
+        assert b"Traceback" not in res.stderr
+        res = subprocess.run(
+            [sys.executable, "-m", "vaudio", "pod", "--size", "64x64",
+             "-o", str(tmp_path / "o"), "--mesh", "0",
+             "--input", paths[0]],
+            capture_output=True, timeout=300, env=env, cwd="/root/repo")
+        assert res.returncode != 0
+        assert b"axes must be >= 1" in res.stderr
 
     def test_pod_cli_encoded_video_inputs(self, tmp_path):
         """`vaudio pod --input a.mp4 --input b.mp4` — encoded clips are

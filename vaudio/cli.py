@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 
 import numpy as np
@@ -532,11 +533,19 @@ def cmd_pod(args) -> int:
         except ValueError:
             raise SystemExit(f"pod: --mesh must be DP or DPxTP (e.g. "
                              f"4 or 4x2), got {args.mesh!r}")
+        if dp < 1 or tp < 1:
+            raise SystemExit(f"pod: --mesh axes must be >= 1, got "
+                             f"{args.mesh!r}")
+        if len(args.input) % dp:
+            raise SystemExit(f"pod: {len(args.input)} inputs is not a "
+                             f"multiple of the --mesh stream axis {dp}")
         avail = len(jax.devices())
         if dp * tp > avail:
             raise SystemExit(f"pod: --mesh {args.mesh} needs {dp * tp} "
                              f"devices, this host has {avail}")
-        mesh = make_stream_mesh(dp, tp)
+        # Subset explicitly: the mesh may use fewer chips than exist.
+        mesh = make_stream_mesh(dp, tp,
+                                devices=jax.devices()[:dp * tp])
         print(f"pod: device mesh stream={dp} cell={tp} "
               f"({dp * tp} of {avail} devices)", file=sys.stderr)
     # CLI flags seed an INDEPENDENT LiveParams per slot, so --serve can
@@ -921,7 +930,7 @@ def main(argv=None) -> int:
                         "panel (stream or pod --serve): serving state, "
                         "failed slots, latency")
     p.add_argument("--token",
-                   default=__import__("os").environ.get("VAUDIO_TOKEN"),
+                   default=os.environ.get("VAUDIO_TOKEN"),
                    help="bearer token for a --url panel started with "
                         "--token (also env VAUDIO_TOKEN)")
     p.set_defaults(fn=cmd_doctor)
@@ -980,7 +989,7 @@ def main(argv=None) -> int:
                         "spectrum/waveform views, /audio.wav live "
                         "listen) on this port while streaming")
     p.add_argument("--token",
-                   default=__import__("os").environ.get("VAUDIO_TOKEN"),
+                   default=os.environ.get("VAUDIO_TOKEN"),
                    help="bearer token for the HTTP panel (also env "
                         "VAUDIO_TOKEN): when set, every endpoint "
                         "requires 'Authorization: Bearer' or '?token='")
@@ -1048,7 +1057,7 @@ def main(argv=None) -> int:
                    help="start the pod's live HTTP observability/control "
                         "panel (per-slot views, sliders, audio)")
     p.add_argument("--token",
-                   default=__import__("os").environ.get("VAUDIO_TOKEN"),
+                   default=os.environ.get("VAUDIO_TOKEN"),
                    help="bearer token for the HTTP panel (also env "
                         "VAUDIO_TOKEN): when set, every endpoint "
                         "requires 'Authorization: Bearer' or '?token='")
@@ -1136,7 +1145,7 @@ def main(argv=None) -> int:
     p.add_argument("--retry-wait", type=float, default=0.5,
                    metavar="SECS", help="pause between retries")
     p.add_argument("--token",
-                   default=__import__("os").environ.get("VAUDIO_TOKEN"),
+                   default=os.environ.get("VAUDIO_TOKEN"),
                    help="bearer token for the HTTP panel (also env "
                         "VAUDIO_TOKEN): when set, every endpoint "
                         "requires 'Authorization: Bearer' or '?token='")
@@ -1167,7 +1176,7 @@ def main(argv=None) -> int:
                         "reset, 503) up to N times when opening the "
                         "stream")
     p.add_argument("--token",
-                   default=__import__("os").environ.get("VAUDIO_TOKEN"),
+                   default=os.environ.get("VAUDIO_TOKEN"),
                    help="bearer token for the HTTP panel (also env "
                         "VAUDIO_TOKEN): when set, every endpoint "
                         "requires 'Authorization: Bearer' or '?token='")

@@ -80,16 +80,26 @@ class _PanelClient:
         self.retries = int(retries)
         self.retry_wait = float(retry_wait)
         #: Bearer token for panels started with ``serve(token=...)`` —
-        #: sent as ``Authorization: Bearer`` on every request.
-        self.token = token
+        #: sent as ``Authorization: Bearer`` on every request.  Empty
+        #: string = no token (matches the servers' disabled semantics).
+        self.token = token or None
 
     # -- plumbing ------------------------------------------------------------
 
     def _open(self, path: str, data: Optional[bytes] = None,
-              ctype: Optional[str] = None, method: Optional[str] = None):
+              ctype: Optional[str] = None, method: Optional[str] = None,
+              idempotent: bool = True):
         """Open ``path`` and return the live response object (caller
         closes); non-2xx raises :class:`VaudioHTTPError`.  Transient
-        failures retry per the constructor's ``retries``."""
+        failures retry per the constructor's ``retries``.
+
+        ``idempotent=False`` (the acquire path) narrows the retried
+        class to failures where the server provably did NOT apply the
+        request: connection REFUSED (it never arrived) and 503 (the
+        server answered "not applied").  A timeout or mid-flight reset
+        on a non-idempotent request is re-raised — the first send may
+        have been processed, and re-sending would double-apply (e.g.
+        grant two leases)."""
         import time
         url = self.url + path
         headers = {"Content-Type": ctype} if ctype else {}
@@ -111,21 +121,28 @@ class _PanelClient:
                 err = VaudioHTTPError(e.code, body, url)
                 if e.code != 503 or attempt == self.retries:
                     raise err from None
-            except (urllib.error.URLError, ConnectionError, OSError):
+            except (urllib.error.URLError, ConnectionError, OSError) as e:
                 # Connection refused/reset/timeout: the transient class.
-                if attempt == self.retries:
+                refused = isinstance(getattr(e, "reason", e),
+                                     ConnectionRefusedError)
+                if attempt == self.retries or not (idempotent
+                                                   or refused):
                     raise
             time.sleep(self.retry_wait)
 
     def _bytes(self, path: str, data: Optional[bytes] = None,
-               ctype: Optional[str] = None) -> bytes:
-        with self._open(path, data, ctype) as r:
+               ctype: Optional[str] = None,
+               idempotent: bool = True) -> bytes:
+        with self._open(path, data, ctype,
+                        idempotent=idempotent) as r:
             return r.read()
 
-    def _json(self, path: str, obj: Optional[dict] = None) -> dict:
+    def _json(self, path: str, obj: Optional[dict] = None,
+              idempotent: bool = True) -> dict:
         data = None if obj is None else json.dumps(obj).encode()
         ctype = None if obj is None else "application/json"
-        return json.loads(self._bytes(path, data, ctype))
+        return json.loads(self._bytes(path, data, ctype,
+                                      idempotent=idempotent))
 
     # -- endpoints both panels serve ------------------------------------------
 
@@ -413,7 +430,10 @@ class PodClient(_PanelClient):
         :meth:`lease` for scope-bound release."""
         resp = self._json("/slots/acquire",
                           {"maxsize": maxsize, "when_empty": when_empty,
-                           "reset": reset})
+                           "reset": reset},
+                          idempotent=False)   # a retried acquire that
+        # actually landed would grant (and leak) a second lease; only
+        # connection-refused / 503 re-send (see _open).
         return PodSlot(self, resp["slot"])
 
     def lease(self, maxsize: int = 8, when_empty: str = "hold",

@@ -209,14 +209,18 @@ def push_frames(base_url: str, slot: Optional[int], frames,
     import urllib.request
 
     base = base_url.rstrip("/")
+    token = token or None         # "" = no token (server semantics)
 
-    def post(path: str, data: bytes, ctype: str) -> dict:
+    def post(path: str, data: bytes, ctype: str,
+             idempotent: bool = True) -> dict:
         # `retries` covers TRANSIENT failures only: connection
         # refused/reset (a pod restarting behind the same address) and
         # 503 answers (a resize momentarily wedging the producer).
         # Real rejections (other 4xx/5xx) raise immediately; a retried
         # duplicate frame is just the newest-wins queue's normal
-        # behavior.
+        # behavior.  Non-idempotent posts (acquire: a lease is granted)
+        # only re-send after REFUSED or 503 — the two failures where
+        # the server provably did not apply the request.
         headers = {"Content-Type": ctype}
         if token is not None:     # serve(token=...) panels: bearer auth
             headers["Authorization"] = f"Bearer {token}"
@@ -234,8 +238,10 @@ def push_frames(base_url: str, slot: Optional[int], frames,
                     raise RuntimeError(
                         f"pod rejected POST {path} ({e.code}): "
                         f"{detail}") from None
-            except (urllib.error.URLError, ConnectionError, OSError):
-                if attempt == retries:
+            except (urllib.error.URLError, ConnectionError, OSError) as e:
+                refused = isinstance(getattr(e, "reason", e),
+                                     ConnectionRefusedError)
+                if attempt == retries or not (idempotent or refused):
                     raise
             time.sleep(retry_wait)
 
@@ -249,7 +255,7 @@ def push_frames(base_url: str, slot: Optional[int], frames,
         if reset:
             body["reset"] = True
         resp = post("/slots/acquire", json.dumps(body).encode(),
-                    "application/json")
+                    "application/json", idempotent=False)
         slot = int(resp["slot"])
         print(f"push: leased slot {slot} "
               f"(pod now {resp.get('n_streams')} slots)",

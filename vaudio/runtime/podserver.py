@@ -184,8 +184,10 @@ class PodServer:
         self.refresh_ms = int(refresh_ms)
         #: Optional bearer token (runtime.server.check_auth): when set,
         #: every endpoint requires it — production panels bound beyond
-        #: localhost should set one.
-        self.token = token
+        #: localhost should set one.  An empty string means DISABLED
+        #: (a cleared-but-set VAUDIO_TOKEN env var must not brick the
+        #: panel with a credential nothing can send).
+        self.token = token or None
         self._audio_locks = [threading.Lock()
                              for _ in range(pod.n_streams)]
         self._locks_lock = threading.Lock()  # grows _audio_locks (resize)

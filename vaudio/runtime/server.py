@@ -164,7 +164,12 @@ def check_auth(handler, token: Optional[str]) -> bool:
     if got is None:
         q = parse_qs(urlsplit(handler.path).query)
         got = (q.get("token") or [None])[0]
-    if got is not None and hmac.compare_digest(got, token):
+    # Compare as bytes: str compare_digest raises TypeError on any
+    # non-ASCII input, and a remote request must never be able to
+    # raise out of the auth gate (it would reset the connection and
+    # traceback to the serving process stderr instead of answering 401).
+    if got is not None and hmac.compare_digest(got.encode(),
+                                               token.encode()):
         return True
     handler._json({"error": "unauthorized: pass 'Authorization: "
                    "Bearer <token>' or '?token='"}, 401)
@@ -402,8 +407,10 @@ class LiveServer:
         self.refresh_ms = int(refresh_ms)
         #: Optional bearer token (see :func:`check_auth`): when set,
         #: every endpoint requires it — production panels bound beyond
-        #: localhost should set one.
-        self.token = token
+        #: localhost should set one.  An empty string means DISABLED
+        #: (a cleared-but-set VAUDIO_TOKEN env var must not brick the
+        #: panel with a credential nothing can send).
+        self.token = token or None
         self._audio_lock = threading.Lock()   # one /audio.wav listener
         self._stopped = threading.Event()
         server = self

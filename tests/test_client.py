@@ -408,6 +408,73 @@ class TestRetries:
             srv.shutdown()
 
 
+class TestFleetClient:
+    """Fleet placement: acquire lands on the most-capacity pod, falls
+    through full/dead pods, raises when everything is at capacity."""
+
+    def _pod(self, max_streams):
+        pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=1,
+                                   max_streams=max_streams,
+                                   exit_when_exhausted=False)
+        server = pod.serve(port=0)
+        pod.start([iter(())])
+        return pod, server
+
+    def test_placement_and_fallthrough(self):
+        from vaudio.client import FleetClient
+        pod_a, srv_a = self._pod(max_streams=1)
+        pod_b, srv_b = self._pod(max_streams=2)
+        try:
+            # Fill pod A (its one slot leased): the fleet must place
+            # the next lease on pod B — and tolerate a dead URL.
+            a_slot = PodClient(srv_a.url).acquire(when_empty="dark")
+            fleet = FleetClient(["http://127.0.0.1:1",   # nothing there
+                                 srv_a.url, srv_b.url])
+            with fleet.lease(when_empty="dark") as slot:
+                assert slot.client.url == srv_b.url.rstrip("/")
+                frame = np.asarray(hsb_frames(0.2, 1, 1, 64, 64, 1)[0])
+                slot.push(frame)
+                # Second fleet lease: A is full, B grows to its cap.
+                slot2 = fleet.acquire(when_empty="dark")
+                assert slot2.client.url == srv_b.url.rstrip("/")
+                assert pod_b.n_streams == 2
+                # Everything at capacity now: the fleet raises the
+                # last pod's 409.
+                with pytest.raises(Exception) as exc:
+                    fleet.acquire()
+                assert isinstance(exc.value,
+                                  (VaudioHTTPError, OSError))
+                slot2.release()
+            a_slot.release()
+            m = fleet.metrics()
+            assert m[0] is None                 # the dead URL
+            assert m[2]["n_streams"] == 2
+        finally:
+            srv_a.stop(); pod_a.stop()
+            srv_b.stop(); pod_b.stop()
+
+    def test_free_slots_metric(self):
+        pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=2,
+                                   max_streams=4,
+                                   exit_when_exhausted=False)
+        server = pod.serve(port=0)
+        try:
+            pod.start([iter(()), iter(())])
+            client = PodClient(server.url)
+            deadline = time.monotonic() + 60
+            while client.metrics()["free_slots"] < 2:
+                pod.raise_if_failed()
+                assert time.monotonic() < deadline
+                time.sleep(0.02)
+            m = client.metrics()
+            assert m["free_slots"] == 2 and m["max_streams"] == 4
+            client.acquire(when_empty="dark")
+            assert client.metrics()["free_slots"] == 1
+        finally:
+            server.stop()
+            pod.stop()
+
+
 class TestAuthToken:
     """Bearer-token panels: with serve(token=...), every endpoint
     requires the token (header or ?token=); the browser page embeds the

@@ -46,7 +46,7 @@ import numpy as np
 from vaudio.io.push import encode_frame
 
 __all__ = ["VaudioHTTPError", "AudioStream", "StreamClient",
-           "PodClient", "PodSlot"]
+           "PodClient", "PodSlot", "FleetClient"]
 
 
 class VaudioHTTPError(RuntimeError):
@@ -466,3 +466,93 @@ class PodClient(_PanelClient):
         """Apply one parameter update to EVERY slot atomically (``POST
         /params``) — the only way to set/clear ``pan_angles`` pod-wide."""
         return self._json("/params", updates)
+
+
+class FleetClient:
+    """Lease placement across a FLEET of serving pods (one per TPU
+    host, each a ``vaudio pod --serve``): :meth:`acquire` picks the pod
+    with the most capacity and leases there, so callers scale past one
+    pod's ``max_streams`` without tracking hosts themselves.
+
+        fleet = FleetClient(["http://tpu-a:8000", "http://tpu-b:8000"])
+        with fleet.lease(when_empty="dark") as slot:
+            for f in frames: slot.push(f)      # slot.client is the pod
+
+    Placement: pods are tried in descending capacity order — free slots
+    first, then growth headroom to ``max_streams`` (both read from one
+    ``/metrics`` poll; an unbounded pod sorts as infinite headroom) —
+    falling through 409s/unreachable pods to the next.  Raises the last
+    error when every pod is at capacity or down.  Pure host-side, like
+    the rest of this module."""
+
+    def __init__(self, urls, timeout: float = 30.0, retries: int = 0,
+                 retry_wait: float = 0.5, token: Optional[str] = None):
+        if not urls:
+            raise ValueError("FleetClient needs at least one pod URL")
+        #: One :class:`PodClient` per pod, in the order given.
+        self.pods = [PodClient(u, timeout=timeout, retries=retries,
+                               retry_wait=retry_wait, token=token)
+                     for u in urls]
+
+    def metrics(self) -> list:
+        """Per-pod metrics, ``None`` for unreachable pods."""
+        out = []
+        for pod in self.pods:
+            try:
+                out.append(pod.metrics())
+            except Exception:
+                out.append(None)
+        return out
+
+    def _capacity_order(self):
+        """Pods sorted most-capacity-first; unreachable pods last (they
+        are still TRIED — the metrics poll may have raced a restart)."""
+        ranked = []
+        for i, (pod, m) in enumerate(zip(self.pods, self.metrics())):
+            if m is None:
+                key = (-1.0, -1.0)
+            else:
+                cap = m.get("max_streams")
+                headroom = (float("inf") if cap is None
+                            else cap - m.get("n_streams", 0))
+                key = (float(m.get("free_slots", 0)), headroom)
+            ranked.append((key, i, pod))
+        ranked.sort(key=lambda t: t[0], reverse=True)
+        return [pod for _, _, pod in ranked]
+
+    def acquire(self, maxsize: int = 8, when_empty: str = "hold",
+                reset: bool = True) -> PodSlot:
+        """Lease a slot on the most-capacity pod; falls through full or
+        unreachable pods.  The returned :class:`PodSlot`'s ``client``
+        names the pod it landed on."""
+        last_err: Optional[Exception] = None
+        for pod in self._capacity_order():
+            try:
+                return pod.acquire(maxsize=maxsize,
+                                   when_empty=when_empty, reset=reset)
+            except Exception as e:
+                last_err = e
+        raise last_err if last_err is not None else RuntimeError(
+            "fleet: no pods")
+
+    def lease(self, maxsize: int = 8, when_empty: str = "hold",
+              reset: bool = True, shrink: bool = False):
+        """Context-managed :meth:`acquire` (release on exit), like
+        :meth:`PodClient.lease` but fleet-placed."""
+        fleet = self
+
+        class _Lease:
+            def __enter__(self):
+                self.slot = fleet.acquire(maxsize=maxsize,
+                                          when_empty=when_empty,
+                                          reset=reset)
+                return self.slot
+
+            def __exit__(self, *exc):
+                try:
+                    self.slot.release(shrink=shrink)
+                except VaudioHTTPError:
+                    pass
+                return False
+
+        return _Lease()

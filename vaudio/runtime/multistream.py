@@ -881,6 +881,10 @@ class MultiStreamAuralizer:
             "dispatches": m.dispatches,
             "leases_reaped": self.leases_reaped,
             "auto_shrinks": self.auto_shrinks,
+            # Placement signals for fleet clients (client.FleetClient):
+            # current free slots, and the growth headroom to the cap.
+            "free_slots": len(self.free_slots()),
+            "max_streams": self.max_streams,
             "slots": self._slot_metrics_snapshot(),
         }
 

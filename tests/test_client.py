@@ -453,6 +453,43 @@ class TestFleetClient:
             srv_a.stop(); pod_a.stop()
             srv_b.stop(); pod_b.stop()
 
+    def test_push_cli_fleet_mode(self, tmp_path):
+        """`vaudio push --url A --url B --slot acquire` (a real
+        subprocess) places the lease on the pod with capacity and
+        pushes there."""
+        pod_a, srv_a = self._pod(max_streams=1)
+        pod_b, srv_b = self._pod(max_streams=2)
+        try:
+            a_slot = PodClient(srv_a.url).acquire(when_empty="dark")
+            clip = np.stack([np.asarray(hsb_frames(0.2, 1, 1, 64, 64,
+                                                   1)[0])] * 2)
+            path = str(tmp_path / "clip.npy")
+            np.save(path, clip)
+            env = dict(os.environ, VAUDIO_PLATFORM="cpu",
+                       PYTHONPATH="/root/repo:"
+                       + os.environ.get("PYTHONPATH", ""))
+            r = subprocess.run(
+                [sys.executable, "-m", "vaudio", "push",
+                 "--url", srv_a.url, "--url", srv_b.url,
+                 "--slot", "acquire", "--input", path,
+                 "--when-empty", "dark"],
+                capture_output=True, text=True, timeout=300, env=env,
+                cwd="/root/repo")
+            assert r.returncode == 0, r.stderr
+            # B's launch source exhausted -> slot 0 is the free slot
+            # the fleet reuses (A's one slot is leased).
+            assert f"fleet leased slot 0 on {srv_b.url.rstrip('/')}" \
+                in r.stderr
+            deadline = time.monotonic() + 60
+            while pod_b.metrics.frames_processed < 2:
+                pod_b.raise_if_failed()
+                assert time.monotonic() < deadline
+                time.sleep(0.02)
+            a_slot.release()
+        finally:
+            srv_a.stop(); pod_a.stop()
+            srv_b.stop(); pod_b.stop()
+
     def test_free_slots_metric(self):
         pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=2,
                                    max_streams=4,

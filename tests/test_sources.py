@@ -203,7 +203,9 @@ class TestRawVideoSource:
             aur = Auralizer(config=cfg, debug=False)
             src = RawVideoSource(path, width=w, height=h, zero_copy=zc,
                                  max_frames=n)
-            aur.run_until_exhausted(src.frames(), timeout=120)
+            # 300 s like the rest of the suite: at 120 s this timed out
+            # once under heavy concurrent host load (passes alone).
+            aur.run_until_exhausted(src.frames(), timeout=300)
             pcms[zc] = aur.pull(n * 2048)
             aur.stop()
         np.testing.assert_array_equal(pcms[True], pcms[False])

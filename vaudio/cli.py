@@ -675,6 +675,10 @@ def cmd_push(args) -> int:
 
         python -m vaudio push --url http://pod-host:8000 --slot 0 \\
             --input clip.mp4 --realtime
+
+    Repeating ``--url`` with ``--slot acquire`` places the lease across
+    a FLEET of pods (most capacity first; vaudio.client.FleetClient)
+    and pushes to wherever it landed.
     """
     from vaudio.io.push import push_frames
     w = h = None
@@ -703,7 +707,23 @@ def cmd_push(args) -> int:
             "slot's queue at arm time; a single-stream panel "
             "(--stream) is armed at launch and cannot be re-armed "
             "remotely")
-    sent = push_frames(args.url, slot, frames,
+    url = args.url[0]
+    if len(args.url) > 1:
+        # Fleet mode: place the lease on the most-capacity pod, then
+        # push to wherever it landed.
+        if slot != "acquire":
+            raise SystemExit("push: multiple --url need --slot acquire "
+                             "(the fleet chooses the pod AND the slot)")
+        from vaudio.client import FleetClient
+        leased = FleetClient(args.url, retries=args.retries,
+                             retry_wait=args.retry_wait,
+                             token=args.token).acquire(
+            maxsize=args.maxsize, when_empty=args.when_empty,
+            reset=True)       # a lease always starts with a cold carry
+        url, slot = leased.client.url, leased.index
+        print(f"push: fleet leased slot {slot} on {url}",
+              file=sys.stderr)
+    sent = push_frames(url, slot, frames,
                        fps=args.fps if args.realtime else None,
                        arm=not args.no_arm, when_empty=args.when_empty,
                        maxsize=args.maxsize, reset=args.reset,
@@ -1100,8 +1120,10 @@ def main(argv=None) -> int:
                        help="feed frames to a remote serving pod over "
                             "HTTP (client for 'pod --serve --input "
                             "push')")
-    p.add_argument("--url", required=True,
-                   help="pod panel base URL, e.g. http://host:8000")
+    p.add_argument("--url", required=True, action="append",
+                   help="pod panel base URL, e.g. http://host:8000; "
+                        "repeat with --slot acquire to place the lease "
+                        "across a fleet (most-capacity pod wins)")
     p.add_argument("--slot", default="0",
                    help="target serving slot index (pod panels), or "
                         "'acquire' to lease a slot from the pod "

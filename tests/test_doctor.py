@@ -160,6 +160,29 @@ class TestPanelCheck:
         assert c["status"] == "fail"
         assert "unreachable" in c["detail"]
 
+    def test_fleet_urls_one_row_per_pod(self):
+        """run_doctor(url=[...]) probes every pod: one labeled panel
+        row each, dead pods failing without hiding the live ones."""
+        from vaudio.config import AuralizerConfig
+        from vaudio.runtime import MultiStreamAuralizer
+        from vaudio.utils.doctor import run_doctor
+        pod = MultiStreamAuralizer(AuralizerConfig(), n_streams=1,
+                                   exit_when_exhausted=False)
+        server = pod.serve(port=0)
+        try:
+            pod.start([iter(())])
+            checks = run_doctor(skip_backend=True, skip_smoke=True,
+                                url=[server.url, "http://127.0.0.1:1"])
+            rows = {c["name"]: c for c in checks
+                    if c["name"].startswith("panel")}
+            assert set(rows) == {"panel[0]", "panel[1]"}
+            assert rows["panel[0]"]["status"] == "ok"
+            assert rows["panel[1]"]["status"] == "fail"
+            assert server.url.rstrip("/") in rows["panel[0]"]["detail"]
+        finally:
+            server.stop()
+            pod.stop()
+
     def test_stream_panel_shape(self):
         """check_panel recognizes the single-stream panel's metrics
         shape (no 'slots' key)."""

@@ -946,9 +946,11 @@ def main(argv=None) -> int:
     p.add_argument("--json", action="store_true",
                    help="emit the checks as JSON instead of text")
     p.add_argument("--url", default=None, metavar="URL",
+                   action="append",
                    help="also health-check a RUNNING deployment's HTTP "
                         "panel (stream or pod --serve): serving state, "
-                        "failed slots, latency")
+                        "failed slots, latency; repeat for a fleet "
+                        "(one panel row per pod)")
     p.add_argument("--token",
                    default=os.environ.get("VAUDIO_TOKEN"),
                    help="bearer token for a --url panel started with "

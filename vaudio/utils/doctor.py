@@ -264,8 +264,8 @@ def run_doctor(platform: Optional[str] = None, timeout: float = 90.0,
                url: Optional[str] = None,
                token: Optional[str] = None) -> List[Check]:
     """Run every check; see the module docstring for the verdict
-    model.  With ``url``, also probe a RUNNING deployment's HTTP panel
-    (:func:`check_panel`)."""
+    model.  With ``url`` (one base URL or a list — a fleet), also probe
+    each RUNNING deployment's HTTP panel (:func:`check_panel`)."""
     checks = [check_versions()]
     if not skip_backend:
         checks.append(check_backend(platform, timeout))
@@ -274,7 +274,13 @@ def run_doctor(platform: Optional[str] = None, timeout: float = 90.0,
     if not skip_smoke:
         checks.append(check_smoke(platform or "cpu", smoke_timeout))
     if url:
-        checks.append(check_panel(url, token=token))
+        urls = [url] if isinstance(url, str) else list(url)
+        for i, u in enumerate(urls):
+            c = check_panel(u, token=token)
+            if len(urls) > 1:      # fleet probe: name each pod's row
+                c["name"] = f"panel[{i}]"
+                c["detail"] = f"{u}: {c['detail']}"
+            checks.append(c)
     return checks
 
 

@@ -453,6 +453,46 @@ class TestFleetClient:
             srv_a.stop(); pod_a.stop()
             srv_b.stop(); pod_b.stop()
 
+    def test_ambiguous_acquire_failure_reraises(self):
+        """A mid-flight reset on a pod's /slots/acquire re-raises out
+        of the fleet instead of silently leasing elsewhere — the first
+        pod may have granted the lease (the non-idempotent contract)."""
+        import socket
+        import threading
+        lsock = socket.socket()
+        lsock.bind(("127.0.0.1", 0))
+        lsock.listen(8)
+        port = lsock.getsockname()[1]
+        stop = threading.Event()
+
+        def resetter():
+            while not stop.is_set():
+                try:
+                    lsock.settimeout(0.2)
+                    conn, _ = lsock.accept()
+                except socket.timeout:
+                    continue
+                try:
+                    conn.recv(4096)
+                finally:
+                    conn.close()
+        t = threading.Thread(target=resetter, daemon=True)
+        t.start()
+        try:
+            from vaudio.client import FleetClient
+            fleet = FleetClient([f"http://127.0.0.1:{port}"], timeout=5)
+            # Last-ditch placement reaches the resetter pod; its
+            # ambiguous acquire failure must RE-RAISE, never be
+            # swallowed as a fall-through.
+            import urllib.error
+            with pytest.raises((urllib.error.URLError, ConnectionError,
+                                OSError)):
+                fleet.acquire()
+        finally:
+            stop.set()
+            t.join(timeout=5)
+            lsock.close()
+
     def test_push_cli_fleet_mode(self, tmp_path):
         """`vaudio push --url A --url B --slot acquire` (a real
         subprocess) places the lease on the pod with capacity and

@@ -708,6 +708,7 @@ def cmd_push(args) -> int:
             "(--stream) is armed at launch and cannot be re-armed "
             "remotely")
     url = args.url[0]
+    arm = not args.no_arm
     if len(args.url) > 1:
         # Fleet mode: place the lease on the most-capacity pod, then
         # push to wherever it landed.
@@ -721,16 +722,20 @@ def cmd_push(args) -> int:
             maxsize=args.maxsize, when_empty=args.when_empty,
             reset=True)       # a lease always starts with a cold carry
         url, slot = leased.client.url, leased.index
+        # acquire already armed the slot with the LEASED PushSource —
+        # re-arming would replace it with a non-leased one and exempt a
+        # dead-before-first-frame client from --lease-timeout reaping.
+        arm = False
         print(f"push: fleet leased slot {slot} on {url}",
               file=sys.stderr)
     sent = push_frames(url, slot, frames,
                        fps=args.fps if args.realtime else None,
-                       arm=not args.no_arm, when_empty=args.when_empty,
+                       arm=arm, when_empty=args.when_empty,
                        maxsize=args.maxsize, reset=args.reset,
                        close=not args.no_close, retries=args.retries,
                        retry_wait=args.retry_wait, token=args.token)
     target = "stream" if slot is None else f"slot {slot}"
-    print(f"push: {sent} frames -> {args.url} {target}", file=sys.stderr)
+    print(f"push: {sent} frames -> {url} {target}", file=sys.stderr)
     return 0
 
 

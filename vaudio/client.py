@@ -88,7 +88,7 @@ class _PanelClient:
 
     def _open(self, path: str, data: Optional[bytes] = None,
               ctype: Optional[str] = None, method: Optional[str] = None,
-              idempotent: bool = True):
+              idempotent: bool = True, timeout: Optional[float] = None):
         """Open ``path`` and return the live response object (caller
         closes); non-2xx raises :class:`VaudioHTTPError`.  Transient
         failures retry per the constructor's ``retries``.
@@ -111,7 +111,9 @@ class _PanelClient:
             headers=headers)
         for attempt in range(self.retries + 1):
             try:
-                return urllib.request.urlopen(req, timeout=self.timeout)
+                return urllib.request.urlopen(
+                    req, timeout=self.timeout if timeout is None
+                    else timeout)
             except urllib.error.HTTPError as e:
                 body = e.read().decode(errors="replace")
                 try:
@@ -132,9 +134,10 @@ class _PanelClient:
 
     def _bytes(self, path: str, data: Optional[bytes] = None,
                ctype: Optional[str] = None,
-               idempotent: bool = True) -> bytes:
+               idempotent: bool = True,
+               timeout: Optional[float] = None) -> bytes:
         with self._open(path, data, ctype,
-                        idempotent=idempotent) as r:
+                        idempotent=idempotent, timeout=timeout) as r:
             return r.read()
 
     def _json(self, path: str, obj: Optional[dict] = None,
@@ -146,9 +149,10 @@ class _PanelClient:
 
     # -- endpoints both panels serve ------------------------------------------
 
-    def metrics(self) -> dict:
-        """The live metrics surface (``GET /metrics``)."""
-        return self._json("/metrics")
+    def metrics(self, timeout: Optional[float] = None) -> dict:
+        """The live metrics surface (``GET /metrics``); ``timeout``
+        overrides the client default for this one poll."""
+        return json.loads(self._bytes("/metrics", timeout=timeout))
 
     def metrics_prom(self) -> str:
         """Prometheus text exposition (``GET /metrics.prom``)."""
@@ -444,28 +448,39 @@ class PodClient(_PanelClient):
             with pod.lease(when_empty="dark") as slot:
                 for f in frames: slot.push(f)
         """
-        client = self
-
-        class _Lease:
-            def __enter__(self):
-                self.slot = client.acquire(maxsize=maxsize,
-                                           when_empty=when_empty,
-                                           reset=reset)
-                return self.slot
-
-            def __exit__(self, *exc):
-                try:
-                    self.slot.release(shrink=shrink)
-                except VaudioHTTPError:
-                    pass        # pod shrank/stopped under us: lease gone
-                return False
-
-        return _Lease()
+        return _LeaseContext(
+            lambda: self.acquire(maxsize=maxsize, when_empty=when_empty,
+                                 reset=reset), shrink)
 
     def broadcast_params(self, **updates) -> dict:
         """Apply one parameter update to EVERY slot atomically (``POST
         /params``) — the only way to set/clear ``pan_angles`` pod-wide."""
         return self._json("/params", updates)
+
+
+class _LeaseContext:
+    """Shared lease context manager (:meth:`PodClient.lease`,
+    :meth:`FleetClient.lease`): acquire on enter, release on exit.  A
+    failed release never masks the body's exception; with a clean body
+    it is re-raised (the caller must know the lease is still held)."""
+
+    def __init__(self, acquire_fn, shrink: bool):
+        self._acquire = acquire_fn
+        self._shrink = shrink
+
+    def __enter__(self) -> "PodSlot":
+        self.slot = self._acquire()
+        return self.slot
+
+    def __exit__(self, exc_type, *exc):
+        try:
+            self.slot.release(shrink=self._shrink)
+        except VaudioHTTPError:
+            pass            # pod shrank/stopped under us: lease gone
+        except Exception:
+            if exc_type is None:
+                raise       # clean body, failed release: surface it
+        return False
 
 
 class FleetClient:
@@ -486,51 +501,72 @@ class FleetClient:
     the rest of this module."""
 
     def __init__(self, urls, timeout: float = 30.0, retries: int = 0,
-                 retry_wait: float = 0.5, token: Optional[str] = None):
+                 retry_wait: float = 0.5, token: Optional[str] = None,
+                 placement_timeout: float = 5.0):
         if not urls:
             raise ValueError("FleetClient needs at least one pod URL")
         #: One :class:`PodClient` per pod, in the order given.
         self.pods = [PodClient(u, timeout=timeout, retries=retries,
                                retry_wait=retry_wait, token=token)
                      for u in urls]
+        #: Timeout for the per-acquire capacity polls — short on
+        #: purpose: a blackholed pod must cost seconds per placement,
+        #: not the full client timeout.
+        self.placement_timeout = min(float(placement_timeout),
+                                     float(timeout))
 
-    def metrics(self) -> list:
+    def metrics(self, timeout: Optional[float] = None) -> list:
         """Per-pod metrics, ``None`` for unreachable pods."""
         out = []
         for pod in self.pods:
             try:
-                out.append(pod.metrics())
+                out.append(pod.metrics(timeout=timeout))
             except Exception:
                 out.append(None)
         return out
 
     def _capacity_order(self):
-        """Pods sorted most-capacity-first; unreachable pods last (they
-        are still TRIED — the metrics poll may have raced a restart)."""
+        """REACHABLE pods sorted most-capacity-first (free slots, then
+        max_streams headroom).  Pods whose short capacity poll failed
+        are excluded from placement — trying an acquire on a blackholed
+        pod would block the full client timeout; if every poll failed,
+        all pods are returned in order as the last-ditch attempt."""
         ranked = []
-        for i, (pod, m) in enumerate(zip(self.pods, self.metrics())):
+        for i, (pod, m) in enumerate(
+                zip(self.pods, self.metrics(self.placement_timeout))):
             if m is None:
-                key = (-1.0, -1.0)
-            else:
-                cap = m.get("max_streams")
-                headroom = (float("inf") if cap is None
-                            else cap - m.get("n_streams", 0))
-                key = (float(m.get("free_slots", 0)), headroom)
-            ranked.append((key, i, pod))
-        ranked.sort(key=lambda t: t[0], reverse=True)
-        return [pod for _, _, pod in ranked]
+                continue
+            cap = m.get("max_streams")
+            headroom = (float("inf") if cap is None
+                        else cap - m.get("n_streams", 0))
+            ranked.append(((float(m.get("free_slots", 0)), headroom),
+                           i, pod))
+        ranked.sort(key=lambda t: (t[0], -t[1]), reverse=True)
+        return [pod for _, _, pod in ranked] or list(self.pods)
 
     def acquire(self, maxsize: int = 8, when_empty: str = "hold",
                 reset: bool = True) -> PodSlot:
-        """Lease a slot on the most-capacity pod; falls through full or
-        unreachable pods.  The returned :class:`PodSlot`'s ``client``
-        names the pod it landed on."""
+        """Lease a slot on the most-capacity pod.  Falls through to the
+        next pod ONLY on failures where that pod provably did not grant
+        a lease — connection refused, 409 (at capacity), 503 (resize
+        did not land).  An ambiguous failure (timeout, mid-flight
+        reset) re-raises: the pod may have granted the lease, and
+        silently leasing elsewhere would leak it (the same contract as
+        the non-idempotent retry policy).  The returned
+        :class:`PodSlot`'s ``client`` names the pod it landed on."""
         last_err: Optional[Exception] = None
         for pod in self._capacity_order():
             try:
                 return pod.acquire(maxsize=maxsize,
                                    when_empty=when_empty, reset=reset)
-            except Exception as e:
+            except VaudioHTTPError as e:
+                if e.status not in (409, 503):
+                    raise
+                last_err = e
+            except (urllib.error.URLError, ConnectionError, OSError) as e:
+                if not isinstance(getattr(e, "reason", e),
+                                  ConnectionRefusedError):
+                    raise
                 last_err = e
         raise last_err if last_err is not None else RuntimeError(
             "fleet: no pods")
@@ -539,20 +575,6 @@ class FleetClient:
               reset: bool = True, shrink: bool = False):
         """Context-managed :meth:`acquire` (release on exit), like
         :meth:`PodClient.lease` but fleet-placed."""
-        fleet = self
-
-        class _Lease:
-            def __enter__(self):
-                self.slot = fleet.acquire(maxsize=maxsize,
-                                          when_empty=when_empty,
-                                          reset=reset)
-                return self.slot
-
-            def __exit__(self, *exc):
-                try:
-                    self.slot.release(shrink=shrink)
-                except VaudioHTTPError:
-                    pass
-                return False
-
-        return _Lease()
+        return _LeaseContext(
+            lambda: self.acquire(maxsize=maxsize, when_empty=when_empty,
+                                 reset=reset), shrink)

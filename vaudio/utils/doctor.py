@@ -261,7 +261,7 @@ def check_panel(url: str, timeout: float = 10.0,
 def run_doctor(platform: Optional[str] = None, timeout: float = 90.0,
                skip_backend: bool = False, skip_smoke: bool = False,
                smoke_timeout: float = 300.0,
-               url: Optional[str] = None,
+               url=None,
                token: Optional[str] = None) -> List[Check]:
     """Run every check; see the module docstring for the verdict
     model.  With ``url`` (one base URL or a list — a fleet), also probe
@@ -279,7 +279,9 @@ def run_doctor(platform: Optional[str] = None, timeout: float = 90.0,
             c = check_panel(u, token=token)
             if len(urls) > 1:      # fleet probe: name each pod's row
                 c["name"] = f"panel[{i}]"
-                c["detail"] = f"{u}: {c['detail']}"
+                if u.rstrip("/") not in c["detail"]:
+                    # failure details already name the URL
+                    c["detail"] = f"{u}: {c['detail']}"
             checks.append(c)
     return checks
 

@@ -83,3 +83,57 @@ def test_overlap_add_stream_energy_bounded(seed):
         out, tail = dsp.overlap_add(sig, tail, w)
         peak = max(peak, float(jnp.max(jnp.abs(out))))
     assert peak <= 2 * float(jnp.max(w))
+
+
+# ---------------------------------------------------------------------------
+# Serving-layer invariants (round 3: push queue discipline, lease policy)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 8),
+       st.lists(st.tuples(st.booleans(), st.integers(0, 999)),
+                min_size=0, max_size=64))
+def test_push_source_queue_discipline(maxsize, ops):
+    """The push queue's contract under any push/pop interleaving:
+    newest frames win (drops are always the OLDEST queued), fill never
+    exceeds maxsize, nothing is reordered, and conservation holds
+    (pushed == delivered + dropped + still queued)."""
+    from vaudio.io import PushSource
+    ps = PushSource(maxsize=maxsize, when_empty="dark")
+    it = ps.frames()
+    delivered, expect = [], []       # expect = what SHOULD be queued
+    for is_push, val in ops:
+        if is_push:
+            ps.push(val)
+            expect.append(val)
+            if len(expect) > maxsize:
+                expect.pop(0)        # oldest-drop
+        else:
+            got = next(it)
+            if expect:
+                assert got == expect.pop(0)
+                delivered.append(got)
+            else:
+                assert got is None   # dark idle tick
+        assert ps.fill == len(expect) <= maxsize
+    assert ps.pushed == ps.dropped + len(delivered) + ps.fill
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 12), st.sets(st.integers(0, 11)))
+def test_idle_shrink_targets_trailing_free_run_only(n, free):
+    """The auto-shrink target derivation (the pure core of
+    MultiStreamAuralizer._maybe_idle_shrink): it removes exactly the
+    maximal TRAILING run of free slots, never an inner hole, never
+    below one slot."""
+    free = {i for i in free if i < n}
+    n_new = n
+    while n_new > 1 and (n_new - 1) in free:
+        n_new -= 1
+    # Everything removed was free ...
+    assert all(i in free for i in range(n_new, n))
+    # ... and nothing free-and-trailing survives (maximality), unless
+    # the floor stopped us.
+    if n_new > 1:
+        assert (n_new - 1) not in free
+    assert 1 <= n_new <= n

@@ -30,7 +30,6 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vaudio.config import AuralizerConfig

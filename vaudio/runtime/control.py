@@ -25,7 +25,6 @@ import os
 import stat
 import sys
 import threading
-import time
 from typing import Callable, Dict, Optional
 
 import numpy as np

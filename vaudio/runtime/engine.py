@@ -39,7 +39,6 @@ The contract (duck-typed):
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import numpy as np

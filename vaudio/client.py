@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import struct
+import time
 import urllib.error
 import urllib.request
 from typing import Iterator, Optional
@@ -100,7 +101,6 @@ class _PanelClient:
         on a non-idempotent request is re-raised — the first send may
         have been processed, and re-sending would double-apply (e.g.
         grant two leases)."""
-        import time
         url = self.url + path
         headers = {"Content-Type": ctype} if ctype else {}
         if self.token is not None:
@@ -141,18 +141,20 @@ class _PanelClient:
             return r.read()
 
     def _json(self, path: str, obj: Optional[dict] = None,
-              idempotent: bool = True) -> dict:
+              idempotent: bool = True,
+              timeout: Optional[float] = None) -> dict:
         data = None if obj is None else json.dumps(obj).encode()
         ctype = None if obj is None else "application/json"
         return json.loads(self._bytes(path, data, ctype,
-                                      idempotent=idempotent))
+                                      idempotent=idempotent,
+                                      timeout=timeout))
 
     # -- endpoints both panels serve ------------------------------------------
 
     def metrics(self, timeout: Optional[float] = None) -> dict:
         """The live metrics surface (``GET /metrics``); ``timeout``
         overrides the client default for this one poll."""
-        return json.loads(self._bytes("/metrics", timeout=timeout))
+        return self._json("/metrics", timeout=timeout)
 
     def metrics_prom(self) -> str:
         """Prometheus text exposition (``GET /metrics.prom``)."""

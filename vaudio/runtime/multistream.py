@@ -40,6 +40,7 @@ surviving slots' DSP state rides along untouched).
 
 from __future__ import annotations
 
+import sys
 import threading
 import time
 from typing import Dict, Iterable, List, Optional, Sequence, Union
@@ -532,6 +533,21 @@ class MultiStreamAuralizer:
                 f"{timeout}s; resize to {n_new} not applied")
         self._apply_resize(n_new)      # producer already gone
 
+    def _shrink_target(self, free, stop: int = 1, keep=None) -> int:
+        """Smallest slot count >= ``stop`` whose trailing slots
+        ``n..n_streams-1`` are all in ``free`` (and pass ``keep(i) ->
+        False``... i.e. are shrinkable), rounded up to the mesh
+        stream-axis multiple; floor 1.  The one derivation both the
+        idle check and the apply-time revalidation use."""
+        n_new = self.n_streams
+        while (n_new > max(1, stop) and (n_new - 1) in free
+               and (keep is None or not keep(n_new - 1))):
+            n_new -= 1
+        if self._mesh is not None:
+            step = self._mesh.shape["stream"]
+            n_new = max(step, ((n_new + step - 1) // step) * step)
+        return n_new
+
     def _maybe_idle_shrink(self) -> None:
         """Automatic capacity return (see :attr:`idle_shrink`): when the
         TRAILING run of slots has been free past the idle window, queue
@@ -549,14 +565,9 @@ class MultiStreamAuralizer:
                 del self._free_since[i]
         for i in free:
             self._free_since.setdefault(i, now)
-        n_new = self.n_streams
-        while (n_new > 1 and (n_new - 1) in free
-               and now - self._free_since[n_new - 1]
-               > self.idle_shrink):
-            n_new -= 1
-        if self._mesh is not None:
-            step = self._mesh.shape["stream"]
-            n_new = max(step, ((n_new + step - 1) // step) * step)
+        n_new = self._shrink_target(
+            free, keep=lambda i: (now - self._free_since[i]
+                                  <= self.idle_shrink))
         if n_new >= self.n_streams or self._resize_req is not None:
             return
         # Never override a concurrent explicit resize(): its caller
@@ -925,7 +936,6 @@ class MultiStreamAuralizer:
         replace_source.  Contrast the single-stream runtime, where a
         producer failure fails the stream (there is no one else to
         protect)."""
-        import sys
         self._active[i] = False
         self.slot_errors[i] = e
         print(f"vaudio pod: slot {i} source failed "
@@ -1085,14 +1095,8 @@ class MultiStreamAuralizer:
                     req = None
                 else:
                     lease_held = True
-                    free = set(self.free_slots())
-                    n_final = self.n_streams
-                    while n_final > req[0] and (n_final - 1) in free:
-                        n_final -= 1
-                    if self._mesh is not None:
-                        step = self._mesh.shape["stream"]
-                        n_final = max(step, ((n_final + step - 1)
-                                             // step) * step)
+                    n_final = self._shrink_target(
+                        set(self.free_slots()), stop=req[0])
                     if n_final >= self.n_streams:
                         self._lease_lock.release()
                         lease_held = False
@@ -1118,7 +1122,6 @@ class MultiStreamAuralizer:
                     chunk_mask = [[] for _ in range(self.n_streams)]
                     if len(req) == 3:
                         self.auto_shrinks += 1
-                        import sys
                         print(f"vaudio pod: trailing slots "
                               f"{req[0]}..{old_n - 1} idle past "
                               f"{self.idle_shrink:g}s; shrunk to "
@@ -1145,7 +1148,6 @@ class MultiStreamAuralizer:
                             and (ps.leased or ps.pushed > 0)
                             and now - ps.last_push
                             > self.lease_timeout):
-                        import sys
                         ps.close()
                         self.leases_reaped += 1
                         print(f"vaudio pod: slot {i} lease expired "

@@ -735,6 +735,80 @@ class TestElasticStress:
         finally:
             pod.stop()
 
+    def test_random_ops_stress_with_auto_elasticity(self):
+        """The same churn with the HANDS-OFF features live —
+        lease_timeout reaping and idle_shrink capacity return running
+        concurrently with explicit acquire/release/resize/push: the
+        producer survives every interleaving, capacity stays within
+        [1, max_streams], and the pod still serves at the end (a fresh
+        lease processes frames)."""
+        import random
+        rng = random.Random(20260819)
+        cfg = AuralizerConfig()
+        frame = np.asarray(clips(1, 1)[0])[0]
+        pod = MultiStreamAuralizer(cfg, n_streams=2, max_streams=5,
+                                   exit_when_exhausted=False,
+                                   lease_timeout=0.4, idle_shrink=0.4)
+        pod.start([iter(()), iter(())])
+        leases = {}
+        try:
+            for step in range(60):
+                op = rng.choice(["acquire", "release", "resize",
+                                 "push", "sleep", "metrics"])
+                if op == "acquire":
+                    try:
+                        slot, ps = pod.acquire_slot(when_empty="dark")
+                        leases[slot] = ps
+                    except RuntimeError:
+                        pass                      # at capacity: fine
+                elif op == "release" and leases:
+                    slot = rng.choice(list(leases))
+                    del leases[slot]
+                    if slot < pod.n_streams:
+                        try:
+                            pod.release_slot(slot)
+                        except TimeoutError:
+                            pass
+                elif op == "resize":
+                    try:
+                        pod.resize(rng.randint(1, 5), timeout=60)
+                    except ValueError:
+                        pass
+                elif op == "push" and leases:
+                    slot = rng.choice(list(leases))
+                    ps = leases[slot]
+                    if not ps.closed:
+                        ps.push(frame)
+                elif op == "sleep":
+                    # Long enough for reaps/shrinks to actually fire
+                    # mid-churn, not just at the end.
+                    time.sleep(0.5)
+                else:
+                    m = pod.metrics_dict()
+                    assert 1 <= m["n_streams"] <= 5
+                # Reaps/shrinks invalidate leases behind our back —
+                # drop closed or out-of-range handles like a real
+                # fleet client discovering a 404/closed push.
+                leases = {s: p for s, p in leases.items()
+                          if s < pod.n_streams and not p.closed}
+                pod.raise_if_failed()
+                n = pod.n_streams
+                assert 1 <= n <= 5
+                assert len(pod.rings) >= n and len(pod.params) >= n
+            assert pod.is_running
+            # The pod still SERVES after all that churn: a fresh lease
+            # accepts and processes frames.
+            slot, ps = pod.acquire_slot(when_empty="dark")
+            for _ in range(3):
+                ps.push(frame)
+            deadline = time.monotonic() + 120
+            while pod.stream_metrics(slot)["buffer_fill"] < 1:
+                pod.raise_if_failed()
+                assert time.monotonic() < deadline
+                time.sleep(0.01)
+        finally:
+            pod.stop()
+
 
 class TestPodCLI:
     def test_pod_cli_writes_per_slot_wavs(self, tmp_path):

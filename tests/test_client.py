@@ -8,6 +8,7 @@ the pull-model speaker (ControlPanelView.swift:11-43 ->
 SoundEngine.swift:66-75; SoundEngine.swift:156-228).
 """
 
+import json
 import os
 import subprocess
 import sys
@@ -650,6 +651,92 @@ class TestAuthToken:
         finally:
             server.stop()
             pod.stop()
+
+
+class TestEverythingComposes:
+    def test_mesh_token_lease_reap_shrink_pull_doctor(self, tmp_path):
+        """The grand composition, one REAL CLI pod: device mesh (2
+        virtual chips) + bearer token + push doors + fleet leasing +
+        dead-client reaping + automatic capacity return + the pull
+        audio client + the doctor — every serving feature active at
+        once.  A lease grows the pod by a mesh multiple (2->4), the
+        client dies, the reaper closes the lease, the idle shrink
+        returns the capacity (4->2, a mesh multiple), unfed operator
+        doors survive throughout, and the panel stays healthy."""
+        env = dict(os.environ, VAUDIO_PLATFORM="cpu",
+                   VAUDIO_NUM_CPU_DEVICES="2",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/vaudio_test_jax_cache",
+                   PYTHONPATH="/root/repo:"
+                   + os.environ.get("PYTHONPATH", ""))
+        pod = subprocess.Popen(
+            [sys.executable, "-m", "vaudio", "pod",
+             "--size", "32x32", "--input", "push", "--input", "push",
+             "--serve", "0", "--token", "tok", "--mesh", "2",
+             "--max-streams", "4", "--lease-timeout", "2",
+             "--idle-shrink", "2", "-o", str(tmp_path / "out")],
+            stderr=subprocess.PIPE, cwd="/root/repo", env=env,
+            text=True)
+        url = None
+        try:
+            import re
+            import threading
+            for line in pod.stderr:
+                m = re.search(r"live panel at (http://\S+)", line)
+                if m:
+                    url = m.group(1).rstrip("/")
+                    break
+            assert url, "pod never announced its panel"
+            threading.Thread(target=pod.stderr.read,
+                             daemon=True).start()
+            client = PodClient(url, token="tok")
+            assert client.n_streams == 2          # two mesh-fed doors
+            # Lease: both doors are armed (not free), so the pod grows
+            # by a mesh stream-axis multiple to 4.
+            slot = client.acquire(when_empty="dark")
+            assert slot.index == 2 and client.n_streams == 4
+            frame = np.random.default_rng(7).random((32, 32, 3),
+                                                    np.float32)
+            for _ in range(3):
+                slot.push(frame)
+            # Client dies silent: reap fires, then the idle shrink
+            # returns the trailing capacity in a mesh multiple.
+            deadline = time.monotonic() + 120
+            m = {}
+            while time.monotonic() < deadline:
+                m = client.metrics()
+                if m["leases_reaped"] >= 1 and m["n_streams"] == 2:
+                    break
+                time.sleep(0.5)
+            assert m["leases_reaped"] == 1 and m["auto_shrinks"] == 1, m
+            assert m["n_streams"] == 2
+            # The unfed operator doors survived both mechanisms.
+            assert all(s["push"]["closed"] is False
+                       for s in m["slots"]), m["slots"]
+            # Pull-model audio still answers through the token gate.
+            out = str(tmp_path / "a.wav")
+            r = subprocess.run(
+                [sys.executable, "-m", "vaudio", "pull", "--url", url,
+                 "--slot", "0", "--seconds", "0.05", "-o", out,
+                 "--token", "tok"],
+                capture_output=True, text=True, timeout=300, env=env,
+                cwd="/root/repo")
+            assert r.returncode == 0, r.stderr
+            # And the doctor judges the protected mesh pod healthy.
+            r = subprocess.run(
+                [sys.executable, "-m", "vaudio", "doctor", "--url",
+                 url, "--token", "tok", "--skip-backend",
+                 "--skip-smoke", "--json"],
+                capture_output=True, text=True, timeout=300, env=env,
+                cwd="/root/repo")
+            checks = {c["name"]: c["status"]
+                      for c in json.loads(r.stdout)}
+            assert checks["panel"] == "ok", checks
+        finally:
+            pod.terminate()
+            try:
+                pod.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                pod.kill()
 
 
 class TestPullCLI:

@@ -454,6 +454,45 @@ class TestFleetClient:
             srv_a.stop(); pod_a.stop()
             srv_b.stop(); pod_b.stop()
 
+    def test_shape_aware_placement(self):
+        """A mixed-resolution fleet routes each client to a pod of its
+        frame's shape: pods advertise their static contract
+        (frame_sig) and acquire(frame=...) skips mismatches; a shape
+        nobody serves raises instead of landing anywhere."""
+        from vaudio.client import FleetClient
+        cfg = AuralizerConfig(mip_level=1)
+
+        def pod_with_shape(size):
+            pod = MultiStreamAuralizer(cfg, n_streams=1, max_streams=2,
+                                       exit_when_exhausted=False)
+            server = pod.serve(port=0)
+            clip = hsb_frames(0.3, 1, 1, size, size, 2)
+            pod.start([iter(clip)])      # establishes the contract
+            deadline = time.monotonic() + 120
+            while any(pod._active):
+                pod.raise_if_failed()
+                assert time.monotonic() < deadline
+                time.sleep(0.01)
+            return pod, server
+
+        pod_s, srv_s = pod_with_shape(32)
+        pod_l, srv_l = pod_with_shape(64)
+        try:
+            fleet = FleetClient([srv_s.url, srv_l.url])
+            big = np.asarray(hsb_frames(0.5, 1, 1, 64, 64, 1)[0])
+            small = np.asarray(hsb_frames(0.5, 1, 1, 32, 32, 1)[0])
+            with fleet.lease(when_empty="dark", frame=big) as slot:
+                assert slot.client.url == srv_l.url.rstrip("/")
+                slot.push(big)           # accepted: right-shaped pod
+            with fleet.lease(when_empty="dark", frame=small) as slot:
+                assert slot.client.url == srv_s.url.rstrip("/")
+            odd = np.zeros((48, 48, 3), np.float32)
+            with pytest.raises(RuntimeError, match="no pod serves"):
+                fleet.acquire(frame=odd)
+        finally:
+            srv_s.stop(); pod_s.stop()
+            srv_l.stop(); pod_l.stop()
+
     def test_ambiguous_acquire_failure_reraises(self):
         """A mid-flight reset on a pod's /slots/acquire re-raises out
         of the fleet instead of silently leasing elsewhere — the first

@@ -47,7 +47,23 @@ import numpy as np
 from vaudio.io.push import encode_frame
 
 __all__ = ["VaudioHTTPError", "AudioStream", "StreamClient",
-           "PodClient", "PodSlot", "FleetClient"]
+           "PodClient", "PodSlot", "FleetClient", "frame_sig_json"]
+
+
+def frame_sig_json(frame) -> dict:
+    """A frame's static-contract signature in the pods' advertised
+    format (``frame_sig`` in the pod metrics): shape plus the dtype the
+    pod's ingest normalization would give it (uint8 passes through,
+    everything else becomes float32; planar-YUV dicts per-plane).
+    Shape-aware fleet placement compares these directly
+    (:meth:`FleetClient.acquire` ``frame=``)."""
+    def one(v):
+        a = np.asarray(v)
+        dtype = "uint8" if a.dtype == np.uint8 else "float32"
+        return {"shape": list(a.shape), "dtype": dtype}
+    if isinstance(frame, dict):
+        return {"planes": {k: one(v) for k, v in sorted(frame.items())}}
+    return one(frame)
 
 
 class VaudioHTTPError(RuntimeError):
@@ -527,16 +543,28 @@ class FleetClient:
                 out.append(None)
         return out
 
-    def _capacity_order(self):
+    def _capacity_order(self, frame=None):
         """REACHABLE pods sorted most-capacity-first (free slots, then
         max_streams headroom).  Pods whose short capacity poll failed
         are excluded from placement — trying an acquire on a blackholed
         pod would block the full client timeout; if every poll failed,
-        all pods are returned in order as the last-ditch attempt."""
-        ranked = []
+        all pods are returned in order as the last-ditch attempt.
+
+        With ``frame``, placement is SHAPE-AWARE: pods advertising a
+        frame contract (``frame_sig``) that mismatches the frame are
+        excluded (a pod serves one static shape); pods with no
+        established contract yet remain eligible (they will adopt the
+        client's shape)."""
+        want = None if frame is None else frame_sig_json(frame)
+        ranked, reachable, wrong_shape = [], 0, 0
         for i, (pod, m) in enumerate(
                 zip(self.pods, self.metrics(self.placement_timeout))):
             if m is None:
+                continue
+            reachable += 1
+            sig = m.get("frame_sig")
+            if want is not None and sig is not None and sig != want:
+                wrong_shape += 1     # wrong-resolution pod
                 continue
             cap = m.get("max_streams")
             headroom = (float("inf") if cap is None
@@ -544,10 +572,14 @@ class FleetClient:
             ranked.append(((float(m.get("free_slots", 0)), headroom),
                            i, pod))
         ranked.sort(key=lambda t: (t[0], -t[1]), reverse=True)
-        return [pod for _, _, pod in ranked] or list(self.pods)
+        if ranked:
+            return [pod for _, _, pod in ranked]
+        if reachable and wrong_shape == reachable:
+            return []                # every reachable pod: other shapes
+        return list(self.pods)       # every poll failed: last-ditch
 
     def acquire(self, maxsize: int = 8, when_empty: str = "hold",
-                reset: bool = True) -> PodSlot:
+                reset: bool = True, frame=None) -> PodSlot:
         """Lease a slot on the most-capacity pod.  Falls through to the
         next pod ONLY on failures where that pod provably did not grant
         a lease — connection refused, 409 (at capacity), 503 (resize
@@ -555,9 +587,21 @@ class FleetClient:
         reset) re-raises: the pod may have granted the lease, and
         silently leasing elsewhere would leak it (the same contract as
         the non-idempotent retry policy).  The returned
-        :class:`PodSlot`'s ``client`` names the pod it landed on."""
+        :class:`PodSlot`'s ``client`` names the pod it landed on.
+
+        ``frame`` (an example frame) makes placement shape-aware:
+        pods serving a different static resolution are skipped —
+        the fleet can mix per-resolution pods and still place each
+        client correctly.  Raises ``RuntimeError`` when reachable pods
+        exist but none serves the frame's shape."""
         last_err: Optional[Exception] = None
-        for pod in self._capacity_order():
+        order = self._capacity_order(frame)
+        if not order:
+            raise RuntimeError(
+                "fleet: no pod serves frames of signature "
+                f"{frame_sig_json(frame)} (each pod serves ONE static "
+                "shape; add a pod for this resolution)")
+        for pod in order:
             try:
                 return pod.acquire(maxsize=maxsize,
                                    when_empty=when_empty, reset=reset)
@@ -574,9 +618,10 @@ class FleetClient:
             "fleet: no pods")
 
     def lease(self, maxsize: int = 8, when_empty: str = "hold",
-              reset: bool = True, shrink: bool = False):
+              reset: bool = True, shrink: bool = False, frame=None):
         """Context-managed :meth:`acquire` (release on exit), like
-        :meth:`PodClient.lease` but fleet-placed."""
+        :meth:`PodClient.lease` but fleet-placed (and shape-aware with
+        ``frame``)."""
         return _LeaseContext(
             lambda: self.acquire(maxsize=maxsize, when_empty=when_empty,
-                                 reset=reset), shrink)
+                                 reset=reset, frame=frame), shrink)

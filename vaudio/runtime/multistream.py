@@ -778,6 +778,21 @@ class MultiStreamAuralizer:
                 if keep < self.n_streams:
                     self.resize(keep)
 
+    def _sig_json(self):
+        """The pod's static frame contract as JSON (``frame_sig`` in
+        :meth:`metrics_dict`; None until the first real frame
+        establishes it).  Format matches
+        :func:`vaudio.client.frame_sig_json` so fleet clients compare
+        directly."""
+        sig = self._template_sig
+        if sig is None:
+            return None
+        if isinstance(sig, dict):
+            return {"planes": {k: {"shape": list(s), "dtype": str(d)}
+                               for k, (s, d) in sig.items()}}
+        shape, dtype = sig
+        return {"shape": list(shape), "dtype": str(dtype)}
+
     def check_frame(self, frame) -> Optional[str]:
         """Validate a candidate frame against the pod contract without
         queueing it (the network-ingest door, PodServer
@@ -893,9 +908,13 @@ class MultiStreamAuralizer:
             "leases_reaped": self.leases_reaped,
             "auto_shrinks": self.auto_shrinks,
             # Placement signals for fleet clients (client.FleetClient):
-            # current free slots, and the growth headroom to the cap.
+            # current free slots, the growth headroom to the cap, and
+            # the pod's static frame contract (None until the first
+            # real frame establishes it) — a shape-aware fleet routes
+            # each client to a pod of its resolution.
             "free_slots": len(self.free_slots()),
             "max_streams": self.max_streams,
+            "frame_sig": self._sig_json(),
             "slots": self._slot_metrics_snapshot(),
         }
 

@@ -715,18 +715,27 @@ class TestEverythingComposes:
              "--idle-shrink", "2", "-o", str(tmp_path / "out")],
             stderr=subprocess.PIPE, cwd="/root/repo", env=env,
             text=True)
-        url = None
         try:
             import re
             import threading
-            for line in pod.stderr:
-                m = re.search(r"live panel at (http://\S+)", line)
-                if m:
-                    url = m.group(1).rstrip("/")
-                    break
-            assert url, "pod never announced its panel"
-            threading.Thread(target=pod.stderr.read,
-                             daemon=True).start()
+            # Bounded URL wait: a wedged pod subprocess must FAIL the
+            # test, not hang the suite (the stderr iteration alone
+            # would block forever).
+            found = threading.Event()
+            box = {}
+
+            def scan():
+                for line in pod.stderr:
+                    m = re.search(r"live panel at (http://\S+)", line)
+                    if m and not found.is_set():
+                        box["url"] = m.group(1).rstrip("/")
+                        found.set()
+                found.set()          # EOF: unblock the waiter either way
+
+            threading.Thread(target=scan, daemon=True).start()
+            assert found.wait(300) and "url" in box, \
+                "pod never announced its panel"
+            url = box["url"]
             client = PodClient(url, token="tok")
             assert client.n_streams == 2          # two mesh-fed doors
             # Lease: both doors are armed (not free), so the pod grows

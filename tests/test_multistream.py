@@ -767,7 +767,9 @@ class TestElasticStress:
                     if slot < pod.n_streams:
                         try:
                             pod.release_slot(slot)
-                        except TimeoutError:
+                        except (TimeoutError, IndexError):
+                            # A concurrent reap+auto-shrink can remove
+                            # the slot between the guard and the call.
                             pass
                 elif op == "resize":
                     try:
@@ -792,9 +794,12 @@ class TestElasticStress:
                 leases = {s: p for s, p in leases.items()
                           if s < pod.n_streams and not p.closed}
                 pod.raise_if_failed()
-                n = pod.n_streams
-                assert 1 <= n <= 5
-                assert len(pod.rings) >= n and len(pod.params) >= n
+                # The producer applies auto-shrinks CONCURRENTLY with
+                # these reads, so only race-safe bounds are asserted
+                # here (the lists-vs-n_streams ordering contract is
+                # pinned by the non-auto stress test, where every
+                # resize is synchronous with this thread).
+                assert 1 <= pod.n_streams <= 5
             assert pod.is_running
             # The pod still SERVES after all that churn: a fresh lease
             # accepts and processes frames.

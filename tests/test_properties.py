@@ -119,21 +119,34 @@ def test_push_source_queue_discipline(maxsize, ops):
     assert ps.pushed == ps.dropped + len(delivered) + ps.fill
 
 
-@settings(max_examples=40, deadline=None)
-@given(st.integers(1, 12), st.sets(st.integers(0, 11)))
-def test_idle_shrink_targets_trailing_free_run_only(n, free):
-    """The auto-shrink target derivation (the pure core of
-    MultiStreamAuralizer._maybe_idle_shrink): it removes exactly the
-    maximal TRAILING run of free slots, never an inner hole, never
-    below one slot."""
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 12), st.sets(st.integers(0, 11)),
+       st.integers(1, 12),
+       st.one_of(st.none(), st.integers(1, 4)))
+def test_idle_shrink_targets_trailing_free_run_only(n, free, stop,
+                                                    mesh_step):
+    """runtime.multistream.trailing_shrink_target — the ONE derivation
+    behind idle auto-shrink, its apply-time revalidation, and
+    release_slot(shrink=True): it removes at most the maximal TRAILING
+    run of free slots (never an inner hole), respects the stop floor,
+    rounds up to the mesh multiple, and never goes below one slot."""
+    from vaudio.runtime.multistream import trailing_shrink_target
     free = {i for i in free if i < n}
-    n_new = n
-    while n_new > 1 and (n_new - 1) in free:
-        n_new -= 1
-    # Everything removed was free ...
-    assert all(i in free for i in range(n_new, n))
+    base = trailing_shrink_target(n, free, stop=stop)
+    # Floor and range.
+    assert min(n, max(1, stop)) <= base <= n
+    # Everything removed was free (no inner hole is ever shrunk) ...
+    assert all(i in free for i in range(base, n))
     # ... and nothing free-and-trailing survives (maximality), unless
-    # the floor stopped us.
-    if n_new > 1:
-        assert (n_new - 1) not in free
-    assert 1 <= n_new <= n
+    # a floor stopped us.
+    if base > max(1, stop):
+        assert (base - 1) not in free
+    n_new = trailing_shrink_target(n, free, stop=stop,
+                                   mesh_step=mesh_step)
+    if mesh_step is None:
+        assert n_new == base
+    else:
+        # Mesh rounding only ever KEEPS more slots (it can exceed n —
+        # the callers treat >= n_streams as "no shrink").
+        assert n_new % mesh_step == 0 and n_new >= base
+        assert all(i in free for i in range(n_new, n))

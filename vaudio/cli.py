@@ -715,12 +715,24 @@ def cmd_push(args) -> int:
         if slot != "acquire":
             raise SystemExit("push: multiple --url need --slot acquire "
                              "(the fleet chooses the pod AND the slot)")
+        import itertools
+
         from vaudio.client import FleetClient
+        # Peek the first frame so placement is SHAPE-AWARE: a
+        # mixed-resolution fleet must route this clip to a pod of ITS
+        # shape (capacity-only placement would land on a wrong-shape
+        # pod whose door then rejects every frame).
+        frames = iter(frames)
+        first = next(frames, None)
+        if first is None:
+            raise SystemExit("push: input produced no frames")
+        frames = itertools.chain([first], frames)
         leased = FleetClient(args.url, retries=args.retries,
                              retry_wait=args.retry_wait,
                              token=args.token).acquire(
             maxsize=args.maxsize, when_empty=args.when_empty,
-            reset=True)       # a lease always starts with a cold carry
+            reset=True,       # a lease always starts with a cold carry
+            frame=first)
         url, slot = leased.client.url, leased.index
         # acquire already armed the slot with the LEASED PushSource —
         # re-arming would replace it with a non-leased one and exempt a

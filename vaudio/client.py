@@ -53,17 +53,19 @@ __all__ = ["VaudioHTTPError", "AudioStream", "StreamClient",
 def frame_sig_json(frame) -> dict:
     """A frame's static-contract signature in the pods' advertised
     format (``frame_sig`` in the pod metrics): shape plus the dtype the
-    pod's ingest normalization would give it (uint8 passes through,
-    everything else becomes float32; planar-YUV dicts per-plane).
-    Shape-aware fleet placement compares these directly
-    (:meth:`FleetClient.acquire` ``frame=``)."""
-    def one(v):
-        a = np.asarray(v)
-        dtype = "uint8" if a.dtype == np.uint8 else "float32"
-        return {"shape": list(a.shape), "dtype": dtype}
+    pod's ingest normalization gives it — RGB arrays: uint8 passes
+    through, everything else becomes float32; planar-YUV dict planes
+    keep their dtype VERBATIM (the pod's `_normalize_frame` never
+    converts planes).  Shape-aware fleet placement compares these
+    directly (:meth:`FleetClient.acquire` ``frame=``)."""
     if isinstance(frame, dict):
-        return {"planes": {k: one(v) for k, v in sorted(frame.items())}}
-    return one(frame)
+        return {"planes": {
+            k: {"shape": list(np.asarray(v).shape),
+                "dtype": str(np.asarray(v).dtype)}
+            for k, v in sorted(frame.items())}}
+    a = np.asarray(frame)
+    dtype = "uint8" if a.dtype == np.uint8 else "float32"
+    return {"shape": list(a.shape), "dtype": dtype}
 
 
 class VaudioHTTPError(RuntimeError):
@@ -556,9 +558,9 @@ class FleetClient:
         established contract yet remain eligible (they will adopt the
         client's shape)."""
         want = None if frame is None else frame_sig_json(frame)
+        polls = self.metrics(self.placement_timeout)
         ranked, reachable, wrong_shape = [], 0, 0
-        for i, (pod, m) in enumerate(
-                zip(self.pods, self.metrics(self.placement_timeout))):
+        for i, (pod, m) in enumerate(zip(self.pods, polls)):
             if m is None:
                 continue
             reachable += 1
@@ -575,7 +577,12 @@ class FleetClient:
         if ranked:
             return [pod for _, _, pod in ranked]
         if reachable and wrong_shape == reachable:
-            return []                # every reachable pod: other shapes
+            # Every successfully-polled pod serves another shape — but
+            # a pod whose poll transiently failed might serve this one;
+            # attempt those before declaring the shape unserved
+            # ([] => the caller raises the shape error).
+            return [pod for pod, m in zip(self.pods, polls)
+                    if m is None]
         return list(self.pods)       # every poll failed: last-ditch
 
     def acquire(self, maxsize: int = 8, when_empty: str = "hold",

@@ -89,6 +89,24 @@ def _stack(frames: Sequence):
     return np.stack(frames)
 
 
+def trailing_shrink_target(n_streams: int, free, stop: int = 1,
+                           keep=None, mesh_step=None) -> int:
+    """The ONE trailing-shrink derivation (pure; property-tested):
+    smallest slot count >= ``stop`` whose trailing slots
+    ``n..n_streams-1`` are all in ``free`` and not held back by
+    ``keep(i) -> True``, rounded up to ``mesh_step``; floor 1.  Shared
+    by the idle check, the apply-time revalidation, and
+    ``release_slot(shrink=True)``."""
+    n_new = n_streams
+    while (n_new > max(1, stop) and (n_new - 1) in free
+           and (keep is None or not keep(n_new - 1))):
+        n_new -= 1
+    if mesh_step is not None:
+        n_new = max(mesh_step,
+                    ((n_new + mesh_step - 1) // mesh_step) * mesh_step)
+    return n_new
+
+
 def _fresh_rows(carry, n_add: int):
     """Cold-start carry rows for ``n_add`` new slots, shaped like
     ``carry``'s per-slot rows.  Engine-agnostic: zero every field except
@@ -534,19 +552,12 @@ class MultiStreamAuralizer:
         self._apply_resize(n_new)      # producer already gone
 
     def _shrink_target(self, free, stop: int = 1, keep=None) -> int:
-        """Smallest slot count >= ``stop`` whose trailing slots
-        ``n..n_streams-1`` are all in ``free`` (and pass ``keep(i) ->
-        False``... i.e. are shrinkable), rounded up to the mesh
-        stream-axis multiple; floor 1.  The one derivation both the
-        idle check and the apply-time revalidation use."""
-        n_new = self.n_streams
-        while (n_new > max(1, stop) and (n_new - 1) in free
-               and (keep is None or not keep(n_new - 1))):
-            n_new -= 1
-        if self._mesh is not None:
-            step = self._mesh.shape["stream"]
-            n_new = max(step, ((n_new + step - 1) // step) * step)
-        return n_new
+        """:func:`trailing_shrink_target` bound to this pod's slot
+        count and mesh."""
+        return trailing_shrink_target(
+            self.n_streams, free, stop=stop, keep=keep,
+            mesh_step=(self._mesh.shape["stream"]
+                       if self._mesh is not None else None))
 
     def _maybe_idle_shrink(self) -> None:
         """Automatic capacity return (see :attr:`idle_shrink`): when the
@@ -769,14 +780,9 @@ class MultiStreamAuralizer:
                 self.replace_source(slot, iter(()))   # dark next tick
             if shrink:
                 freed = set(self.free_slots()) | {slot}
-                keep = self.n_streams
-                while keep > 1 and (keep - 1) in freed:
-                    keep -= 1
-                if self._mesh is not None:
-                    axis = self._mesh.shape["stream"]
-                    keep = max(axis, -(-keep // axis) * axis)
-                if keep < self.n_streams:
-                    self.resize(keep)
+                target = self._shrink_target(freed)
+                if target < self.n_streams:
+                    self.resize(target)
 
     def _sig_json(self):
         """The pod's static frame contract as JSON (``frame_sig`` in

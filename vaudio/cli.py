@@ -518,52 +518,103 @@ def cmd_pod(args) -> int:
                                 max_frames=args.max_frames)
 
     n = len(args.input)
-    mesh = None
-    if args.mesh:
-        # Multi-chip serving at the front door: shard the pod's stream
-        # axis (and, for the flagship, the synthesis cells) over a
-        # device mesh — `--mesh 4` = DP over 4 chips, `--mesh 4x2` =
-        # DP x TP over 8.
-        import jax
+    multihost = (args.num_processes or 1) > 1
+    if multihost:
+        # One pod spanning hosts (parallel.hostpod.MultiHostPod): this
+        # process serves the slots its mesh rows hold; the dispatch is
+        # one lockstep SPMD program over all hosts.
+        if args.mesh:
+            raise SystemExit(
+                "pod: --mesh is the single-host DP[xTP] layout; "
+                "multi-host pods build their mesh from the joined "
+                "processes automatically")
+        if args.coordinator is None or args.process_id is None:
+            raise SystemExit("pod: multi-host needs --coordinator and "
+                             "--process-id with --num-processes")
+        for bad, name in ((args.max_streams, "--max-streams"),
+                          (args.idle_shrink, "--idle-shrink")):
+            if bad is not None:
+                raise SystemExit(
+                    f"pod: {name} needs elastic capacity, which "
+                    "multi-host pods do not have (capacity is static; "
+                    "scale by adding pods)")
+        if args.pix_fmt != "rgb24":
+            raise SystemExit(
+                "pod: multi-host pods are rgb24-only for now (the "
+                "static frame template is built from --size)")
+        from vaudio.parallel import MultiHostPod, init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
+        n_global = args.global_streams or n * args.num_processes
+        pod = MultiHostPod(
+            cfg, n_global,
+            # uint8 template: the raw rgb24 readers (and 'vaudio push'
+            # clients sending u8) match it; float sources would violate
+            # the pod's static dtype contract loudly per slot.
+            frame=np.zeros((h, w, 3), np.uint8),
+            realtime=args.realtime, chunk_frames=args.chunk_frames,
+            metrics_log=args.metrics_log, engine=engine,
+            lease_timeout=args.lease_timeout)
+        if n != pod.n_streams:
+            raise SystemExit(
+                f"pod: this host serves {pod.n_streams} slots (global "
+                f"{n_global} over {args.num_processes} processes) but "
+                f"got {n} --input")
+        # Per-slot CLI-seeded params (per-slot params shard with the
+        # streams on the multi-host path — no shared-object restriction).
+        pod.params = [dataclasses.replace(params)
+                      for _ in range(pod.n_streams)]
+        print(f"pod: multi-host process {args.process_id}/"
+              f"{args.num_processes}: global slots "
+              f"{pod.local_slice.start}..{pod.local_slice.stop - 1} "
+              "served here", file=sys.stderr)
+    if not multihost:
+        mesh = None
+        if args.mesh:
+            # Multi-chip serving at the front door: shard the pod's stream
+            # axis (and, for the flagship, the synthesis cells) over a
+            # device mesh — `--mesh 4` = DP over 4 chips, `--mesh 4x2` =
+            # DP x TP over 8.
+            import jax
 
-        from vaudio.parallel import make_stream_mesh
-        dp, _, tp = args.mesh.lower().partition("x")
-        try:
-            dp, tp = int(dp), int(tp or 1)
-        except ValueError:
-            raise SystemExit(f"pod: --mesh must be DP or DPxTP (e.g. "
-                             f"4 or 4x2), got {args.mesh!r}")
-        if dp < 1 or tp < 1:
-            raise SystemExit(f"pod: --mesh axes must be >= 1, got "
-                             f"{args.mesh!r}")
-        if len(args.input) % dp:
-            raise SystemExit(f"pod: {len(args.input)} inputs is not a "
-                             f"multiple of the --mesh stream axis {dp}")
-        avail = len(jax.devices())
-        if dp * tp > avail:
-            raise SystemExit(f"pod: --mesh {args.mesh} needs {dp * tp} "
-                             f"devices, this host has {avail}")
-        # Subset explicitly: the mesh may use fewer chips than exist.
-        mesh = make_stream_mesh(dp, tp,
-                                devices=jax.devices()[:dp * tp])
-        print(f"pod: device mesh stream={dp} cell={tp} "
-              f"({dp * tp} of {avail} devices)", file=sys.stderr)
-    # CLI flags seed an INDEPENDENT LiveParams per slot, so --serve can
-    # control each serving slot separately.  Mesh pods replicate ONE
-    # shared LiveParams instead (the parallel steps replicate params;
-    # the panel reports "shared": true).
-    pod = MultiStreamAuralizer(
-        cfg, n_streams=n,
-        params=(params if mesh is not None else
-                [dataclasses.replace(params) for _ in range(n)]),
-        mesh=mesh,
-        realtime=args.realtime,
-        chunk_frames=args.chunk_frames,
-        metrics_log=args.metrics_log,
-        engine=engine,
-        max_streams=args.max_streams,
-        lease_timeout=args.lease_timeout,
-        idle_shrink=args.idle_shrink)
+            from vaudio.parallel import make_stream_mesh
+            dp, _, tp = args.mesh.lower().partition("x")
+            try:
+                dp, tp = int(dp), int(tp or 1)
+            except ValueError:
+                raise SystemExit(f"pod: --mesh must be DP or DPxTP (e.g. "
+                                 f"4 or 4x2), got {args.mesh!r}")
+            if dp < 1 or tp < 1:
+                raise SystemExit(f"pod: --mesh axes must be >= 1, got "
+                                 f"{args.mesh!r}")
+            if len(args.input) % dp:
+                raise SystemExit(f"pod: {len(args.input)} inputs is not a "
+                                 f"multiple of the --mesh stream axis {dp}")
+            avail = len(jax.devices())
+            if dp * tp > avail:
+                raise SystemExit(f"pod: --mesh {args.mesh} needs {dp * tp} "
+                                 f"devices, this host has {avail}")
+            # Subset explicitly: the mesh may use fewer chips than exist.
+            mesh = make_stream_mesh(dp, tp,
+                                    devices=jax.devices()[:dp * tp])
+            print(f"pod: device mesh stream={dp} cell={tp} "
+                  f"({dp * tp} of {avail} devices)", file=sys.stderr)
+        # CLI flags seed an INDEPENDENT LiveParams per slot, so --serve can
+        # control each serving slot separately.  Mesh pods replicate ONE
+        # shared LiveParams instead (the parallel steps replicate params;
+        # the panel reports "shared": true).
+        pod = MultiStreamAuralizer(
+            cfg, n_streams=n,
+            params=(params if mesh is not None else
+                    [dataclasses.replace(params) for _ in range(n)]),
+            mesh=mesh,
+            realtime=args.realtime,
+            chunk_frames=args.chunk_frames,
+            metrics_log=args.metrics_log,
+            engine=engine,
+            max_streams=args.max_streams,
+            lease_timeout=args.lease_timeout,
+            idle_shrink=args.idle_shrink)
     cfg = pod.cfg               # engine may coerce (mono orthomodes)
     server = None
     if args.serve:
@@ -878,6 +929,11 @@ def _apply_platform_override() -> None:
     ncpu = os.environ.get("VAUDIO_NUM_CPU_DEVICES")
     if ncpu and plat == "cpu":
         jax.config.update("jax_num_cpu_devices", int(ncpu))
+    coll = os.environ.get("VAUDIO_CPU_COLLECTIVES")
+    if coll and plat == "cpu":
+        # Multi-process CPU (the multi-host pod tests) needs a CPU
+        # cross-process collectives backend; "gloo" ships with jaxlib.
+        jax.config.update("jax_cpu_collectives_implementation", coll)
 
 
 def _enable_compile_cache() -> None:
@@ -1121,6 +1177,21 @@ def main(argv=None) -> int:
                         "multiple), optionally xTP chips across the "
                         "flagship's synthesis cells (e.g. 4 or 4x2); "
                         "params are shared pod-wide in mesh mode")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host pod: jax.distributed coordinator "
+                        "address, identical on every host (with "
+                        "--num-processes/--process-id).  One pod spans "
+                        "the hosts: each host runs this command with "
+                        "ITS slots' --input list; ingest, WAVs, panel "
+                        "and checkpoints stay host-local while the "
+                        "dispatch is one SPMD program")
+    p.add_argument("--num-processes", type=int, default=None,
+                   metavar="N", help="multi-host pod: total host count")
+    p.add_argument("--process-id", type=int, default=None, metavar="I",
+                   help="multi-host pod: this host's index (0..N-1)")
+    p.add_argument("--global-streams", type=int, default=None,
+                   help="multi-host pod: TOTAL slot count across hosts "
+                        "(default: local --input count x N)")
     p.add_argument("--load-state", default=None, metavar="NPZ",
                    help="resume every slot's DSP carry from a pod "
                         "checkpoint before the first tick")

@@ -11,7 +11,10 @@ The reference is single-process/single-GPU; its only scale axis is
   sharded over ``'cell'`` and their spectra combined with a ``psum``);
 * :func:`run_offline_parallel` — scan the sharded step over a batched clip;
 * :mod:`vaudio.parallel.multihost` — per-host stream ingest for meshes
-  that span processes (streams DP over DCN, frame bytes stay host-local).
+  that span processes (streams DP over DCN, frame bytes stay host-local);
+* :class:`vaudio.parallel.hostpod.MultiHostPod` — the LIVE serving pod
+  over a process-spanning mesh: per-host rings/push doors/leases/panel,
+  one lockstep SPMD dispatch, per-slot params sharded with the streams.
 
 No cross-stream communication exists in the workload, so the ``'stream'``
 axis needs no collectives — exactly the embarrassingly-parallel layout the
@@ -19,6 +22,7 @@ survey prescribes; the ``'cell'`` axis demonstrates the model-parallel
 decomposition of the synthesis contraction.
 """
 
+from vaudio.parallel.hostpod import MultiHostPod
 from vaudio.parallel.multihost import (
     MultiHostAuralizer,
     distribute_local_frames,
@@ -38,6 +42,7 @@ from vaudio.parallel.sharding import (
 
 __all__ = [
     "MultiHostAuralizer",
+    "MultiHostPod",
     "distribute_local_frames",
     "init_carry_batch",
     "init_distributed",

@@ -1015,13 +1015,26 @@ class MultiStreamAuralizer:
                 frames[i] = self._zeros
         return frames, real
 
+    def _fetch_pcm(self, out) -> np.ndarray:
+        """Materialize a dispatch's PCM on the host (blocks until ready).
+        Hook: the multi-host pod (parallel.hostpod) overrides this to
+        gather only its process-local shards of the global array."""
+        return np.asarray(out["pcm"])
+
+    def _all_inactive(self) -> bool:
+        """True when no slot has a live source.  Hook: the multi-host pod
+        overrides this with a collective so every host agrees on the
+        same tick (a host idling while another dispatches would deadlock
+        the SPMD step)."""
+        return not any(self._active)
+
     def _flush(self, pending) -> None:
         """Write each slot's REAL hops to its ring (masks[i][t] marks
         rows from actual source frames; black batch-padding rows are
         dropped — a slot that ends mid-chunk, or is re-armed mid-chunk,
         only ever hears its own frames)."""
         out, t0, masks = pending
-        pcm = np.asarray(out["pcm"])       # blocks until ready
+        pcm = self._fetch_pcm(out)         # blocks until ready
         hop = self.cfg.hop_size * self.cfg.channels
         pcm = pcm.reshape(self.n_streams, -1, hop)
         for i in range(self.n_streams):
@@ -1181,7 +1194,7 @@ class MultiStreamAuralizer:
                               "released", file=sys.stderr)
             if self.idle_shrink is not None:
                 self._maybe_idle_shrink()
-            if not any(self._active):
+            if self._all_inactive():
                 if self._exit_when_exhausted:
                     break
                 # Long-lived pod: idle awaiting replace_source re-arms.

@@ -37,8 +37,13 @@ HOP = 2048
 
 
 def clip(g):
+    # 144x192: the smallest solid-color frame whose hue histogram passes
+    # the count>20 gate (27 px/cell at mip 3) — each color sonifies to
+    # DIFFERENT audio, so the parent's per-slot compare catches any
+    # slot-routing / shard-gather mixups (at smaller sizes every hue is
+    # gated invalid and all four clips yield byte-identical PCM).
     from vaudio.io import solid_color_frames
-    return np.asarray(solid_color_frames(COLORS[g], width=64, height=48,
+    return np.asarray(solid_color_frames(COLORS[g], width=192, height=144,
                                          num_frames=N_FRAMES))
 
 
@@ -56,7 +61,7 @@ def main():
     cfg = AuralizerConfig()
     n_global = 2 * nproc
     pod = MultiHostPod(cfg, n_global,
-                       frame=np.zeros((48, 64, 3), np.float32),
+                       frame=np.zeros((144, 192, 3), np.float32),
                        chunk_frames=2)
     lo, hi = pod.local_slice.start, pod.local_slice.stop
     assert hi - lo == 2 and pod.n_streams == 2

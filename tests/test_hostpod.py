@@ -31,9 +31,10 @@ COLORS = [
 ]
 
 
-def clips(n_streams, n_frames, size=64):
+def clips(n_streams, n_frames, size=64, width=None):
     return [np.asarray(solid_color_frames(COLORS[s % len(COLORS)],
-                                          width=size, height=size,
+                                          width=width or size,
+                                          height=size,
                                           num_frames=n_frames))
             for s in range(n_streams)]
 
@@ -242,22 +243,32 @@ class TestTwoProcess:
         cfg = AuralizerConfig()
         for g in range(4):
             got = np.load(tmp_path / f"pcm_{g}.npy")
-            # Mirrors hostpod_driver.clip(g): 64x48, 6 frames.
+            # Mirrors hostpod_driver.clip(g): 144x192, 6 frames (the
+            # hue gate passes there, so each slot's audio is distinct
+            # and routing bugs cannot cancel out).
             ref_clip = np.asarray(solid_color_frames(
-                COLORS[g], width=64, height=48, num_frames=6))
+                COLORS[g], width=192, height=144, num_frames=6))
             ref, _, _ = run_offline_batched(ref_clip, cfg, chunk=2)
             np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4)
 
     def test_two_process_pod_cli(self, tmp_path):
         """The CLI front door: two `vaudio pod --coordinator ...`
         processes (1 virtual CPU device each) serve one 2-slot global
-        pod; each host's slot WAV matches the offline run of its clip."""
+        pod; each host's slot WAV matches the offline run of its clip.
+
+        144x192 is the smallest solid-color size whose hue histogram
+        passes the count>20 gate (convolveFeatures.metal:154,
+        VisionEngine.swift:263): the two slots' clips then sonify to
+        DIFFERENT audio, so a slot-routing/shard-gather bug cannot pass.
+        (At 32x32 the mip-3 cells hold 1 px each, every hue is gated
+        invalid, and both colors yield byte-identical PCM.)"""
         import wave
 
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))
             port = s.getsockname()[1]
-        u8 = [(c * 255).astype(np.uint8) for c in clips(2, 4, size=32)]
+        u8 = [(c * 255).astype(np.uint8)
+              for c in clips(2, 4, size=144, width=192)]
         env = dict(os.environ, VAUDIO_PLATFORM="cpu",
                    VAUDIO_NUM_CPU_DEVICES="1",
                    VAUDIO_CPU_COLLECTIVES="gloo",
@@ -270,7 +281,7 @@ class TestTwoProcess:
             np.save(clip_path, u8[pid])
             procs.append(subprocess.Popen(
                 [sys.executable, "-m", "vaudio", "pod", "--size",
-                 "32x32", "--input", clip_path,
+                 "144x192", "--input", clip_path,
                  "-o", str(tmp_path / f"out{pid}"),
                  "--chunk-frames", "2",
                  "--coordinator", f"localhost:{port}",
@@ -296,4 +307,11 @@ class TestTwoProcess:
                 pcm = np.frombuffer(wv.readframes(4 * HOP),
                                     "<i2").astype(np.float32) / 32767.0
             ref, _, _ = run_offline_batched(u8[pid], cfg, chunk=2)
-            np.testing.assert_allclose(pcm, np.asarray(ref), atol=5e-4)
+            # The WAV sink clips to int16 full scale (io/sinks.py
+            # write_wav, "float32 PCM in [-1, 1]"): the peak-norm quirk
+            # (SoundEngine.swift:233-236) + OLA summation legitimately
+            # peaks above 1.0 (the reference hands those floats to the
+            # speaker, which clips in hardware) — compare against the
+            # clipped oracle, not the raw float one.
+            ref = np.clip(np.asarray(ref), -1.0, 1.0)
+            np.testing.assert_allclose(pcm, ref, atol=5e-4)

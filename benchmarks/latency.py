@@ -118,6 +118,7 @@ def measure_streaming(cfg, frames, fps, chunk_frames=1, drain=True,
                               + s.sink_latency_ms, 2),
         "achieved_fps": round(m.achieved_fps, 2),
         "dropped_frames": int(getattr(ring, "dropped_frames", 0)),
+        "pipeline_depth": s.pipeline_depth,
     }
     s.stop()
     return out
@@ -246,7 +247,7 @@ def main():
     out_path = os.environ.get(
         "VAUDIO_LAT_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "LATENCY_r03.json"))
+                     "LATENCY_r04.json"))
 
     cfg = AuralizerConfig(sample_rate=48000.0)
     log(f"latency: backend={jax.default_backend()} device="

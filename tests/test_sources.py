@@ -186,11 +186,16 @@ class TestRawVideoSource:
         # Frame 0's slot was recycled and refilled by a later frame.
         assert not np.array_equal(held, held_copy)
 
+    @pytest.mark.parametrize("depth", [1, 8])
     def test_zero_copy_stream_matches_copying_stream(self, fifo, tmp_path,
-                                                     rng):
+                                                     rng, depth):
         """End to end on the real consumer: the pipelined streaming
         producer over a zero-copy source produces the same PCM as the
-        copying source — the lag-2 release window is honored."""
+        copying source at ANY pipeline depth.  Regression (round 4): on
+        the CPU backend device_put ALIASES the pool slot, so once the
+        depth-K producer runs ahead of execution the compute read
+        recycled slots — borrowed frames are now copied on cpu (the
+        fence only consumes the slot on real-transfer backends)."""
         from vaudio.api import Auralizer
         from vaudio.config import AuralizerConfig
         h, w, n = 32, 32, 8
@@ -200,7 +205,7 @@ class TestRawVideoSource:
         cfg = AuralizerConfig(mip_level=2)
         pcms = {}
         for zc in (False, True):
-            aur = Auralizer(config=cfg, debug=False)
+            aur = Auralizer(config=cfg, debug=False, pipeline_depth=depth)
             src = RawVideoSource(path, width=w, height=h, zero_copy=zc,
                                  max_frames=n)
             # 300 s like the rest of the suite: at 120 s this timed out

@@ -433,3 +433,57 @@ class TestSoak:
         assert max(stats["peak"], float(np.abs(tail).max() if tail.size
                                         else 0.0)) <= 2.0
         assert stats["nonzero"] + np.count_nonzero(tail) > 0
+
+
+class TestPipelineDepth:
+    """The depth-K dispatch pipeline (stream.py pipeline_depth): a drain
+    thread fetches results in order while the producer keeps dispatching
+    — deeper overlap must never change the audio."""
+
+    def test_depths_produce_identical_audio(self):
+        from vaudio.runtime import run_offline
+        cfg = AuralizerConfig()
+        frames = np.asarray(solid_color_frames([0.2, 0.9, 0.3], width=64,
+                                               height=64, num_frames=10))
+        ref, _, _ = run_offline(frames, cfg)
+        for depth in (1, 4, 8):
+            s = StreamingAuralizer(cfg, pipeline_depth=depth)
+            s.run_until_exhausted(iter(frames), timeout=240)
+            got = s.pull(10 * cfg.hop_size)
+            np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4,
+                                       err_msg=f"depth={depth}")
+            assert s.metrics.frames_processed == 10
+            s.stop()
+
+    def test_chunked_deep_pipeline_matches_offline(self):
+        from vaudio.runtime.chunked import run_offline_batched
+        cfg = AuralizerConfig()
+        frames = np.asarray(solid_color_frames([0.9, 0.2, 0.8], width=64,
+                                               height=64, num_frames=12))
+        ref, _, _ = run_offline_batched(frames, cfg, chunk=3)
+        s = StreamingAuralizer(cfg, chunk_frames=3, pipeline_depth=6)
+        s.run_until_exhausted(iter(frames), timeout=240)
+        got = s.pull(12 * cfg.hop_size)
+        np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4)
+        s.stop()
+
+    def test_drain_write_failure_surfaces(self):
+        """An error on the drain thread (e.g. a poisoned ring write) must
+        fail the stream loudly via raise_if_failed, not vanish."""
+        cfg = AuralizerConfig()
+        s = StreamingAuralizer(cfg, pipeline_depth=4)
+
+        class PoisonRing:
+            def write(self, row):
+                raise RuntimeError("poisoned ring")
+
+            def reset(self):
+                pass
+
+            available = 0
+        s.ring = PoisonRing()
+        frames = solid_color_frames([0.5, 0.5, 0.1], width=64, height=64,
+                                    num_frames=6)
+        with pytest.raises(RuntimeError, match="stream producer failed"):
+            s.run_until_exhausted(list(frames), timeout=120)
+        s.stop()

@@ -68,7 +68,8 @@ class Auralizer:
                  sink_latency_ms: Optional[float] = None,
                  chunk_frames: int = 1,
                  metrics_log: Optional[str] = None,
-                 model: str = "auralizer"):
+                 model: str = "auralizer",
+                 pipeline_depth: int = 4):
         from vaudio.runtime.engine import make_engine
         self._engine = make_engine(model, config, debug=debug)
         # The engine owns any config coercion (the per-pixel family is
@@ -88,7 +89,7 @@ class Auralizer:
             prefer_native=prefer_native, debug=debug,
             sink_latency_ms=sink_latency_ms,
             chunk_frames=chunk_frames, metrics_log=metrics_log,
-            engine=self._engine)
+            engine=self._engine, pipeline_depth=pipeline_depth)
 
     # ------------------------------------------------------------------
     # Offline

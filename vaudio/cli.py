@@ -204,7 +204,8 @@ def cmd_stream(args) -> int:
     aur = Auralizer(config=cfg, params=params, realtime=args.realtime,
                     debug=bool(args.live_debug or args.serve),
                     chunk_frames=args.chunk_frames,
-                    metrics_log=args.metrics_log, model=model)
+                    metrics_log=args.metrics_log, model=model,
+                    pipeline_depth=args.pipeline_depth)
     cfg = aur.config          # orthomodes coerces channels/filters
 
     path = "/dev/stdin" if args.input == "-" else args.input
@@ -1059,8 +1060,10 @@ def main(argv=None) -> int:
     p.add_argument("--zero-copy", action="store_true",
                    help="zero-copy ingest: frames are NumPy views over "
                         "the native reader's buffer pool (saves a "
-                        "frame-sized memcpy per frame; safe for this "
-                        "single-frame pipelined stream loop)")
+                        "frame-sized memcpy per frame on accelerator "
+                        "backends, where the H2D transfer consumes the "
+                        "slot; on the cpu backend frames are still "
+                        "copied — device_put would alias pool memory)")
     p.add_argument("--control", default=None, metavar="PATH",
                    help="JSON-lines live-control feed (FIFO or file): "
                         "each line is an object of LiveParams updates "
@@ -1105,6 +1108,12 @@ def main(argv=None) -> int:
                         "latency, >1 = the chunk-batched throughput "
                         "pipeline (amortizes dispatch overhead N-fold "
                         "at the cost of N-1 frame times of buffering)")
+    p.add_argument("--pipeline-depth", type=int, default=4, metavar="K",
+                   help="dispatched device steps allowed in flight "
+                        "awaiting PCM readback (a drain thread fetches "
+                        "them in order); deeper overlaps a slow "
+                        "readback transport with upcoming frames' "
+                        "H2D+compute")
     p.add_argument("--model", choices=("auralizer", "orthomodes"),
                    default="auralizer",
                    help="model family: the flagship 16-cell synthesis "

@@ -99,7 +99,8 @@ class StreamingAuralizer:
                  chunk_frames: int = 1,
                  metrics_log: Optional[str] = None,
                  sink_latency_ms: Optional[float] = None,
-                 engine=None):
+                 engine=None,
+                 pipeline_depth: int = 4):
         """``chunk_frames > 1`` dispatches N frames per device call
         through the chunk-batched pipeline (runtime.chunked): adds N-1
         frame times of buffering latency but amortizes per-dispatch
@@ -112,6 +113,19 @@ class StreamingAuralizer:
         processed frame/chunk (timestamp, latency, buffer fill, drops) —
         the structured replacement for the reference's per-frame
         ``print(availableFrames)`` (SoundEngine.swift:445).
+
+        ``pipeline_depth``: how many dispatched device steps may be
+        awaiting PCM readback at once.  The producer thread only ever
+        SUBMITS work (JAX dispatch is asynchronous); a dedicated drain
+        thread blocks on each result in order and writes the ring, so
+        a slow readback transport (the remote TPU tunnel adds ~30 ms of
+        fixed per-fetch cost) overlaps the next frames' H2D + compute
+        instead of serializing with them — the TPU-native version of
+        the reference's overlapped command buffers
+        (VisionEngine.swift:175-180), but K deep instead of 3.  Depth 1
+        still overlaps one readback with one dispatch (the round-3
+        behavior); the queue bound provides backpressure so a source
+        can never run unboundedly ahead of the device.
 
         ``sink_latency_ms``: the downstream audio-output latency added to
         the reported total latency, so the metric is the same quantity as
@@ -130,6 +144,7 @@ class StreamingAuralizer:
         self.sink_latency_ms = float(sink_latency_ms)
         self.debug = debug
         self.chunk_frames = max(1, int(chunk_frames))
+        self.pipeline_depth = max(1, int(pipeline_depth))
         if engine is None:
             # The flagship model family; ``engine`` swaps in another
             # (e.g. runtime.engine.OrthoModesEngine) behind the same
@@ -389,19 +404,32 @@ class StreamingAuralizer:
     # -- producer ----------------------------------------------------------
 
     def _producer_loop(self, frames: Iterator[np.ndarray]) -> None:
+        import queue as _queue
+
         from vaudio.io.sources import own_frame
         frame_period = 1.0 / self.cfg.video_fps
-        pending = None        # (out, capture_time, n_hops)
         next_deadline = time.monotonic()
         chunk_buf: list = []
         chunk_t0: Optional[float] = None
         last_shape: Optional[tuple] = None
+
+        # The dispatch pipeline: the producer SUBMITS device steps and
+        # enqueues their (future) outputs; the drain thread blocks on
+        # each result in order and writes the ring.  Depth-K overlap:
+        # up to pipeline_depth results may be awaiting readback while
+        # the producer keeps dispatching (see __init__ docs).  put()
+        # blocking on a full queue is the backpressure.
+        pending_q: _queue.Queue = _queue.Queue(maxsize=self.pipeline_depth)
+        drop_tail = threading.Event()   # stop(): discard queued results
+        drain_error: list = []
 
         def flush(pending):
             out, t_capture, n_hops = pending
             pcm = np.asarray(out["pcm"])      # blocks until ready
             hop = self.cfg.hop_size * self.cfg.channels
             pcm = pcm.reshape(n_hops, hop)    # stereo: interleaved
+            if drop_tail.is_set():
+                return                        # stopped mid-fetch
             for row in pcm:
                 self.ring.write(row)
             latency_ms = (time.monotonic() - t_capture) * 1000.0
@@ -416,8 +444,23 @@ class StreamingAuralizer:
                                 else last.reshape(-1, self.cfg.channels))
                 self.debug_state = state
 
+        def drain_loop():
+            while True:
+                item = pending_q.get()
+                if item is None:
+                    return
+                if drop_tail.is_set():
+                    continue          # discard without fetching
+                try:
+                    flush(item)
+                except BaseException as e:   # surface via the producer
+                    drain_error.append(e)
+                    drop_tail.set()   # never deadlock the producer's put
+
+        drain_thread = threading.Thread(target=drain_loop, daemon=True)
+        drain_thread.start()
+
         def dispatch(frames_np, t_capture):
-            nonlocal pending
             if self._carry is None:
                 # Frame-sized carry (engine.carry_static False): built
                 # from the first frame, rebuilt after a resolution
@@ -452,34 +495,39 @@ class StreamingAuralizer:
                 # Strip the BorrowedFrame marker down to a base-class
                 # VIEW (same memory, no copy) before device_put: jax's
                 # ndarray fast path is type-exact, and a subclass could
-                # route through a slower/deferred conversion.  Why the
-                # view is safe to transfer: the dispatch pipeline is
-                # depth-1 — flush(pending) below blocks on dispatch N's
-                # output during iteration N+1, strictly before the
-                # source recycles slot N at iteration N+2 (the lag-2
-                # window).  INVARIANT: deepening `pending` to 2+
-                # outstanding dispatches breaks this — dispatch N could
-                # then still be reading the aliased pool slot when it
-                # is recycled; copy borrowed frames (own_frame) first.
+                # route through a slower/deferred conversion.
                 f0 = frames_np[0]
                 from vaudio.io.sources import BorrowedFrame
                 borrowed = (any(isinstance(v, BorrowedFrame)
                                 for v in f0.values())
                             if isinstance(f0, dict)
                             else isinstance(f0, BorrowedFrame))
+                if borrowed and jax.default_backend() == "cpu":
+                    # On the CPU backend device_put ALIASES host memory
+                    # (no transfer happens), so the fence below cannot
+                    # consume the pool slot — the async compute would
+                    # read it after the source recycles it once the
+                    # depth-K producer runs ahead of execution
+                    # (caught end-to-end: depth-1's inline flush used
+                    # to bound execution inside the lag-2 window).
+                    # Copy; zero-copy ingest only pays off on backends
+                    # with a real H2D transfer anyway.
+                    f0 = ({k: np.array(v) for k, v in f0.items()}
+                          if isinstance(f0, dict) else np.array(f0))
+                    borrowed = False
                 f0 = ({k: np.asarray(v) for k, v in f0.items()}
                       if isinstance(f0, dict) else np.asarray(f0))
                 frame_dev = jax.device_put(f0)
                 if borrowed:
                     # Bound the pool view's lifetime to THIS call: block
-                    # until the H2D transfer has consumed the slot.  The
-                    # lag-2 recycle covers steady state, but at EOF the
-                    # source generator's finally frees the whole pool
-                    # BEFORE the producer sees StopIteration — an async
-                    # transfer still in flight would read freed memory.
-                    # (Transfer still overlaps the PREVIOUS step's device
-                    # compute; we only stop overlapping it with our own
-                    # dispatch bookkeeping.)
+                    # until the H2D transfer has consumed the slot — the
+                    # slot is then free to be recycled no matter how far
+                    # the depth-K pipeline runs ahead, and the EOF case
+                    # (the source generator's finally frees the whole
+                    # pool BEFORE the producer sees StopIteration) is
+                    # covered too.  (Transfer still overlaps the PREVIOUS
+                    # step's device compute; we only stop overlapping it
+                    # with our own dispatch bookkeeping.)
                     jax.block_until_ready(frame_dev)
                 with self._carry_lock:
                     self._carry, out = self._step(self._carry, frame_dev,
@@ -494,28 +542,27 @@ class StreamingAuralizer:
                 with self._carry_lock:
                     self._carry, out = self._chunk_step(self._carry, batch,
                                                         params_arrays)
-            if pending is not None:
-                flush(pending)
-            pending = (out, t_capture, len(frames_np))
+            # Hand the (asynchronous) result to the drain thread; blocks
+            # only when pipeline_depth results are already awaiting
+            # readback (backpressure).
+            pending_q.put((out, t_capture, len(frames_np)))
 
         frames_it = iter(frames)
         while True:
-            if self._stop_event.is_set():
+            if self._stop_event.is_set() or drain_error:
                 break
             if (self.idle_probe is not None and self.idle_probe()
-                    and (pending is not None or chunk_buf)):
+                    and chunk_buf):
                 # The source reports it is about to BLOCK (a push-model
-                # queue ran empty): release everything in flight now —
-                # the depth-1 pending pipeline and a partial chunk are
-                # normally flushed by the NEXT dispatch, which may be a
-                # long time coming (an interactive client pushing at
-                # 1 fps must not hear its audio one full push late).
+                # queue ran empty): release the partial chunk now — it is
+                # normally dispatched at the NEXT chunk boundary, which
+                # may be a long time coming (an interactive client
+                # pushing at 1 fps must not hear its audio one full chunk
+                # late).  In-flight results need no forcing: the drain
+                # thread is already blocking on them.
                 for f in chunk_buf:
                     dispatch([f], chunk_t0 or time.monotonic())
                 chunk_buf = []
-                if pending is not None:
-                    flush(pending)
-                    pending = None
             try:
                 frame = next(frames_it)
             except StopIteration:
@@ -547,12 +594,10 @@ class StreamingAuralizer:
                 chunk_buf = []
                 if not self.engine.carry_static:
                     # Frame-sized carry: the old-shape state cannot
-                    # carry across (different oscillator count).  Drain
-                    # the in-flight dispatch first — it reads the old
-                    # carry.
-                    if pending is not None:
-                        flush(pending)
-                        pending = None
+                    # carry across (different oscillator count).  The
+                    # in-flight dispatches hold their own (donated)
+                    # carry references and the FIFO drain preserves
+                    # ring order, so dropping ours here is safe.
                     with self._carry_lock:
                         self._carry = None
                         self._carry_checked = False
@@ -572,9 +617,23 @@ class StreamingAuralizer:
                     dispatch(chunk_buf, chunk_t0)
                     chunk_buf = []
         # Trailing partial chunk: single-step the remainder.
-        if chunk_buf and not self._stop_event.is_set():
+        if (chunk_buf and not self._stop_event.is_set()
+                and not drain_error):
             for f in chunk_buf:
                 dispatch([f], chunk_t0 or time.monotonic())
-        if pending is not None and not self._stop_event.is_set():
-            flush(pending)
+        # Retire the pipeline: sentinel, then wait for the drain thread
+        # to finish writing (all audio is in the ring when the producer
+        # exits — run_until_exhausted relies on this).  A stop() request
+        # arriving meanwhile discards the queued tail, matching the old
+        # drop-on-stop semantics; a fetch wedged on a dead device leaves
+        # a daemon zombie exactly as the old inline flush would have.
+        if self._stop_event.is_set():
+            drop_tail.set()
+        pending_q.put(None)
+        while drain_thread.is_alive():
+            drain_thread.join(timeout=0.1)
+            if self._stop_event.is_set():
+                drop_tail.set()
+        if drain_error:
+            raise drain_error[0]
         self._running = False

@@ -9,7 +9,8 @@ so tunnel drift hits all arms equally — the round-3 A/B methodology
 seeds are salted per process (the relay dedup spans processes).
 
 Usage:  python benchmarks/ab_flags.py [combo ...]
-  combo names: baseline, matmul_ema, fast_acos, both
+  combo names: baseline, matmul_ema, fast_acos, both, default,
+               cumsum_phases
 Env: VAUDIO_BENCH_RES (1080x1920), VAUDIO_BENCH_CHUNKS (16,128),
      VAUDIO_BENCH_ITERS (12), VAUDIO_BENCH_SLOPE_REPS (3),
      VAUDIO_BENCH_JSON (artifact path)
@@ -32,6 +33,9 @@ COMBOS = {
     "fast_acos": {"use_matmul_ema": False, "fast_hue_acos": True},
     "both": {"use_matmul_ema": True, "fast_hue_acos": True},
     "default": {},   # whatever AuralizerConfig currently defaults to
+    # Round-4 candidate: phase accumulation as a batched prefix sum
+    # outside the serial hue scan (vs the current default arm).
+    "cumsum_phases": {"use_cumsum_phases": True},
 }
 
 

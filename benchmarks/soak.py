@@ -31,9 +31,13 @@ Usage: python benchmarks/soak.py
   VAUDIO_SOAK_FRAMES=N      total frames (default 100000)
   VAUDIO_SOAK_BUDGET_S=S    wall-clock bound, 0 = none (default 0)
   VAUDIO_SOAK_CHUNK=T       frames per device dispatch (default 2000)
-  VAUDIO_SOAK_SIZE=S        frame side (default 256: mip-3 gives 64
-                            px/cell, comfortably past the count>20 hue
-                            gate for solid cells)
+  VAUDIO_SOAK_SIZE=S        frame side, or HxW (default 256: mip-3
+                            gives 64 px/cell, comfortably past the
+                            count>20 hue gate for solid cells; the
+                            production shape is 1080x1920)
+  VAUDIO_SOAK_RUNTIME=R     scan (default) or chunked — the batched
+                            production pipeline (Pallas pool + tiled
+                            histogram engage at 1080p)
   VAUDIO_SOAK_MIP=L         mip level (default 3; the CPU-bounded CI
                             variant uses size 64 + mip 1 for the same
                             64 px/cell gate margin at 9x less pixel work)
@@ -52,15 +56,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_bank(chunk: int, size: int, bank_idx: int, grid: int = 4
+def build_bank(chunk: int, size, bank_idx: int, grid: int = 4
                ) -> np.ndarray:
-    """u8[chunk, size, size, 3] of per-cell solid colors.
+    """u8[chunk, h, w, 3] of per-cell solid colors (``size``: int side
+    or an (h, w) pair).
 
     Frame ``i`` of bank ``b`` uses base hue ``(b*chunk + i) * step`` with
     a fixed per-cell offset — deterministic, structured, hue-cycling
     content (the tutorial screen's solid-color harness semantics,
     Tutorial/TutorialStart.swift:109-124, tiled per cell)."""
     from vaudio.utils.render import hsb_to_rgb_array
+    h, w = (size, size) if isinstance(size, int) else size
     step = 0.003819            # ~7.6 hue cycles per 2000-frame chunk
     idx = np.arange(bank_idx * chunk, (bank_idx + 1) * chunk)
     base = (idx * step) % 1.0
@@ -69,15 +75,21 @@ def build_bank(chunk: int, size: int, bank_idx: int, grid: int = 4
     hues = (base[:, None, None] + cell_off) % 1.0
     rgb8 = (hsb_to_rgb_array(hues.astype(np.float32)) * 255.0 + 0.5
             ).astype(np.uint8)                       # (chunk, g, g, 3)
-    rep = size // grid
-    return np.repeat(np.repeat(rgb8, rep, axis=1), rep, axis=2)
+    return np.repeat(np.repeat(rgb8, h // grid, axis=1), w // grid, axis=2)
 
 
 def run_soak(total_frames: int = 100_000, budget_s: float = 0.0,
-             chunk: int = 2000, size: int = 256, mip_level: int = 3,
-             n_banks: int = 3, log=print) -> dict:
+             chunk: int = 2000, size=256, mip_level: int = 3,
+             n_banks: int = 3, runtime: str = "scan", log=print) -> dict:
     """Run the soak; returns the summary dict (raises AssertionError on a
-    health violation)."""
+    health violation).
+
+    ``size``: int side or an (h, w) pair (the production 1080p shape is
+    (1080, 1920), where the int8 Pallas pool and the tiled histogram
+    fast paths actually engage).  ``runtime``: "scan" (per-frame
+    lax.scan, the CI default) or "chunked" (runtime.chunked — the
+    production batched pipeline; the same health surface, exercised
+    through the deployment path)."""
     import dataclasses
 
     import jax
@@ -89,8 +101,10 @@ def run_soak(total_frames: int = 100_000, budget_s: float = 0.0,
                                      init_carry)
     from vaudio.synth import SynthConstants
 
+    h, w = (size, size) if isinstance(size, int) else size
     cfg = dataclasses.replace(AuralizerConfig(), mip_level=mip_level)
-    mip_px_per_cell = (size >> mip_level) ** 2 // cfg.num_cells
+    mip_px_per_cell = ((h >> mip_level) * (w >> mip_level)
+                       // cfg.num_cells)
     assert mip_px_per_cell > cfg.hist_count_gate, \
         (f"soak input would not pass the hue gate: {mip_px_per_cell} "
          f"mip px/cell <= gate {cfg.hist_count_gate}")
@@ -98,14 +112,22 @@ def run_soak(total_frames: int = 100_000, budget_s: float = 0.0,
     window = jnp.asarray(hann_window_norm(cfg.nfft))
     params = default_params(cfg)
 
-    banks = [jax.device_put(jnp.asarray(build_bank(chunk, size, b)))
+    banks = [jax.device_put(jnp.asarray(build_bank(chunk, (h, w), b)))
              for b in range(n_banks)]
 
-    @jax.jit
-    def scan_chunk(carry, frames):
-        def body(c, f):
-            return frame_step(c, f, params, cfg, consts, window)
-        return jax.lax.scan(body, carry, frames)
+    if runtime == "chunked":
+        from vaudio.runtime.chunked import chunk_pipeline
+
+        @jax.jit
+        def scan_chunk(carry, frames):
+            return chunk_pipeline(carry, frames, params, cfg, consts,
+                                  window)
+    else:
+        @jax.jit
+        def scan_chunk(carry, frames):
+            def body(c, f):
+                return frame_step(c, f, params, cfg, consts, window)
+            return jax.lax.scan(body, carry, frames)
 
     carry = init_carry(cfg)
     done = 0
@@ -172,7 +194,8 @@ def run_soak(total_frames: int = 100_000, budget_s: float = 0.0,
     summary = {
         "metric": "soak_frames_healthy",
         "frames": done,
-        "size": size,
+        "size": f"{h}x{w}",
+        "runtime": runtime,
         "mip_level": mip_level,
         "audio_seconds": round(done * cfg.hop_size / cfg.sample_rate, 1),
         "wall_s": round(dt, 1),
@@ -192,10 +215,14 @@ def run_soak(total_frames: int = 100_000, budget_s: float = 0.0,
 
 
 if __name__ == "__main__":
+    size_env = os.environ.get("VAUDIO_SOAK_SIZE", "256")
+    size = (tuple(int(x) for x in size_env.split("x"))
+            if "x" in size_env else int(size_env))
     run_soak(
         total_frames=int(os.environ.get("VAUDIO_SOAK_FRAMES", "100000")),
         budget_s=float(os.environ.get("VAUDIO_SOAK_BUDGET_S", "0")),
         chunk=int(os.environ.get("VAUDIO_SOAK_CHUNK", "2000")),
-        size=int(os.environ.get("VAUDIO_SOAK_SIZE", "256")),
+        size=size,
         mip_level=int(os.environ.get("VAUDIO_SOAK_MIP", "3")),
+        runtime=os.environ.get("VAUDIO_SOAK_RUNTIME", "scan"),
     )

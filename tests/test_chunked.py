@@ -122,6 +122,43 @@ class TestChunkedEquivalence:
         np.testing.assert_allclose(np.asarray(c1.running_max),
                                    np.asarray(c2.running_max), atol=1e-6)
 
+    def test_cumsum_phases(self, rng):
+        """cfg.use_cumsum_phases: the prefix-sum phase accumulation
+        matches the serial scan up to the documented mod-reduction
+        random walk (~f32 ulp of the raw advance per frame — see
+        config.use_cumsum_phases; measured 1.4e-3 rad phases / 6e-4
+        audio abs at T=32), with hues bit-identical (the hue scan is
+        untouched)."""
+        for t, chunk, ph_tol, au_tol in [(9, 4, 1e-3, 2e-4),
+                                         (32, 32, 4e-3, 2e-3)]:
+            frames = clip(rng, t=t)
+            a_ref, c_ref, _ = run_offline(frames, AuralizerConfig(),
+                                          dict(PARAMS))
+            a_new, c_new, _ = run_offline_batched(
+                frames, AuralizerConfig(use_cumsum_phases=True),
+                dict(PARAMS), chunk=chunk)
+            np.testing.assert_array_equal(np.asarray(c_new.hues),
+                                          np.asarray(c_ref.hues))
+            pd = np.abs(np.asarray(c_new.phases) - np.asarray(c_ref.phases))
+            pd = np.minimum(pd, 2 * np.pi - pd)        # phases live mod 2pi
+            assert pd.max() < ph_tol, pd.max()
+            np.testing.assert_allclose(np.asarray(a_new), np.asarray(a_ref),
+                                       atol=au_tol)
+
+    def test_cumsum_phases_stereo_carry(self, rng):
+        """Stereo + chunk-boundary carry handoff under use_cumsum_phases:
+        chunked-vs-chunked at different chunk sizes (same flag both
+        sides, so only the boundary handoff is under test)."""
+        frames = clip(rng, t=12)
+        cfg = AuralizerConfig(channels=2, use_cumsum_phases=True)
+        a1, c1, _ = run_offline_batched(frames, cfg, dict(PARAMS), chunk=3)
+        a2, c2, _ = run_offline_batched(frames, cfg, dict(PARAMS), chunk=12)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   atol=2e-4)
+        pd = np.abs(np.asarray(c1.phases) - np.asarray(c2.phases))
+        pd = np.minimum(pd, 2 * np.pi - pd)
+        assert pd.max() < 2e-3, pd.max()
+
     def test_batched_pallas_interpret_matches(self, rng):
         """use_pallas=True routes through the batched kernel (interpret
         mode on CPU) and must agree with the jnp contraction."""

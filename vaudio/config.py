@@ -138,6 +138,23 @@ class AuralizerConfig:
     # EMA scan's cost is already hidden at these chunk sizes); kept as
     # a verified alternative for chunk sizes past ~256.
     use_matmul_ema: bool = False
+    # Accumulate per-frame phase advances (pass A of runtime.chunked)
+    # as a BATCHED log-depth associative scan of mod-2pi increments
+    # instead of inside the serial hue-EMA lax.scan: the hue recurrence
+    # (nonlinear gate + int truncation) is the only genuinely serial
+    # piece; the phase advance for frame t depends only on hues_t, so
+    # once the hue scan has run, phases_t = (phases_0 +
+    # prefix_sum(adv_t)) mod 2pi.  mod-add is exactly associative; the
+    # numeric difference vs the serial path comes from WHERE the mod
+    # hits the raw advance (up to ~5400 rad for a 20 kHz partial, f32
+    # ulp ~5e-4): each path rounds that magnitude once per frame, in
+    # different ops, so their phases random-walk apart by ~ulp/frame —
+    # measured 1.4e-3 rad / 6e-4 audio abs at T=32 (neither is closer
+    # to exact math; the serial path is the reference-faithful one,
+    # SoundEngine.swift:267-283 accumulates f32 at the same magnitude).
+    # Breaks the frame_step bit-for-near guarantee when enabled.  Only
+    # affects the chunked pipeline.
+    use_cumsum_phases: bool = False
     # Evaluate the hue arccos (vision.rgb_to_hsi_planes) with the
     # degree-7 sqrt-polynomial (Abramowitz & Stegun 4.4.46, <= 2e-8 rad
     # = 3e-9 of a hue turn) instead of the transcendental expansion —

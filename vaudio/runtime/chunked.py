@@ -40,7 +40,8 @@ from vaudio.dsp import hann_window_norm, irfft_from_half, sigmoid_normalize
 from vaudio.runtime.step import StepCarry, default_params, init_carry
 from vaudio.synth import (SynthConstants, flatten_partials,
                           live_pan_from_params, partial_weights,
-                          phase_accumulate, spectral_filter_gain)
+                          phase_accumulate, phase_advance,
+                          spectral_filter_gain)
 from vaudio.vision import frame_stats, hist_max_and_arg, \
     update_hues_from_stats
 
@@ -128,19 +129,43 @@ def chunk_pipeline(carry: StepCarry, frames, params: Dict[str, Any],
         # (T,16,360), (T,16,4)
     max_vals, args = hist_max_and_arg(hists)           # (T, 16) each
 
-    def pass_a(c, x):
-        hues_prev, phases_prev = c
-        mx, ag = x
-        hues = update_hues_from_stats(mx, ag, hues_prev, mixing, cfg)
-        phases = phase_accumulate(phases_prev, hues, cfg, consts)
-        return (hues, phases), (hues, phases)
+    if cfg.use_cumsum_phases:
+        # Only the hue EMA is genuinely serial (nonlinear gate + int
+        # truncation); the phase advance for frame t depends only on
+        # hues_t, so phases factor out as a prefix sum once the hue
+        # scan has run: phases_t = (phases_0 + sum_{k<=t} adv_k) mod
+        # 2pi, evaluated as a log-depth associative scan of mod-2pi
+        # increments (mod-add is exactly associative; combine operands
+        # stay <= 4pi).  See config.use_cumsum_phases for the numerics.
+        def hue_scan(h_prev, x):
+            mx, ag = x
+            hues = update_hues_from_stats(mx, ag, h_prev, mixing, cfg)
+            return hues, hues
 
-    # unroll: the per-iteration state is tiny (16 ints + a (16, 32)
-    # add), so loop overhead dominates; unrolling batches it without
-    # changing the math (bit-identical).
-    (hues_last, phases_last), (hues_seq, phases_seq) = \
-        jax.lax.scan(pass_a, (carry.hues, carry.phases),
-                     (max_vals, args), unroll=8)
+        hues_last, hues_seq = jax.lax.scan(
+            hue_scan, carry.hues, (max_vals, args), unroll=8)
+        two_pi = np.float32(2.0 * np.pi)
+        adv = jax.vmap(lambda h: phase_advance(h, cfg, consts))(hues_seq)
+        adv = jnp.mod(adv, two_pi)                       # (T, 16, 32)
+        prefix = jax.lax.associative_scan(
+            lambda a, b: jnp.mod(a + b, two_pi), adv, axis=0)
+        phases_seq = jnp.mod(carry.phases[None] + prefix,
+                             two_pi).astype(jnp.float32)
+        phases_last = phases_seq[-1]
+    else:
+        def pass_a(c, x):
+            hues_prev, phases_prev = c
+            mx, ag = x
+            hues = update_hues_from_stats(mx, ag, hues_prev, mixing, cfg)
+            phases = phase_accumulate(phases_prev, hues, cfg, consts)
+            return (hues, phases), (hues, phases)
+
+        # unroll: the per-iteration state is tiny (16 ints + a (16, 32)
+        # add), so loop overhead dominates; unrolling batches it without
+        # changing the math (bit-identical).
+        (hues_last, phases_last), (hues_seq, phases_seq) = \
+            jax.lax.scan(pass_a, (carry.hues, carry.phases),
+                         (max_vals, args), unroll=8)
 
     # ---- pass B: weights + ONE batched contraction + rotation ----
     pan = live_pan_from_params(cfg, params)   # shared across frames

@@ -21,6 +21,7 @@ from vaudio.synth.spectrum import (
     live_pan_gains,
     partial_weights,
     phase_accumulate,
+    phase_advance,
     spectral_filter_gain,
 )
 
@@ -36,4 +37,5 @@ __all__ = [
     "flatten_partials",
     "partial_weights",
     "phase_accumulate",
+    "phase_advance",
 ]

@@ -119,6 +119,34 @@ class SynthConstants:
 # Phase accumulation (SoundEngine.swift:257-286)
 # ---------------------------------------------------------------------------
 
+def phase_advance(hues, cfg: AuralizerConfig, consts: SynthConstants):
+    """One frame's raw (pre-mod) phase advance for every partial slot.
+
+    The per-frame increment of applyPhaseAccumulation
+    (SoundEngine.swift:257-286): the fundamental is re-derived from the
+    hue, snapped to the bin grid, and each partial advances by
+    2*pi*f*hop/fs.  Depends only on this frame's hues — which is what
+    lets runtime.chunked batch the accumulation as a prefix sum once
+    the serial hue EMA has produced the hue sequence
+    (config.use_cumsum_phases).
+
+    Args:
+      hues: i32[16].
+    Returns: f32[16, 32] raw advances (up to ~2*pi*f_max*hop/fs rad,
+      NOT yet wrapped).
+    """
+    freqs = jnp.asarray(consts.freqs)
+    f0_raw = hue_to_f0(hues.astype(jnp.float32), cfg.f0_base, cfg.f0_octaves)
+    f0 = freqs[find_closest_index(freqs, f0_raw)]           # (16,)
+
+    ratios = jnp.concatenate([
+        jnp.asarray(consts.harmonic_numbers),                # 1..13
+        jnp.asarray(cfg.bessel_ratios()),                    # all 19
+    ])                                                       # (32,)
+    pfreq = f0[:, None] * ratios[None, :]                    # (16, 32)
+    return np.float32(2.0 * np.pi * cfg.hop_size / cfg.sample_rate) * pfreq
+
+
 def phase_accumulate(phases, hues, cfg: AuralizerConfig,
                      consts: SynthConstants):
     """Advance every cell's partial phases by one video frame.
@@ -138,16 +166,7 @@ def phase_accumulate(phases, hues, cfg: AuralizerConfig,
       hues:   i32[16].
     Returns: new f32[16, 32].
     """
-    freqs = jnp.asarray(consts.freqs)
-    f0_raw = hue_to_f0(hues.astype(jnp.float32), cfg.f0_base, cfg.f0_octaves)
-    f0 = freqs[find_closest_index(freqs, f0_raw)]           # (16,)
-
-    ratios = jnp.concatenate([
-        jnp.asarray(consts.harmonic_numbers),                # 1..13
-        jnp.asarray(cfg.bessel_ratios()),                    # all 19
-    ])                                                       # (32,)
-    pfreq = f0[:, None] * ratios[None, :]                    # (16, 32)
-    adv = np.float32(2.0 * np.pi * cfg.hop_size / cfg.sample_rate) * pfreq
+    adv = phase_advance(hues, cfg, consts)
     return jnp.mod(phases + adv, np.float32(2.0 * np.pi)).astype(jnp.float32)
 
 

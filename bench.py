@@ -214,11 +214,18 @@ def main() -> int:
             jax.block_until_ready(outs["pcm"])
             log(f"bench[ch={ch},{mode}]: chunk{T} first call (incl. "
                 f"compile) {time.perf_counter() - t0:.1f}s")
-            t0 = time.perf_counter()
-            for i in range(iters):
-                carry, outs = scan_chunk(carry, frames)
-            jax.block_until_ready(outs["pcm"])
-            return (time.perf_counter() - t0) / iters * 1e3  # ms/call
+            # MIN of two timed loops: host pauses (GC, relay hiccups —
+            # worst on 1-vCPU containers) only ever INFLATE a loop, so
+            # the min is the better estimator of the true per-call time.
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for i in range(iters):
+                    carry, outs = scan_chunk(carry, frames)
+                jax.block_until_ready(outs["pcm"])
+                best = min(best,
+                           (time.perf_counter() - t0) / iters * 1e3)
+            return best  # ms/call
 
         # The tunnel's per-call latency jitters by milliseconds between
         # runs; at the original 48-frame delta that was the same
@@ -235,9 +242,20 @@ def main() -> int:
         # (and once yielding an absurd 5815x mono). Salting the RNG
         # seeds makes every run's chain unique.
         n_reps = int(os.environ.get("VAUDIO_BENCH_SLOPE_REPS", "3"))
+        max_reps = int(os.environ.get("VAUDIO_BENCH_MAX_REPS", "8"))
         salt = (time.time_ns() ^ os.getpid()) % (1 << 20)
-        slopes = []
-        for rep in range(n_reps):
+        import statistics
+
+        # Adaptive reps with positive-slope filtering: a noisy host or a
+        # relay hiccup can inflate EITHER endpoint of a slope pair, so a
+        # single rep can come out negative (observed on a 1-vCPU host:
+        # mono median -1 us/frame — nonsense that must never reach the
+        # artifact).  Keep sampling until >= 3 positive slopes agree
+        # within 40% of their median, or the rep budget runs out; the
+        # reported number is the median of the positive slopes.
+        slopes: list = []
+        rep = 0
+        while True:
             t_small = bench_chunk(chunks[0], salt + rep)
             t_big = bench_chunk(chunks[1], salt + 1000 + rep)
             ms = (t_big - t_small) / (chunks[1] - chunks[0])
@@ -246,12 +264,33 @@ def main() -> int:
                 f"chunk{chunks[1]}={t_big:.1f}ms -> {ms * 1e3:.0f} "
                 f"us/frame")
             slopes.append(ms)
-        import statistics
-        ms_per_frame = statistics.median(slopes)
+            rep += 1
+            valid = sorted(s for s in slopes if s > 0)
+            if rep >= n_reps and len(valid) >= 3:
+                med = statistics.median(valid)
+                mid = valid[(len(valid) - 3) // 2:][:3]
+                if (mid[-1] - mid[0]) <= 0.4 * med:
+                    break
+                log(f"bench[ch={ch},{mode}]: slopes unstable "
+                    f"({[round(s * 1e3) for s in valid]} us) — extra rep")
+            if rep >= max_reps:
+                break
+        valid = [s for s in slopes if s > 0]
+        if valid:
+            ms_per_frame = statistics.median(valid)
+        else:
+            # Last resort (every slope came out <= 0): report the best
+            # whole-call time per frame at the large chunk — an honest
+            # UPPER bound (includes per-dispatch overhead), never
+            # garbage-negative.
+            ms_per_frame = bench_chunk(chunks[1], salt + 4242) / chunks[1]
+            log(f"bench[ch={ch},{mode}]: all slopes non-positive; "
+                f"falling back to per-call upper bound "
+                f"{ms_per_frame * 1e3:.0f} us/frame")
         fps = 1000.0 / ms_per_frame
         rtf = fps / cfg.video_fps
         log(f"bench[ch={ch},{mode}]: median {ms_per_frame:.3f} ms/frame "
-            f"over {n_reps} slopes -> {fps:.0f} frames/s = {rtf:.1f}x "
+            f"over {len(valid)}/{rep} slopes -> {fps:.0f} frames/s = {rtf:.1f}x "
             f"realtime @30fps; audio out "
             f"{fps * cfg.hop_size * ch / 1e6:.2f} Msamples/s")
         return rtf, ms_per_frame

@@ -255,6 +255,12 @@ def main() -> int:
         # reported number is the median of the positive slopes.
         slopes: list = []
         rep = 0
+        stable = False
+
+        def mid3(ss):
+            v = sorted(s for s in ss if s > 0)
+            return v[(len(v) - 3) // 2:][:3] if len(v) >= 3 else v
+
         while True:
             t_small = bench_chunk(chunks[0], salt + rep)
             t_big = bench_chunk(chunks[1], salt + 1000 + rep)
@@ -268,34 +274,49 @@ def main() -> int:
             valid = sorted(s for s in slopes if s > 0)
             if rep >= n_reps and len(valid) >= 3:
                 med = statistics.median(valid)
-                mid = valid[(len(valid) - 3) // 2:][:3]
+                mid = mid3(slopes)
                 if (mid[-1] - mid[0]) <= 0.4 * med:
+                    stable = True
                     break
                 log(f"bench[ch={ch},{mode}]: slopes unstable "
                     f"({[round(s * 1e3) for s in valid]} us) — extra rep")
             if rep >= max_reps:
                 break
         valid = [s for s in slopes if s > 0]
+        fallback = False
         if valid:
-            ms_per_frame = statistics.median(valid)
+            # Median of the middle-3 positive slopes: identical to the
+            # plain median when the stability gate passed, outlier-
+            # trimmed when it never did (so a noise-deflated-but-
+            # positive slope can't drag the reported number; ADVICE r04).
+            ms_per_frame = statistics.median(mid3(slopes))
         else:
             # Last resort (every slope came out <= 0): report the best
             # whole-call time per frame at the large chunk — an honest
             # UPPER bound (includes per-dispatch overhead), never
             # garbage-negative.
+            fallback = True
             ms_per_frame = bench_chunk(chunks[1], salt + 4242) / chunks[1]
-            log(f"bench[ch={ch},{mode}]: all slopes non-positive; "
-                f"falling back to per-call upper bound "
-                f"{ms_per_frame * 1e3:.0f} us/frame")
         fps = 1000.0 / ms_per_frame
         rtf = fps / cfg.video_fps
-        log(f"bench[ch={ch},{mode}]: median {ms_per_frame:.3f} ms/frame "
-            f"over {len(valid)}/{rep} slopes -> {fps:.0f} frames/s = {rtf:.1f}x "
-            f"realtime @30fps; audio out "
-            f"{fps * cfg.hop_size * ch / 1e6:.2f} Msamples/s")
-        return rtf, ms_per_frame
+        if fallback:
+            log(f"bench[ch={ch},{mode}]: all {rep} slopes non-positive; "
+                f"per-call UPPER BOUND {ms_per_frame:.3f} ms/frame "
+                f"(NOT a slope) -> {fps:.0f} frames/s = {rtf:.1f}x "
+                f"realtime @30fps")
+        else:
+            log(f"bench[ch={ch},{mode}]: median {ms_per_frame:.3f} "
+                f"ms/frame over {len(valid)}/{rep} slopes "
+                f"({'stable' if stable else 'UNSTABLE'}) -> "
+                f"{fps:.0f} frames/s = {rtf:.1f}x "
+                f"realtime @30fps; audio out "
+                f"{fps * cfg.hop_size * ch / 1e6:.2f} Msamples/s")
+        quality = {"slopes_us": [round(s * 1e3, 2) for s in slopes],
+                   "valid_reps": len(valid), "stable": stable,
+                   "fallback_upper_bound": fallback}
+        return rtf, ms_per_frame, quality
 
-    rtf, ms_per_frame = measure(channels, "chunked")
+    rtf, ms_per_frame, quality = measure(channels, "chunked")
     # Machine-checkable roofline claim (docs/BENCHMARKS.md "Where the
     # 0.037 ms goes"): the static floor is the u8 frame read out of HBM
     # (bytes / peak BW; v5e ~819 GB/s, override via VAUDIO_BENCH_HBM_GBS)
@@ -320,14 +341,25 @@ def main() -> int:
         "static_floor_us": round(static_floor_us, 2),
         "pct_of_floor": round(100.0 * static_floor_us / us_per_frame, 1),
         "ingest_hbm_gbs": round(frame_bytes / (us_per_frame * 1e3), 1),
+        # Measurement-quality markers (ADVICE r04): a degraded-host
+        # fallback or an unstable median must be distinguishable from a
+        # clean slope measurement downstream.
+        "stable": quality["stable"],
+        "valid_reps": quality["valid_reps"],
+        "slopes_us": quality["slopes_us"],
     }
+    if quality["fallback_upper_bound"]:
+        record["fallback_upper_bound"] = True
     if quantize:
         record["quantize_mips"] = True   # strict-parity 8-bit mip chain
     if os.environ.get("VAUDIO_BENCH_SCAN", "1") == "1":
-        record["scan_path_x_realtime"] = round(
-            measure(channels, "scan")[0], 2)
+        s_rtf, _, s_q = measure(channels, "scan")
+        record["scan_path_x_realtime"] = round(s_rtf, 2)
+        record["scan_stable"] = s_q["stable"]
     if also_mono:
-        record["mono_x_realtime"] = round(measure(1, "chunked")[0], 2)
+        m_rtf, _, m_q = measure(1, "chunked")
+        record["mono_x_realtime"] = round(m_rtf, 2)
+        record["mono_stable"] = m_q["stable"]
     print(json.dumps(record))
     return 0
 

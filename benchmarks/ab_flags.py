@@ -8,11 +8,22 @@ so tunnel drift hits all arms equally — the round-3 A/B methodology
 (docs/BENCHMARKS.md).  Carries chain between calls (dedup defense);
 seeds are salted per process (the relay dedup spans processes).
 
+Slope statistics are the HARDENED bench.py set (commit 54e8e88 — the
+round-4 artifact was judged unusable without them: a 1321.82 us garbage
+slope sat in the median set next to 27.93 and 33.99): each timed point
+is the MIN of two loops (host pauses only inflate), reps extend
+adaptively until every arm's middle-3 positive slopes agree within
+``VAUDIO_BENCH_STABLE_FRAC`` of their median (default 0.15 — tighter
+than bench.py's 0.4 because an A/B must resolve ~10% differences), and
+each arm records its valid-slope count + a ``stable`` flag so a
+degraded-host artifact is distinguishable from a clean one.
+
 Usage:  python benchmarks/ab_flags.py [combo ...]
   combo names: baseline, matmul_ema, fast_acos, both, default,
                cumsum_phases
 Env: VAUDIO_BENCH_RES (1080x1920), VAUDIO_BENCH_CHUNKS (16,128),
      VAUDIO_BENCH_ITERS (12), VAUDIO_BENCH_SLOPE_REPS (3),
+     VAUDIO_BENCH_MAX_REPS (8), VAUDIO_BENCH_STABLE_FRAC (0.15),
      VAUDIO_BENCH_JSON (artifact path)
 """
 
@@ -59,6 +70,9 @@ def main():
               os.environ.get("VAUDIO_BENCH_CHUNKS", "16,128").split(",")]
     iters = int(os.environ.get("VAUDIO_BENCH_ITERS", "12"))
     n_reps = int(os.environ.get("VAUDIO_BENCH_SLOPE_REPS", "3"))
+    max_reps = int(os.environ.get("VAUDIO_BENCH_MAX_REPS", "8"))
+    stable_frac = float(os.environ.get("VAUDIO_BENCH_STABLE_FRAC",
+                                       "0.15"))
     salt = (time.time_ns() ^ os.getpid()) % (1 << 20)
 
     print(f"device={jax.devices()[0]} res={h}x{w} chunks={chunks} "
@@ -98,13 +112,38 @@ def main():
         dt = time.perf_counter() - t0
         if dt > 2.0:
             print(f"  (compile chunk{T}: {dt:.1f}s)", flush=True)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            carry, outs = arm["step"](carry, frames)
-        jax.block_until_ready(outs["pcm"])
-        return (time.perf_counter() - t0) / iters * 1e3
+        # MIN of two timed loops (bench.py commit 54e8e88): host pauses
+        # (GC, relay hiccups) only ever INFLATE a loop, so the min is
+        # the better estimator of the true per-call time.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                carry, outs = arm["step"](carry, frames)
+            jax.block_until_ready(outs["pcm"])
+            best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+        return best
 
-    for rep in range(n_reps):
+    def mid3(slopes):
+        """The middle-3 of the sorted positive slopes (or fewer)."""
+        valid = sorted(s for s in slopes if s > 0)
+        return valid[(len(valid) - 3) // 2:][:3] if len(valid) >= 3 \
+            else valid
+
+    def arm_stable(slopes):
+        valid = [s for s in slopes if s > 0]
+        if len(valid) < 3:
+            return False
+        m = mid3(slopes)
+        return (m[-1] - m[0]) <= stable_frac * statistics.median(valid)
+
+    # Adaptive interleaved reps: keep running full rounds (every arm
+    # once, rotated order) until EVERY arm's middle-3 positive slopes
+    # agree within stable_frac of its median, or the rep budget runs
+    # out.  All arms get the same number of rounds so drift stays
+    # balanced.
+    rep = 0
+    while True:
         # Rotate combo order so drift within a rep is not correlated
         # with a fixed arm position.
         order = names[rep % len(names):] + names[:rep % len(names)]
@@ -124,22 +163,42 @@ def main():
             print(f"rep{rep} {name:12s} chunk{chunks[0]}={t_small:.1f}ms "
                   f"chunk{chunks[1]}={t_big:.1f}ms -> "
                   f"{ms * 1e3:.1f} us/frame", flush=True)
+        rep += 1
+        if rep >= n_reps and all(arm_stable(arms[n]["slopes"])
+                                 for n in names):
+            break
+        if rep >= max_reps:
+            break
+        if rep >= n_reps:
+            bad = [n for n in names if not arm_stable(arms[n]["slopes"])]
+            print(f"unstable arms {bad} — extra rep", flush=True)
 
     record = {"resolution": f"{h}x{w}", "chunks": chunks, "iters": iters,
-              "slope_reps": n_reps, "device": str(jax.devices()[0]),
-              "arms": {}}
+              "slope_reps": rep, "stable_frac": stable_frac,
+              "device": str(jax.devices()[0]), "arms": {}}
     for name in names:
-        ms = statistics.median(arms[name]["slopes"])
-        rtf = (1000.0 / ms) / 30.0
+        slopes = arms[name]["slopes"]
+        valid = [s for s in slopes if s > 0]
+        stable = arm_stable(slopes)
+        # Reported number: median of the middle-3 positive slopes —
+        # identical to the plain median when stable, and outlier-trimmed
+        # when the gate never passed (ADVICE r04: never let a 40x
+        # garbage slope into the median set).
+        m = mid3(slopes)
+        ms = statistics.median(m) if m else float("nan")
+        rtf = (1000.0 / ms) / 30.0 if ms == ms and ms > 0 else 0.0
         print(f"{name:12s} median {ms * 1e3:.1f} us/frame = "
-              f"{rtf:.0f}x realtime (slopes "
-              f"{[round(s * 1e3, 1) for s in arms[name]['slopes']]})",
+              f"{rtf:.0f}x realtime "
+              f"({'stable' if stable else 'UNSTABLE'}, "
+              f"{len(valid)}/{len(slopes)} valid slopes "
+              f"{[round(s * 1e3, 1) for s in slopes]})",
               flush=True)
         record["arms"][name] = {
             "us_per_frame": round(ms * 1e3, 2),
             "x_realtime": round(rtf, 1),
-            "slopes_us": [round(s * 1e3, 2)
-                          for s in arms[name]["slopes"]]}
+            "stable": stable,
+            "valid_reps": len(valid),
+            "slopes_us": [round(s * 1e3, 2) for s in slopes]}
 
     out = os.environ.get("VAUDIO_BENCH_JSON")
     if out:

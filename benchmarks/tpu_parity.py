@@ -160,6 +160,61 @@ def main(argv=None):
     check("spectrum_contraction", np.abs(cur - oracle).max(),
           np.abs(oracle).max() * 2e-6 + 1e-9)
 
+    # -- phase accumulation, serial vs prefix-sum, ON DEVICE vs an f64
+    # host oracle.  Round 4 added use_cumsum_phases (runtime/chunked.py:
+    # 132-155 — phases as a mod-2pi associative scan once the hue scan
+    # has run); its ~ulp(advance)/frame random walk was characterized
+    # on CPU only (tests/test_chunked.py::test_cumsum_phases).  Audit
+    # both paths on the TPU: errors are circular (phases live mod 2pi);
+    # tolerances are the measured walk at T=128 (CPU: serial 1.6e-2,
+    # cumsum 1.1e-2 rad — ulp(raw advance) ~3e-5/frame accumulating
+    # near-linearly; 1.4e-3 at T=32) with 2x headroom.  The audit's
+    # claim is the documented one: NEITHER path is exact, the cumsum
+    # path is no FARTHER from f64 than the reference-faithful serial
+    # path, and their mutual divergence stays in the characterized
+    # band (config.use_cumsum_phases).
+    from vaudio.synth import phase_accumulate, phase_advance
+    T = 128
+    hues_seq = jnp.asarray(rng.integers(0, 360, (T, cfg.grid_size ** 2)),
+                           jnp.int32)
+    from vaudio.runtime.step import init_carry
+    p0 = jnp.asarray(
+        rng.uniform(0, 2 * np.pi, init_carry(cfg).phases.shape),
+        jnp.float32)
+    two_pi = np.float32(2.0 * np.pi)
+
+    @jax.jit
+    def both_paths(p0, hues_seq):
+        def body(p, h):
+            p2 = phase_accumulate(p, h, cfg, consts)
+            return p2, None
+        serial_last, _ = jax.lax.scan(body, p0, hues_seq)
+        adv = jax.vmap(lambda h: phase_advance(h, cfg, consts))(hues_seq)
+        pre = jax.lax.associative_scan(
+            lambda a, b: jnp.mod(a + b, two_pi), jnp.mod(adv, two_pi),
+            axis=0)
+        cum_last = jnp.mod(p0 + pre[-1], two_pi)
+        return serial_last, cum_last, adv
+
+    serial_last, cum_last, adv = jax.tree.map(np.asarray,
+                                              both_paths(p0, hues_seq))
+
+    def circ(a, b):
+        d = np.abs(a.astype(np.float64) - b.astype(np.float64))
+        return np.minimum(d, 2 * np.pi - d).max()
+
+    oracle_p = np.mod(np.asarray(p0, np.float64)
+                      + adv.astype(np.float64).sum(axis=0), 2 * np.pi)
+    err_serial = circ(serial_last, oracle_p)
+    err_cumsum = circ(cum_last, oracle_p)
+    check("phase_serial_vs_f64", err_serial, 3.2e-2)
+    check("phase_cumsum_vs_f64", err_cumsum, 3.2e-2)
+    check("phase_cumsum_vs_serial", circ(cum_last, serial_last), 2e-2)
+    # cumsum must not be categorically worse than serial (2x slack on a
+    # random walk whose realization varies run to run).
+    check("phase_cumsum_over_serial_ratio",
+          err_cumsum / max(err_serial, 1e-9), 2.0)
+
     out = json.dumps(report)
     print(out)
     if args.json:

@@ -20,10 +20,14 @@ degraded-host artifact is distinguishable from a clean one.
 
 Usage:  python benchmarks/ab_flags.py [combo ...]
   combo names: baseline, matmul_ema, fast_acos, both, default,
-               cumsum_phases
+               cumsum_phases; with VAUDIO_AB_MODE=scan also
+               scan_default, scan_pallas, scan_pallas_audio,
+               scan_both_pallas, scan_unroll4/12/16
 Env: VAUDIO_BENCH_RES (1080x1920), VAUDIO_BENCH_CHUNKS (16,128),
      VAUDIO_BENCH_ITERS (12), VAUDIO_BENCH_SLOPE_REPS (3),
      VAUDIO_BENCH_MAX_REPS (8), VAUDIO_BENCH_STABLE_FRAC (0.15),
+     VAUDIO_AB_MODE (chunked|scan — scan wraps frame_step in the
+     unrolled lax.scan bench.py measures as scan_path_x_realtime),
      VAUDIO_BENCH_JSON (artifact path)
 """
 
@@ -46,7 +50,26 @@ COMBOS = {
     "default": {},   # whatever AuralizerConfig currently defaults to
     # Round-4 candidate: phase accumulation as a batched prefix sum
     # outside the serial hue scan (vs the current default arm).
+    # Resolved round 5 (AB_FLAGS_r05.json): 22% win, now the default.
     "cumsum_phases": {"use_cumsum_phases": True},
+    "serial_phases": {"use_cumsum_phases": False},
+    # Round-5 re-tests: both measured a WASH against the 37 us pipeline
+    # (r03) — but the cumsum flip shrank the serial region, so the
+    # overlap structure those verdicts rested on changed.
+    "matmul_irfft": {"use_matmul_irfft": True},
+    "matmul_ema_r5": {"use_matmul_ema": True},
+    # Scan-path arms (VAUDIO_AB_MODE=scan): per-frame dispatch is
+    # scheduling-gap-bound, so the candidates are the fused Pallas
+    # kernels (fewer, larger in-loop kernels) and the unroll factor.
+    # "_unroll" is harness-level (lax.scan unroll), not an
+    # AuralizerConfig field.
+    "scan_default": {},
+    "scan_pallas": {"use_pallas": True},
+    "scan_pallas_audio": {"use_pallas_audio": True},
+    "scan_both_pallas": {"use_pallas": True, "use_pallas_audio": True},
+    "scan_unroll4": {"_unroll": 4},
+    "scan_unroll12": {"_unroll": 12},
+    "scan_unroll16": {"_unroll": 16},
 }
 
 
@@ -60,10 +83,12 @@ def main():
     from vaudio.config import AuralizerConfig
     from vaudio.dsp import hann_window_norm
     from vaudio.runtime.chunked import chunk_pipeline
-    from vaudio.runtime.step import default_params, init_carry
+    from vaudio.runtime.step import default_params, frame_step, init_carry
     from vaudio.synth import SynthConstants
 
-    names = sys.argv[1:] or list(COMBOS)
+    mode = os.environ.get("VAUDIO_AB_MODE", "chunked")
+    names = sys.argv[1:] or \
+        [n for n in COMBOS if n.startswith("scan_") == (mode == "scan")]
     res = os.environ.get("VAUDIO_BENCH_RES", "1080x1920")
     h, w = (int(x) for x in res.split("x"))
     chunks = [int(x) for x in
@@ -80,18 +105,28 @@ def main():
 
     arms = {}
     for name in names:
-        cfg = AuralizerConfig(sample_rate=48000.0, channels=2,
-                              **COMBOS[name])
+        combo = dict(COMBOS[name])
+        unroll = combo.pop("_unroll", 8)
+        cfg = AuralizerConfig(sample_rate=48000.0, channels=2, **combo)
         consts = SynthConstants.create(cfg)
         window = jnp.asarray(hann_window_norm(cfg.nfft))
         params = default_params(cfg)
 
         def make_step(cfg=cfg, consts=consts, window=window,
-                      params=params):
-            @jax.jit
-            def step(carry, frames):
-                return chunk_pipeline(carry, frames, params, cfg, consts,
-                                      window)
+                      params=params, unroll=unroll):
+            if mode == "scan":
+                @jax.jit
+                def step(carry, frames):
+                    def body(c, f):
+                        return frame_step(c, f, params, cfg, consts,
+                                          window)
+                    return jax.lax.scan(body, carry, frames,
+                                        unroll=unroll)
+            else:
+                @jax.jit
+                def step(carry, frames):
+                    return chunk_pipeline(carry, frames, params, cfg,
+                                          consts, window)
             return step
 
         arms[name] = {"cfg": cfg, "step": make_step(), "slopes": []}
@@ -174,7 +209,7 @@ def main():
             print(f"unstable arms {bad} — extra rep", flush=True)
 
     record = {"resolution": f"{h}x{w}", "chunks": chunks, "iters": iters,
-              "slope_reps": rep, "stable_frac": stable_frac,
+              "slope_reps": rep, "stable_frac": stable_frac, "mode": mode,
               "device": str(jax.devices()[0]), "arms": {}}
     for name in names:
         slopes = arms[name]["slopes"]

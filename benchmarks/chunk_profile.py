@@ -64,20 +64,50 @@ def main():
                     jnp.sum(grads_seq), carry
             max_vals, args = hist_max_and_arg(hists)
 
-            def pass_a(c, x):
-                hues_prev, phases_prev = c
-                hues = update_hues_from_stats(x[0], x[1], hues_prev,
-                                              mixing, cfg)
-                phases = phase_accumulate(phases_prev, hues, cfg, consts)
-                return (hues, phases), (hues, phases)
+            if cfg.use_cumsum_phases:
+                # Mirror the round-5 production pass A (runtime.chunked):
+                # serial scan for the hue EMA only, phases as a batched
+                # mod-2pi prefix sum — profiled as separate stages.
+                from vaudio.synth import phase_advance
 
-            (hl, pl), (hues_seq, phases_seq) = jax.lax.scan(
-                pass_a, (carry.hues, carry.phases), (max_vals, args))
-            carry = carry._replace(hues=hl, phases=pl) if hasattr(
-                carry, "_replace") else carry
-            if stage == "A2_scan":
-                return acc + jnp.sum(hues_seq.astype(jnp.float32)) + \
-                    jnp.sum(phases_seq), carry
+                def hue_scan(h_prev, x):
+                    hues = update_hues_from_stats(x[0], x[1], h_prev,
+                                                  mixing, cfg)
+                    return hues, hues
+
+                hl, hues_seq = jax.lax.scan(hue_scan, carry.hues,
+                                            (max_vals, args), unroll=8)
+                if stage == "A2_scan":
+                    return acc + jnp.sum(hues_seq.astype(jnp.float32)), \
+                        carry._replace(hues=hl)
+                two_pi = np.float32(2.0 * np.pi)
+                adv = jax.vmap(lambda hh: phase_advance(hh, cfg, consts))(
+                    hues_seq)
+                prefix = jax.lax.associative_scan(
+                    lambda a, b: jnp.mod(a + b, two_pi),
+                    jnp.mod(adv, two_pi), axis=0)
+                phases_seq = jnp.mod(carry.phases[None] + prefix,
+                                     two_pi).astype(jnp.float32)
+                carry = carry._replace(hues=hl, phases=phases_seq[-1])
+                if stage == "A3_phases":
+                    return acc + jnp.sum(phases_seq), carry
+            else:
+                def pass_a(c, x):
+                    hues_prev, phases_prev = c
+                    hues = update_hues_from_stats(x[0], x[1], hues_prev,
+                                                  mixing, cfg)
+                    phases = phase_accumulate(phases_prev, hues, cfg,
+                                              consts)
+                    return (hues, phases), (hues, phases)
+
+                (hl, pl), (hues_seq, phases_seq) = jax.lax.scan(
+                    pass_a, (carry.hues, carry.phases), (max_vals, args),
+                    unroll=8)
+                carry = carry._replace(hues=hl, phases=pl) if hasattr(
+                    carry, "_replace") else carry
+                if stage in ("A2_scan", "A3_phases"):
+                    return acc + jnp.sum(hues_seq.astype(jnp.float32)) + \
+                        jnp.sum(phases_seq), carry
             pan = live_pan_from_params(cfg, params)
 
             def weights_one(hues, grads, phases):
@@ -141,8 +171,8 @@ def main():
               f"{t_big:.1f}ms)", flush=True)
         return us
 
-    stages = ["A1_stats", "A2_scan", "B1_weights", "B2_contraction",
-              "C1_rot_ema", "C2_irfft"]
+    stages = ["A1_stats", "A2_scan", "A3_phases", "B1_weights",
+              "B2_contraction", "C1_rot_ema", "C2_irfft"]
     cum = {}
     for st in stages:
         cum[st] = measure(prefix_fn(st), st)

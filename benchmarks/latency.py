@@ -43,7 +43,7 @@ def log(msg):
 
 
 def measure_streaming(cfg, frames, fps, chunk_frames=1, drain=True,
-                      pace=True, warm=True):
+                      pace=True, warm=True, pipeline_depth=4):
     """The reference-probe number through the pipelined host loop.
 
     ``fps``: producer pacing (ignored when ``pace=False`` — the producer
@@ -62,12 +62,14 @@ def measure_streaming(cfg, frames, fps, chunk_frames=1, drain=True,
     if warm:
         # Warm the compile cache outside the timed run.
         s = StreamingAuralizer(cfg_run, realtime=True, debug=False,
-                               chunk_frames=chunk_frames)
+                               chunk_frames=chunk_frames,
+                               pipeline_depth=pipeline_depth)
         s.run_until_exhausted(list(frames[:max(2, 2 * chunk_frames)]),
                               timeout=900)
         s.stop()
     s = StreamingAuralizer(cfg_run, realtime=pace, debug=False,
-                           chunk_frames=chunk_frames)
+                           chunk_frames=chunk_frames,
+                           pipeline_depth=pipeline_depth)
 
     stop_drain = threading.Event()
 
@@ -247,7 +249,7 @@ def main():
     out_path = os.environ.get(
         "VAUDIO_LAT_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "LATENCY_r04.json"))
+                     "LATENCY_r05.json"))
 
     cfg = AuralizerConfig(sample_rate=48000.0)
     log(f"latency: backend={jax.default_backend()} device="
@@ -294,6 +296,41 @@ def main():
         out["saturated"] = True   # still not converged: label it honestly
         return out
 
+    def pipeline_frontier():
+        """(chunk_frames x pipeline_depth) free-run frontier: does
+        depth-K dispatch pipelining (runtime.stream, round 4) buy
+        throughput through THIS transport?  Each config free-runs
+        drained; the depth-4/depth-1 fps ratio per chunk is the
+        measured overlap (~1.0 = the relay serializes per-call
+        dispatches and the benefit is unmeasurable here — the honest
+        row VERDICT r04 asked for instead of a single-point claim)."""
+        rows = []
+        for chunk in (1, 2, 4, 8):
+            per_depth = {}
+            for depth in (1, 4):
+                r = measure_streaming(cfg, frames[:32], fps=30.0,
+                                      chunk_frames=chunk, drain=True,
+                                      pace=False, warm=(depth == 1),
+                                      pipeline_depth=depth)
+                per_depth[depth] = r
+                log(f"latency frontier chunk{chunk} depth{depth}: "
+                    f"fps={r['achieved_fps']} p50={r['p50_ms']}ms")
+            ratio = (per_depth[4]["achieved_fps"]
+                     / max(per_depth[1]["achieved_fps"], 1e-6))
+            rows.append({
+                "chunk_frames": chunk,
+                "depth1_fps": per_depth[1]["achieved_fps"],
+                "depth4_fps": per_depth[4]["achieved_fps"],
+                "depth4_over_depth1": round(ratio, 3),
+                "depth1_p50_ms": per_depth[1]["p50_ms"],
+                "depth4_p50_ms": per_depth[4]["p50_ms"],
+                "verdict": ("overlap measured" if ratio >= 1.10 else
+                            "relay serializes; benefit unmeasurable "
+                            "here"),
+            })
+        return rows
+
+    frontier = pipeline_frontier()
     steady = calibrated_steady("")
     # The chunked pipeline is a THROUGHPUT configuration: it buffers
     # chunk_frames frames before dispatching, so per-frame latency
@@ -320,6 +357,7 @@ def main():
                    "backend": str(jax.devices()[0])},
         "budget_ms": 33.0,
         "steady_state": steady,
+        "pipeline_frontier": frontier,
         "chunked_free_run": steady_chunked,
         "overloaded": overloaded,
         "decomposed_hardware_bound": decomposed,

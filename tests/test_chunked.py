@@ -18,6 +18,15 @@ def clip(rng, t=9, size=64):
 
 
 def assert_equivalent(frames, cfg, params=PARAMS, chunk=4, atol=2e-5):
+    """Strict chunked-vs-scan equivalence.
+
+    Pins use_cumsum_phases=False: the serial phase path is the surface
+    that carries the bit-for-near guarantee (the round-5 default is the
+    prefix-sum path, whose documented ~ulp/frame random walk vs the
+    scan path has its own band test below — test_default_config_cumsum_band).
+    """
+    import dataclasses
+    cfg = dataclasses.replace(cfg, use_cumsum_phases=False)
     a_ref, c_ref, d_ref = run_offline(frames, cfg, dict(params),
                                       debug=True)
     a_new, c_new, d_new = run_offline_batched(frames, cfg, dict(params),
@@ -123,12 +132,12 @@ class TestChunkedEquivalence:
                                    np.asarray(c2.running_max), atol=1e-6)
 
     def test_cumsum_phases(self, rng):
-        """cfg.use_cumsum_phases: the prefix-sum phase accumulation
-        matches the serial scan up to the documented mod-reduction
-        random walk (~f32 ulp of the raw advance per frame — see
-        config.use_cumsum_phases; measured 1.4e-3 rad phases / 6e-4
-        audio abs at T=32), with hues bit-identical (the hue scan is
-        untouched)."""
+        """cfg.use_cumsum_phases (the round-5 DEFAULT): the prefix-sum
+        phase accumulation matches the serial scan up to the documented
+        mod-reduction random walk (~f32 ulp of the raw advance per
+        frame — see config.use_cumsum_phases; measured 1.4e-3 rad
+        phases / 6e-4 audio abs at T=32), with hues bit-identical (the
+        hue scan is untouched)."""
         for t, chunk, ph_tol, au_tol in [(9, 4, 1e-3, 2e-4),
                                          (32, 32, 4e-3, 2e-3)]:
             frames = clip(rng, t=t)
@@ -158,6 +167,25 @@ class TestChunkedEquivalence:
         pd = np.abs(np.asarray(c1.phases) - np.asarray(c2.phases))
         pd = np.minimum(pd, 2 * np.pi - pd)
         assert pd.max() < 2e-3, pd.max()
+
+    def test_default_config_cumsum_band(self, rng):
+        """A plain AuralizerConfig() through the chunked pipeline (which
+        now defaults to the prefix-sum phases) stays within the
+        characterized band of the per-frame scan path — the guarantee a
+        default-config user actually gets."""
+        frames = clip(rng, t=12)
+        cfg = AuralizerConfig()
+        assert cfg.use_cumsum_phases      # the round-5 default
+        a_ref, c_ref, _ = run_offline(frames, cfg, dict(PARAMS))
+        a_new, c_new, _ = run_offline_batched(frames, cfg, dict(PARAMS),
+                                              chunk=4)
+        np.testing.assert_array_equal(np.asarray(c_new.hues),
+                                      np.asarray(c_ref.hues))
+        pd = np.abs(np.asarray(c_new.phases) - np.asarray(c_ref.phases))
+        pd = np.minimum(pd, 2 * np.pi - pd)
+        assert pd.max() < 2e-3, pd.max()
+        np.testing.assert_allclose(np.asarray(a_new), np.asarray(a_ref),
+                                   atol=1e-3)
 
     def test_batched_pallas_interpret_matches(self, rng):
         """use_pallas=True routes through the batched kernel (interpret

@@ -151,10 +151,17 @@ class AuralizerConfig:
     # different ops, so their phases random-walk apart by ~ulp/frame —
     # measured 1.4e-3 rad / 6e-4 audio abs at T=32 (neither is closer
     # to exact math; the serial path is the reference-faithful one,
-    # SoundEngine.swift:267-283 accumulates f32 at the same magnitude).
+    # SoundEngine.swift:267-283 accumulates f32 at the same magnitude;
+    # on-device audit: benchmarks/tpu_parity.py phase_* stages).
     # Breaks the frame_step bit-for-near guarantee when enabled.  Only
-    # affects the chunked pipeline.
-    use_cumsum_phases: bool = False
+    # affects the chunked pipeline.  Default ON since round 5: the
+    # hardened same-session A/B measured 27.8 vs 35.8 us/frame stereo
+    # 1080p chunked (22%, both arms stable 5/5 —
+    # benchmarks/AB_FLAGS_r05.json); shrinking the serial scan to the
+    # hue EMA alone lifts the headline ~930 -> ~1190x realtime.  Set
+    # False for bit-for-near agreement with the per-frame scan path
+    # (docs/PARITY.md).
+    use_cumsum_phases: bool = True
     # Evaluate the hue arccos (vision.rgb_to_hsi_planes) with the
     # degree-7 sqrt-polynomial (Abramowitz & Stegun 4.4.46, <= 2e-8 rad
     # = 3e-9 of a hue turn) instead of the transcendental expansion —

@@ -70,6 +70,12 @@ COMBOS = {
     "scan_unroll4": {"_unroll": 4},
     "scan_unroll12": {"_unroll": 12},
     "scan_unroll16": {"_unroll": 16},
+    # Blocked sub-chunks (VERDICT r4 item 5): one device-side lax.scan
+    # whose body is the chunk pipeline over a fixed block — batched
+    # contraction/irfft/OLA at block granularity, whole clip in one
+    # dispatch (runtime.chunked.blocked_pipeline).
+    "scan_block8": {"_block": 8},
+    "scan_block16": {"_block": 16},
 }
 
 
@@ -82,7 +88,7 @@ def main():
 
     from vaudio.config import AuralizerConfig
     from vaudio.dsp import hann_window_norm
-    from vaudio.runtime.chunked import chunk_pipeline
+    from vaudio.runtime.chunked import blocked_pipeline, chunk_pipeline
     from vaudio.runtime.step import default_params, frame_step, init_carry
     from vaudio.synth import SynthConstants
 
@@ -107,14 +113,20 @@ def main():
     for name in names:
         combo = dict(COMBOS[name])
         unroll = combo.pop("_unroll", 8)
+        block = combo.pop("_block", 0)
         cfg = AuralizerConfig(sample_rate=48000.0, channels=2, **combo)
         consts = SynthConstants.create(cfg)
         window = jnp.asarray(hann_window_norm(cfg.nfft))
         params = default_params(cfg)
 
         def make_step(cfg=cfg, consts=consts, window=window,
-                      params=params, unroll=unroll):
-            if mode == "scan":
+                      params=params, unroll=unroll, block=block):
+            if mode == "scan" and block:
+                @jax.jit
+                def step(carry, frames):
+                    return blocked_pipeline(carry, frames, params, cfg,
+                                            consts, window, block=block)
+            elif mode == "scan":
                 @jax.jit
                 def step(carry, frames):
                     def body(c, f):

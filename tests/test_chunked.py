@@ -198,3 +198,56 @@ class TestChunkedEquivalence:
                                         use_pallas=True)
         np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_j),
                                    atol=5e-4)
+
+
+class TestBlockedPipeline:
+    """runtime.chunked.blocked_pipeline: the sequential scan dispatched as
+    blocked sub-chunks (one device-side lax.scan of chunk_pipeline
+    bodies) must thread carries across block boundaries exactly like a
+    host-side loop of chunk_pipeline calls of the same block size."""
+
+    def _run_blocked(self, frames, cfg, block):
+        import jax
+        from vaudio.dsp import hann_window_norm
+        from vaudio.runtime.chunked import blocked_pipeline
+        from vaudio.synth import SynthConstants
+        consts = SynthConstants.create(cfg)
+        window = jnp.asarray(hann_window_norm(cfg.nfft))
+        carry, out = jax.jit(
+            lambda c, f: blocked_pipeline(c, f, PARAMS, cfg, consts,
+                                          window, block=block)
+        )(init_carry(cfg), jnp.asarray(frames))
+        return out["pcm"], carry
+
+    @pytest.mark.parametrize("channels", [1, 2])
+    def test_matches_hostside_chunking(self, rng, channels):
+        frames = clip(rng, t=8)
+        cfg = AuralizerConfig(channels=channels)
+        pcm, carry = self._run_blocked(frames, cfg, block=4)
+        a_ref, c_ref, _ = run_offline_batched(frames, cfg, dict(PARAMS),
+                                              chunk=4)
+        np.testing.assert_allclose(
+            np.asarray(pcm).reshape(np.asarray(a_ref).shape),
+            np.asarray(a_ref), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(carry.hues),
+                                      np.asarray(c_ref.hues))
+        np.testing.assert_allclose(np.asarray(carry.running_max),
+                                   np.asarray(c_ref.running_max), atol=1e-6)
+
+    def test_within_scan_path_band(self, rng):
+        """Against the per-frame scan path: same guarantee band as the
+        default-config chunked pipeline (cumsum phases)."""
+        frames = clip(rng, t=12)
+        cfg = AuralizerConfig()
+        pcm, carry = self._run_blocked(frames, cfg, block=4)
+        a_ref, c_ref, _ = run_offline(frames, cfg, dict(PARAMS))
+        np.testing.assert_array_equal(np.asarray(carry.hues),
+                                      np.asarray(c_ref.hues))
+        np.testing.assert_allclose(np.asarray(pcm).reshape(-1),
+                                   np.asarray(a_ref), atol=1e-3)
+
+    def test_rejects_nonmultiple(self, rng):
+        frames = clip(rng, t=6)
+        cfg = AuralizerConfig()
+        with pytest.raises(ValueError, match="not a multiple"):
+            self._run_blocked(frames, cfg, block=4)

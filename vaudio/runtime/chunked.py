@@ -295,6 +295,47 @@ def chunk_pipeline(carry: StepCarry, frames, params: Dict[str, Any],
     return new_carry, out
 
 
+def blocked_pipeline(carry: StepCarry, frames, params: Dict[str, Any],
+                     cfg: AuralizerConfig, consts: SynthConstants, window,
+                     block: int = 8, use_pallas: Optional[bool] = None
+                     ) -> Tuple[StepCarry, Dict[str, Any]]:
+    """Sequential scan dispatched as BLOCKED sub-chunks: one device-side
+    ``lax.scan`` whose body is ``chunk_pipeline`` over ``block`` frames.
+
+    The per-frame scan path (runtime.step.frame_step under lax.scan) is
+    scheduling-gap-bound — every frame's vision/synthesis/audio stages
+    sit on one serial dependence chain of many small kernels.  Blocking
+    re-uses the chunk pipeline's batched math (one contraction, one
+    irfft, batched OLA for the whole block) at a fixed sub-chunk
+    granularity while keeping the whole clip in ONE dispatch, so the
+    marginal per-frame cost approaches the chunked headline instead of
+    the per-frame scan's (VERDICT r4 item 5; measured on the v5e in
+    benchmarks/AB_FLAGS_r05_scan.json).
+
+    Semantics are those of T sequential frame_step calls: identical
+    per-frame outputs up to the documented chunk-pipeline deviations
+    (docs/PARITY.md — contraction reassociation <= 1e-5, cumsum-phase
+    random walk when cfg.use_cumsum_phases).  ``T`` must be a multiple
+    of ``block`` (callers split remainders; see run_offline_batched).
+    """
+    T = (frames["y"] if isinstance(frames, dict) else frames).shape[0]
+    if T % block:
+        raise ValueError(f"blocked_pipeline: T={T} not a multiple of "
+                         f"block={block}")
+    nb = T // block
+
+    fb = jax.tree.map(
+        lambda x: x.reshape((nb, block) + tuple(x.shape[1:])), frames)
+
+    def body(c, fr):
+        return chunk_pipeline(c, fr, params, cfg, consts, window,
+                              use_pallas=use_pallas)
+
+    carry, outs = jax.lax.scan(body, carry, fb)
+    out = {k: v.reshape((T,) + tuple(v.shape[2:])) for k, v in outs.items()}
+    return carry, out
+
+
 def make_chunk_pipeline(cfg: AuralizerConfig, debug: bool = False,
                         use_pallas: Optional[bool] = None, jit: bool = True):
     """Build ``chunk_step(carry, frames[T, ...], params)`` with constants

@@ -14,8 +14,9 @@ steady-state serving configuration, where ingest DMA overlaps compute;
 H2D cost is characterized separately in benchmarks/latency.py) and run
 through the chunk-batched pipeline (runtime.chunked: serial scan only for
 vision/EMA/phases, ONE frame-batched Pallas contraction for the heavy
-synthesis stage); the per-frame lax.scan path is co-measured as
-``scan_path_x_realtime``.  The reported per-frame time is the SLOPE
+synthesis stage); the sequential scan path — dispatched as
+blocked sub-chunks of 8 by default, see VAUDIO_BENCH_SCAN_BLOCK — is
+co-measured as ``scan_path_x_realtime``.  The reported per-frame time is the SLOPE
 between a small and a large chunk length, which cancels per-dispatch
 overhead (the TPU tunnel used in CI adds ~5 ms/call and dedupes identical
 dispatches, so naive per-call timing is unreliable — chained carries
@@ -45,7 +46,16 @@ Environment overrides:
                             (cfg.quantize_mips; disables the int8 pool
                             fast paths by construction)
   VAUDIO_BENCH_MONO=0/1     also measure the mono config (default 1)
-  VAUDIO_BENCH_SCAN=0/1     also measure the per-frame scan path (default 1)
+  VAUDIO_BENCH_SCAN=0/1     also measure the sequential scan path (default 1)
+  VAUDIO_BENCH_SCAN_BLOCK=N scan-path dispatch granularity (default 8:
+                            blocked sub-chunks — a device-side lax.scan
+                            of chunk_pipeline bodies, runtime.chunked.
+                            blocked_pipeline; 0/1 = the per-frame
+                            frame_step scan.  AB_FLAGS_r05_scan.json:
+                            per-frame 71.4 us/frame (467x) vs blocked-8
+                            42.0 (793x) — batching the contraction/
+                            irfft/OLA at block granularity removes the
+                            per-frame scheduling gaps)
   VAUDIO_BENCH_UNROLL=N     scan unroll factor (default 8; measured
                             sweep at 1080p stereo: 4 -> 73 us/frame,
                             8 -> 65, 16 -> 81 — larger unrolls blow
@@ -135,6 +145,7 @@ def main() -> int:
     also_mono = os.environ.get("VAUDIO_BENCH_MONO", "1") == "1" \
         and channels == 2
     unroll = int(os.environ.get("VAUDIO_BENCH_UNROLL", "8"))
+    scan_block = int(os.environ.get("VAUDIO_BENCH_SCAN_BLOCK", "8"))
 
     backend = jax.default_backend()
     dev = jax.devices()[0]
@@ -197,6 +208,14 @@ def main() -> int:
                 def scan_chunk(carry, frames):
                     return chunk_pipeline(carry, frames, params, cfg,
                                           consts, window)
+            elif scan_block > 1:
+                from vaudio.runtime.chunked import blocked_pipeline
+
+                @jax.jit
+                def scan_chunk(carry, frames):
+                    return blocked_pipeline(carry, frames, params, cfg,
+                                            consts, window,
+                                            block=scan_block)
             else:
                 @jax.jit
                 def scan_chunk(carry, frames):
@@ -356,6 +375,10 @@ def main() -> int:
         s_rtf, _, s_q = measure(channels, "scan")
         record["scan_path_x_realtime"] = round(s_rtf, 2)
         record["scan_stable"] = s_q["stable"]
+        # Dispatch granularity of the sequential scan measured above
+        # (>1 = blocked sub-chunks; the pure per-frame number lives in
+        # benchmarks/AB_FLAGS_r05_scan.json as scan_default).
+        record["scan_block"] = scan_block
     if also_mono:
         m_rtf, _, m_q = measure(1, "chunked")
         record["mono_x_realtime"] = round(m_rtf, 2)

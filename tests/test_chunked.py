@@ -251,3 +251,37 @@ class TestBlockedPipeline:
         cfg = AuralizerConfig()
         with pytest.raises(ValueError, match="not a multiple"):
             self._run_blocked(frames, cfg, block=4)
+
+
+class TestRunOfflineBlocked:
+    """run_offline(block=N): the blocked-sub-chunk whole-clip dispatch,
+    including the non-multiple remainder and per-frame debug outputs."""
+
+    @pytest.mark.parametrize("t", [8, 11])      # exact and remainder
+    def test_matches_perframe_scan(self, rng, t):
+        frames = clip(rng, t=t)
+        cfg = AuralizerConfig()
+        a_ref, c_ref, d_ref = run_offline(frames, cfg, dict(PARAMS),
+                                          debug=True)
+        a_b, c_b, d_b = run_offline(frames, cfg, dict(PARAMS),
+                                    debug=True, block=4)
+        np.testing.assert_allclose(np.asarray(a_b), np.asarray(a_ref),
+                                   atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(c_b.hues),
+                                      np.asarray(c_ref.hues))
+        assert d_b["hues"].shape == d_ref["hues"].shape
+        np.testing.assert_array_equal(np.asarray(d_b["hues"]),
+                                      np.asarray(d_ref["hues"]))
+
+    def test_block_larger_than_clip_falls_back(self, rng):
+        frames = clip(rng, t=3)
+        cfg = AuralizerConfig()
+        a_ref, _, _ = run_offline(frames, cfg, dict(PARAMS))
+        a_b, _, _ = run_offline(frames, cfg, dict(PARAMS), block=8)
+        np.testing.assert_allclose(np.asarray(a_b), np.asarray(a_ref),
+                                   atol=1e-6)
+
+    def test_block_unroll_exclusive(self, rng):
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            run_offline(clip(rng, t=4), AuralizerConfig(), dict(PARAMS),
+                        block=4, unroll=8)

@@ -297,7 +297,8 @@ def chunk_pipeline(carry: StepCarry, frames, params: Dict[str, Any],
 
 def blocked_pipeline(carry: StepCarry, frames, params: Dict[str, Any],
                      cfg: AuralizerConfig, consts: SynthConstants, window,
-                     block: int = 8, use_pallas: Optional[bool] = None
+                     block: int = 8, use_pallas: Optional[bool] = None,
+                     debug: bool = False
                      ) -> Tuple[StepCarry, Dict[str, Any]]:
     """Sequential scan dispatched as BLOCKED sub-chunks: one device-side
     ``lax.scan`` whose body is ``chunk_pipeline`` over ``block`` frames.
@@ -329,7 +330,7 @@ def blocked_pipeline(carry: StepCarry, frames, params: Dict[str, Any],
 
     def body(c, fr):
         return chunk_pipeline(c, fr, params, cfg, consts, window,
-                              use_pallas=use_pallas)
+                              use_pallas=use_pallas, debug=debug)
 
     carry, outs = jax.lax.scan(body, carry, fb)
     out = {k: v.reshape((T,) + tuple(v.shape[2:])) for k, v in outs.items()}

@@ -172,7 +172,7 @@ def make_step(cfg: AuralizerConfig, debug: bool = False,
 def run_offline(frames, cfg: AuralizerConfig,
                 params: Dict[str, Any] | None = None,
                 carry: StepCarry | None = None, debug: bool = False,
-                unroll: int = 1):
+                unroll: int = 1, block: int = 1):
     """Sonify a whole decoded clip with one ``lax.scan``.
 
     The offline analogue of the 30 Hz streaming loop: every frame emits a
@@ -189,10 +189,24 @@ def run_offline(frames, cfg: AuralizerConfig,
         (live intermediates overflow).  Default 1 keeps CPU test
         compiles cheap; production streaming uses the chunked pipeline
         (runtime.chunked), which owns its own unrolling.
+      block: >1 dispatches the scan as BLOCKED SUB-CHUNKS — one
+        device-side lax.scan whose body is the chunk pipeline over
+        ``block`` frames (runtime.chunked.blocked_pipeline; any
+        remainder runs through one extra chunk_pipeline call).  On the
+        v5e at 1080p stereo the per-frame scan costs 71.4 us/frame vs
+        42.0 blocked-8 (benchmarks/AB_FLAGS_r05_scan.json) — the fast
+        whole-clip deployment shape.  Semantics match the per-frame
+        scan up to the documented chunk-pipeline band (docs/PARITY.md);
+        ``debug`` outputs stay per-frame.  Mutually exclusive with
+        ``unroll`` > 1.
     Returns:
       (audio f32[T*hop], final_carry, debug_dict) — debug_dict has stacked
       per-frame hues/grads/spectra when ``debug``.
     """
+    if block > 1 and unroll > 1:
+        raise ValueError("run_offline: block and unroll are mutually "
+                         "exclusive (blocking replaces the unrolled "
+                         "per-frame scan)")
     if params is None:
         params = default_params(cfg)
     if carry is None:
@@ -216,15 +230,39 @@ def run_offline(frames, cfg: AuralizerConfig,
     consts = SynthConstants.create(cfg)
     window = jnp.asarray(hann_window_norm(cfg.nfft))
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def scan_fn(carry, frames, params):
-        def body(c, frame):
-            return frame_step(c, frame, params, cfg, consts, window,
-                              debug=debug)
-        return jax.lax.scan(body, carry, frames, unroll=unroll)
-
     frames = jax.tree.map(jnp.asarray, frames)
-    final_carry, outs = scan_fn(carry, frames, params)
+    T = (frames["y"] if isinstance(frames, dict) else frames).shape[0]
+    if block > 1 and T >= block:
+        from vaudio.runtime.chunked import blocked_pipeline, \
+            chunk_pipeline
+        main = T - T % block
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def blocked_fn(carry, frames, params):
+            return blocked_pipeline(carry, frames, params, cfg, consts,
+                                    window, block=block, debug=debug)
+
+        head = jax.tree.map(lambda x: x[:main], frames)
+        final_carry, outs = blocked_fn(carry, head, params)
+        if T > main:                       # remainder: one small chunk
+            tail = jax.tree.map(lambda x: x[main:], frames)
+            final_carry, touts = jax.jit(
+                lambda c, f, p: chunk_pipeline(c, f, p, cfg, consts,
+                                               window, debug=debug)
+            )(final_carry, tail, params)
+            outs = {k: jnp.concatenate([outs[k], touts[k]], axis=0)
+                    for k in outs} if debug else \
+                {"pcm": jnp.concatenate([outs["pcm"], touts["pcm"]],
+                                        axis=0)}
+    else:
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def scan_fn(carry, frames, params):
+            def body(c, frame):
+                return frame_step(c, frame, params, cfg, consts, window,
+                                  debug=debug)
+            return jax.lax.scan(body, carry, frames, unroll=unroll)
+
+        final_carry, outs = scan_fn(carry, frames, params)
     if cfg.channels == 1:
         audio = outs["pcm"].reshape(-1)
     else:

@@ -58,6 +58,10 @@ COMBOS = {
     # overlap structure those verdicts rested on changed.
     "matmul_irfft": {"use_matmul_irfft": True},
     "matmul_ema_r5": {"use_matmul_ema": True},
+    # Round-5 profile-driven candidate (CHUNK_PROFILE_r05.json priced
+    # the phase stage ~9 us/frame): phase advance as a (360, P) table
+    # gather instead of per-frame exp2 + bin snap (bit-identical).
+    "phase_lut": {"use_phase_lut": True},
     # Scan-path arms (VAUDIO_AB_MODE=scan): per-frame dispatch is
     # scheduling-gap-bound, so the candidates are the fused Pallas
     # kernels (fewer, larger in-loop kernels) and the unroll factor.

@@ -285,3 +285,53 @@ class TestRunOfflineBlocked:
         with pytest.raises(ValueError, match="mutually exclusive"):
             run_offline(clip(rng, t=4), AuralizerConfig(), dict(PARAMS),
                         block=4, unroll=8)
+
+
+class TestPhaseLut:
+    """cfg.use_phase_lut: the (360, P) advance table gather must be
+    BIT-identical to the direct per-frame derivation — same f32 ops per
+    hue value (synth.spectrum._phase_advance_table)."""
+
+    def test_table_matches_direct(self):
+        import dataclasses
+        import jax.numpy as jnp
+        from vaudio.synth import SynthConstants
+        from vaudio.synth.spectrum import phase_advance
+        cfg = AuralizerConfig()
+        consts = SynthConstants.create(cfg)
+        cfg_lut = dataclasses.replace(cfg, use_phase_lut=True)
+        hues = jnp.asarray(np.arange(360) % 360
+                           )[:16 * 23:23].astype(jnp.int32)  # spread
+        direct = phase_advance(hues, cfg, consts)
+        lut = phase_advance(hues, cfg_lut, consts)
+        np.testing.assert_array_equal(np.asarray(direct),
+                                      np.asarray(lut))
+
+    def test_all_hues_identical(self):
+        import dataclasses
+        import jax.numpy as jnp
+        from vaudio.synth import SynthConstants
+        from vaudio.synth.spectrum import phase_advance
+        cfg = AuralizerConfig()
+        consts = SynthConstants.create(cfg)
+        cfg_lut = dataclasses.replace(cfg, use_phase_lut=True)
+        for start in range(0, 360, 16):
+            hues = jnp.arange(start, start + 16, dtype=jnp.int32) % 360
+            np.testing.assert_array_equal(
+                np.asarray(phase_advance(hues, cfg, consts)),
+                np.asarray(phase_advance(hues, cfg_lut, consts)))
+
+    def test_pipeline_bitident(self, rng):
+        """Whole-pipeline audio with the LUT on equals the default
+        path exactly (the table is bit-identical per hue)."""
+        import dataclasses
+        frames = clip(rng, t=6)
+        cfg = AuralizerConfig()
+        a_ref, c_ref, _ = run_offline_batched(frames, cfg, dict(PARAMS))
+        a_lut, c_lut, _ = run_offline_batched(
+            frames, dataclasses.replace(cfg, use_phase_lut=True),
+            dict(PARAMS))
+        np.testing.assert_array_equal(np.asarray(a_lut),
+                                      np.asarray(a_ref))
+        np.testing.assert_array_equal(np.asarray(c_lut.phases),
+                                      np.asarray(c_ref.phases))

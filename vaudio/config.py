@@ -173,6 +173,21 @@ class AuralizerConfig:
     # exact; a hue can only change histogram bin if it lands within
     # 2e-8 rad of a bin edge.  False restores jnp.arccos.
     fast_hue_acos: bool = True
+    # Evaluate the per-frame phase advance (synth.phase_advance) as a
+    # gather into a precomputed (360, P) table instead of re-deriving
+    # exp2 + nearest-bin-snap + ratio outer product per frame.  A hue
+    # bin has only 360 possible values, so the table — built ONCE per
+    # (config, constants) with exactly the same f32 ops — is
+    # bit-identical per hue; both the chunked prefix-sum path and the
+    # per-frame phase_accumulate route through it.  Candidate for the
+    # profiled phase-stage cost (benchmarks/CHUNK_PROFILE_r05.json:
+    # ~9 us/frame attributed); A/B'd in benchmarks/ab_flags.py arm
+    # 'phase_lut' before any default flip.  MEASURED round 5: a WASH
+    # (30.1 vs 29.8 us/frame default, both stable 5/5,
+    # benchmarks/AB_PHASELUT_r05.json) — XLA already overlaps the
+    # advance derivation; kept off, available as the verified
+    # alternative formulation.
+    use_phase_lut: bool = False
     # Apply the spectral HP/LP filter driven by the hp/lp live params.
     # The reference plumbs these parameters all the way into its kernel but
     # the application is commented out (SpectrumCompute.metal:200-209) — the

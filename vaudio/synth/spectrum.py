@@ -119,6 +119,39 @@ class SynthConstants:
 # Phase accumulation (SoundEngine.swift:257-286)
 # ---------------------------------------------------------------------------
 
+_ADV_TABLE_CACHE: dict = {}
+
+
+def _phase_advance_table(cfg: AuralizerConfig, consts: SynthConstants):
+    """(360, P) table of raw per-frame phase advances, one row per hue
+    bin — the image of :func:`phase_advance` over its whole (finite)
+    domain, computed ONCE per (config, constants) with the identical
+    f32 ops (eagerly, outside jit), so a gather through it is
+    bit-identical to the direct computation (cfg.use_phase_lut)."""
+    key = (id(consts), cfg.f0_base, cfg.f0_octaves, cfg.hop_size,
+           cfg.sample_rate)
+    table = _ADV_TABLE_CACHE.get(key)
+    if table is None:
+        # ensure_compile_time_eval: phase_advance is reached inside jit
+        # traces, where jnp ops on concrete operands would otherwise
+        # become traced (re-running per call instead of once here).
+        with jax.ensure_compile_time_eval():
+            freqs = jnp.asarray(consts.freqs)
+            f0_raw = hue_to_f0(jnp.arange(360, dtype=jnp.float32),
+                               cfg.f0_base, cfg.f0_octaves)
+            f0 = freqs[find_closest_index(freqs, f0_raw)]    # (360,)
+            ratios = jnp.concatenate([
+                jnp.asarray(consts.harmonic_numbers),
+                jnp.asarray(cfg.bessel_ratios()),
+            ])
+            scale = np.float32(2.0 * np.pi * cfg.hop_size
+                               / cfg.sample_rate)
+            table = np.asarray(scale * (f0[:, None] * ratios[None, :]),
+                               np.float32)                   # (360, P)
+        _ADV_TABLE_CACHE[key] = table
+    return table
+
+
 def phase_advance(hues, cfg: AuralizerConfig, consts: SynthConstants):
     """One frame's raw (pre-mod) phase advance for every partial slot.
 
@@ -135,6 +168,10 @@ def phase_advance(hues, cfg: AuralizerConfig, consts: SynthConstants):
     Returns: f32[16, 32] raw advances (up to ~2*pi*f_max*hop/fs rad,
       NOT yet wrapped).
     """
+    if cfg.use_phase_lut:
+        # Hue bins are i32 in [0, 360): the advance is a gather into
+        # the precomputed table (bit-identical; see _phase_advance_table).
+        return jnp.asarray(_phase_advance_table(cfg, consts))[hues]
     freqs = jnp.asarray(consts.freqs)
     f0_raw = hue_to_f0(hues.astype(jnp.float32), cfg.f0_base, cfg.f0_octaves)
     f0 = freqs[find_closest_index(freqs, f0_raw)]           # (16,)

@@ -141,15 +141,38 @@ def measure_decomposed(cfg, h, w):
     rng = np.random.default_rng(0)
     frame_bytes = h * w * 3
 
+    # Transfer-completion verification (round 5): block_until_ready
+    # through the relay can ack a dispatch at ENQUEUE (CLAUDE.md), so
+    # every H2D timing is verified by fetching a device-computed
+    # checksum OF the transferred bytes — the value cannot exist before
+    # the transfer completed.  The resident-array checksum cost is
+    # measured once and subtracted.
+    @jax.jit
+    def _checksum(x):
+        return jnp.sum(x.astype(jnp.uint32) * jnp.uint32(2654435761))
+
+    warm = jax.device_put(rng.integers(0, 256, 1024, dtype=np.uint8))
+    float(_checksum(warm))                               # compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(_checksum(warm))
+    csum_baseline_ms = (time.perf_counter() - t0) / 3 * 1e3
+
     def median_put_ms(nbytes, reps=10):
-        """Median H2D time for distinct nbytes-sized uint8 payloads."""
+        """Median VERIFIED H2D time for distinct uint8 payloads: the
+        max of (device_put+block) and (time-to-checksum-value minus the
+        resident checksum baseline)."""
         times = []
         for _ in range(reps):
             payload = rng.integers(0, 256, nbytes, dtype=np.uint8)
             t0 = time.perf_counter()
             d = jax.device_put(payload)
             jax.block_until_ready(d)
-            times.append((time.perf_counter() - t0) * 1e3)
+            t1 = time.perf_counter()
+            float(_checksum(d))
+            t2 = time.perf_counter()
+            times.append(max(t1 - t0,
+                             (t2 - t0) - csum_baseline_ms * 1e-3) * 1e3)
         return float(np.median(times[2:]))
 
     def median_get_ms(nbytes, reps=10):

@@ -45,6 +45,8 @@ Environment overrides:
   VAUDIO_BENCH_QUANTIZE=0/1 strict-parity 8-bit mip chain
                             (cfg.quantize_mips; disables the int8 pool
                             fast paths by construction)
+  VAUDIO_BENCH_QUANTIZE_INT8=0/1 all-integer quantized chain
+                            (cfg.quantize_mips_int8; needs QUANTIZE=1)
   VAUDIO_BENCH_MONO=0/1     also measure the mono config (default 1)
   VAUDIO_BENCH_SCAN=0/1     also measure the sequential scan path (default 1)
   VAUDIO_BENCH_SCAN_BLOCK=N scan-path dispatch granularity (default 8:
@@ -141,6 +143,8 @@ def main() -> int:
     # so bench.py measures what production runs.
     fast_acos = os.environ.get("VAUDIO_BENCH_FAST_ACOS", "1") == "1"
     quantize = os.environ.get("VAUDIO_BENCH_QUANTIZE", "0") == "1"
+    quantize_int8 = os.environ.get("VAUDIO_BENCH_QUANTIZE_INT8",
+                                   "0") == "1"
     channels = int(os.environ.get("VAUDIO_BENCH_CHANNELS", "2"))
     also_mono = os.environ.get("VAUDIO_BENCH_MONO", "1") == "1" \
         and channels == 2
@@ -168,6 +172,7 @@ def main() -> int:
                               use_matmul_ema=matmul_ema,
                               fast_hue_acos=fast_acos,
                               quantize_mips=quantize,
+                              quantize_mips_int8=quantize_int8,
                               channels=ch)
         consts = SynthConstants.create(cfg)
         window = jnp.asarray(hann_window_norm(cfg.nfft))

@@ -466,3 +466,59 @@ class TestTiledHistogramIdentity:
         a = np.asarray(hue_histogram_planes(h, s, i, CFG, method="tiled"))
         b = np.asarray(hue_histogram_planes(h, s, i, CFG, method="matmul"))
         np.testing.assert_array_equal(a, b)
+
+
+class TestQuantizeInt8Chain:
+    """vision.features._quant_pool_level_u8 / quantize_int8: the
+    all-integer 8-bit-quantized mip chain (cfg.quantize_mips_int8)."""
+
+    def _oracle_level(self, m):
+        """Rational round-half-even of the 2x2 block mean, in exact
+        integer arithmetic (numpy)."""
+        c, h, w = m.shape
+        s = (m[:, 0::2, 0::2].astype(np.int64)
+             + m[:, 1::2, 0::2] + m[:, 0::2, 1::2] + m[:, 1::2, 1::2])
+        base, rem = s >> 2, s & 3
+        bump = (rem == 3) | ((rem == 2) & ((base & 1) == 1))
+        return (base + bump).astype(np.uint8)
+
+    def test_level_matches_integer_oracle(self, rng):
+        from vaudio.vision.features import _quant_pool_level_u8
+        m = rng.integers(0, 256, (3, 32, 48), np.uint8)
+        got = np.asarray(_quant_pool_level_u8(jnp.asarray(m)))
+        np.testing.assert_array_equal(got, self._oracle_level(m))
+
+    def test_midpoint_rounds_half_even(self):
+        from vaudio.vision.features import _quant_pool_level_u8
+        # Block [1,1,0,0] -> mean 0.5 -> even 0; [1,1,1,3] -> 1.5 -> 2.
+        m = np.zeros((1, 2, 4), np.uint8)
+        m[0, :, 0] = [1, 1]                      # with 0,0 below: sum 2
+        m[0, 0, 2], m[0, 1, 2], m[0, 0, 3], m[0, 1, 3] = 1, 1, 1, 3
+        got = np.asarray(_quant_pool_level_u8(jnp.asarray(m)))
+        assert got[0, 0, 0] == 0                 # 0.5 -> even 0
+        assert got[0, 0, 1] == 2                 # 1.5 -> even 2
+
+    def test_chain_within_one_step_of_f32_path(self, rng):
+        from vaudio.vision.features import mip_downsample_planes
+        planes = rng.integers(0, 256, (3, 64, 64), np.uint8)
+        f32 = np.asarray(mip_downsample_planes(
+            jnp.asarray(planes), 3, quantize=True, scale=1 / 255.0))
+        i8 = np.asarray(mip_downsample_planes(
+            jnp.asarray(planes), 3, quantize=True, scale=1 / 255.0,
+            quantize_int8=True))
+        # Both on the 8-bit grid; paths may differ by the documented
+        # <= 1 step per level at exact midpoints.
+        np.testing.assert_allclose(i8 * 255, np.round(i8 * 255),
+                                   atol=1e-4)
+        assert np.abs(i8 - f32).max() <= 3.01 / 255
+
+    def test_config_flag_runs_pipeline(self, rng):
+        import dataclasses
+        from vaudio.runtime import run_offline
+        from vaudio.runtime.step import default_params
+        cfg = dataclasses.replace(AuralizerConfig(), quantize_mips=True,
+                                  quantize_mips_int8=True)
+        frames = rng.integers(0, 256, (3, 64, 64, 3), np.uint8)
+        audio, carry, _ = run_offline(frames, cfg,
+                                      dict(default_params(cfg)))
+        assert np.all(np.isfinite(np.asarray(audio)))

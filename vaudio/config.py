@@ -89,6 +89,18 @@ class AuralizerConfig:
     # (VisionEngine.swift:137-147).  True emulates that quantization between
     # pooling rounds; False keeps full f32 precision through the pyramid.
     quantize_mips: bool = False
+    # With quantize_mips on and uint8 input, run the quantized chain in
+    # ALL-INTEGER arithmetic (vision.features._quant_pool_level_u8):
+    # per-level int8 MXU matmuls with an exact round-half-to-even
+    # integer epilogue, instead of the f32 emulation (two f32 matmuls +
+    # round(x*255)/255 per level, measured 0.544 ms/frame = 61x at
+    # 1080p).  Deviation: at an EXACT 2x2-mean midpoint the f32 path's
+    # rounding is decided by ~1e-4 of accumulated float error while
+    # this path rounds half-to-even — <= 1 grid step/level, and both
+    # are approximations of Metal's unspecified bgra8Unorm rounding
+    # (docs/PARITY.md).  Measured round 5 (same-session A/B,
+    # benchmarks/AB_QUANT_r05.json): see docs/BENCHMARKS.md.
+    quantize_mips_int8: bool = False
     # Reference aggregates gradients over contiguous 1/16 slices of the
     # rotated linear pixel array, NOT the 4x4 spatial grid the histogram
     # uses (VisionEngine.swift:278-283; SURVEY §2.2).  True reproduces that

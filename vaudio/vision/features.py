@@ -164,8 +164,48 @@ def _pool_matrix(n: int, level: int):
     return p
 
 
+def _quant_pool_level_u8(m):
+    """One 8-bit-quantized mip level entirely in integer arithmetic:
+    (C, H, W) u8 -> (C, H//2, W//2) u8 with each output the round-half-
+    to-even of the 2x2 block mean — the idealized bgra8Unorm mip step
+    (VisionEngine.swift:137-147) on the 0..255 grid.
+
+    Same MXU recipe as the one-shot u8 path in mip_downsample_planes:
+    XOR-0x80 bitcast to s8, 0/1-banded int8 row matmul accumulating
+    i32, lossless q/r split for the int8 column matmul (row sums span
+    [-256, 254] — one bit too wide for s8), then an integer rounding
+    epilogue on the 4x-smaller output.  Exact by construction: the i32
+    block sum S = sum of the four u8 values, and the output is
+    round_half_even(S / 4) = (S >> 2) + bump with bump = 1 iff
+    rem == 3 or (rem == 2 and the floor is odd).
+    """
+    c, h, w = m.shape
+    s8 = jax.lax.bitcast_convert_type(m ^ np.uint8(0x80), jnp.int8)
+    pr_i8 = jnp.asarray((_pool_matrix(h, 1) > 0).astype(np.int8))
+    rows = jax.lax.dot_general(
+        s8, pr_i8, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)             # (c, w, h2)
+    rows = jnp.swapaxes(rows, 1, 2)                   # (c, h2, w)
+    q = jnp.right_shift(rows, 1)                      # [-128, 127]
+    r = rows - (q << 1)                               # {0, 1}
+    pc_i8 = jnp.asarray((_pool_matrix(w, 1) > 0).astype(np.int8))
+
+    def idot(x):
+        return jax.lax.dot_general(
+            x.astype(jnp.int8), pc_i8,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    acc = (idot(q) << 1) + idot(r)                    # sum of (v - 128)
+    s = acc + np.int32(512)                           # block sum of v
+    base = jnp.right_shift(s, 2)
+    rem = s & 3
+    bump = ((rem == 3) | ((rem == 2) & ((base & 1) == 1)))
+    return (base + bump.astype(jnp.int32)).astype(jnp.uint8)
+
+
 def mip_downsample_planes(planes, level: int, quantize: bool = False,
-                          scale: float = 1.0):
+                          scale: float = 1.0, quantize_int8: bool = False):
     """(C, H, W) planes -> (C, H>>l, W>>l) box downsample.
 
     Equivalent of blit ``generateMipmaps`` + mip-level sampling
@@ -190,6 +230,22 @@ def mip_downsample_planes(planes, level: int, quantize: bool = False,
     if (h >> level) == 0 or (w >> level) == 0:
         raise ValueError(f"frame dims ({h},{w}) too small for mip {level}")
     if quantize:
+        if (quantize_int8 and is_u8 and level >= 1
+                and abs(scale * 255.0 - 1.0) < 1e-9):
+            # All-integer quantized chain (cfg.quantize_mips_int8): each
+            # level is _quant_pool_level_u8 — int8 MXU matmuls with an
+            # exact round-half-even integer epilogue, so the u8 frame
+            # never leaves the 0..255 grid until the final scale.
+            # Deviation vs the f32 emulation below: at an EXACT block-
+            # mean midpoint (block sum ≡ 2 mod 4) the f32 path's
+            # rounding direction is decided by ~1e-4 of accumulated f32
+            # error while this path rounds half-to-even — ≤ 1 grid step
+            # per level, both being approximations of Metal's
+            # unspecified bgra8Unorm rounding (docs/PARITY.md).
+            m = planes
+            for _ in range(level):
+                m = _quant_pool_level_u8(m)
+            return m.astype(jnp.float32) * np.float32(1.0 / 255.0)
         # Strict-parity path: quantize every level to the 8-bit grid like
         # a bgra8Unorm mip chain (VisionEngine.swift:137-147).  The
         # inter-level rounding is nonlinear, so the levels can't fuse
@@ -694,7 +750,8 @@ def frame_mip_planes(frame, cfg: AuralizerConfig):
         return pool_kernel.mip_pool_pallas(
             planes, cfg.mip_level, scale=scale, interpret=interpret)
     return mip_downsample_planes(planes, cfg.mip_level,
-                                 cfg.quantize_mips, scale=scale)
+                                 cfg.quantize_mips, scale=scale,
+                                 quantize_int8=cfg.quantize_mips_int8)
 
 
 def use_vision_kernel(hm: int, wm: int, cfg: AuralizerConfig) -> bool:

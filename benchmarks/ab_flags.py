@@ -62,6 +62,10 @@ COMBOS = {
     # the phase stage ~9 us/frame): phase advance as a (360, P) table
     # gather instead of per-frame exp2 + bin snap (bit-identical).
     "phase_lut": {"use_phase_lut": True},
+    # Strict-parity quantized chain: f32 emulation vs the round-5
+    # all-integer int8 MXU chain (config.quantize_mips_int8).
+    "quant_f32": {"quantize_mips": True},
+    "quant_int8": {"quantize_mips": True, "quantize_mips_int8": True},
     # Scan-path arms (VAUDIO_AB_MODE=scan): per-frame dispatch is
     # scheduling-gap-bound, so the candidates are the fused Pallas
     # kernels (fewer, larger in-loop kernels) and the unroll factor.

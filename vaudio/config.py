@@ -170,7 +170,7 @@ class AuralizerConfig:
     # hardened same-session A/B measured 27.8 vs 35.8 us/frame stereo
     # 1080p chunked (22%, both arms stable 5/5 —
     # benchmarks/AB_FLAGS_r05.json); shrinking the serial scan to the
-    # hue EMA alone lifts the headline ~930 -> ~1190x realtime.  Set
+    # hue EMA alone lifts the headline ~930 -> ~1220x realtime.  Set
     # False for bit-for-near agreement with the per-frame scan path
     # (docs/PARITY.md).
     use_cumsum_phases: bool = True

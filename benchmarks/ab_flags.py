@@ -20,9 +20,11 @@ degraded-host artifact is distinguishable from a clean one.
 
 Usage:  python benchmarks/ab_flags.py [combo ...]
   combo names: baseline, matmul_ema, fast_acos, both, default,
-               cumsum_phases; with VAUDIO_AB_MODE=scan also
-               scan_default, scan_pallas, scan_pallas_audio,
-               scan_both_pallas, scan_unroll4/12/16
+               cumsum_phases, serial_phases, matmul_irfft,
+               matmul_ema_r5, phase_lut, quant_f32, quant_int8;
+               with VAUDIO_AB_MODE=scan also scan_default,
+               scan_pallas, scan_pallas_audio, scan_both_pallas,
+               scan_unroll4/12/16, scan_block8/16
 Env: VAUDIO_BENCH_RES (1080x1920), VAUDIO_BENCH_CHUNKS (16,128),
      VAUDIO_BENCH_ITERS (12), VAUDIO_BENCH_SLOPE_REPS (3),
      VAUDIO_BENCH_MAX_REPS (8), VAUDIO_BENCH_STABLE_FRAC (0.15),
